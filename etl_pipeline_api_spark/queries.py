@@ -1,0 +1,405 @@
+"""Named operator queries + DuckDB oracle SQL (the driver's correctness gate).
+
+Every implemented operator from SURVEY.md §2 gets:
+  - a ``queries()[name]`` callable ``(spark, sf_dir) -> DataFrame`` exercising
+    the operator over the driver testdata tables, and
+  - an ``oracle_sql()[name]`` ANSI-SQL twin for DuckDB over the same tables
+    (views ``region nation customer supplier part orders lineitem events
+    documents embeddings`` are pre-registered by the driver).
+
+Column names AND types are aligned on both sides (the driver's compare sorts
+columns by name and hashes values). Doubles that pass through order-sensitive
+aggregation are rounded on both sides; year()/month() are cast to INT on the
+DuckDB side to match Spark's int32.
+
+Ops that are driver-side (HTTP source, retry, file sinks) or genuinely
+non-SQL (MinHash LSH, SimHash) have unit tests instead of oracles; non-SQL
+ones still appear in ``queries()`` for the rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import aggregations as agg
+from .operators import cleaning
+from .operators.dq import DQSuite, non_negative_check, not_null_check, range_check
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it arrives as
+    # a long — truncate ns→µs exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP read.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div (not /1000 via double — int64 ns exceeds double mantissa)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# =====================================================================
+# §2.4 aggregations — flagship first (SURVEY §7 step 1)
+# =====================================================================
+
+@query(
+    "op-groupby-sum",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)  AS ano,
+           CAST(month(o_orderdate) AS INT) AS mes,
+           upper(trim(n_name))             AS nome_orgao,
+           round(sum(o_totalprice), 2)     AS total_gasto
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's gold aggregation (main.py:303-307) —
+    SUM(valor) by (ano, mes, nome_orgao) — over the testdata star schema:
+    orders as the fact, nation name as the org analog.
+
+    Scale notes: nation (25 rows) and customer (|orders|/10) are broadcast —
+    the fact table never shuffles for the join; the only shuffle is the
+    partial→final hash agg on the (ano, mes, nome_orgao) keys.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("ano"),
+        F.month("o_orderdate").alias("mes"),
+        "o_totalprice",
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.upper(F.trim("n_name")).alias("nome_orgao")
+    )
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return agg.groupby_sum(
+        joined, ["ano", "mes", "nome_orgao"], "o_totalprice",
+        out_col="total_gasto", round_to=2,
+    )
+
+
+@query(
+    "op-rename",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-rename (main.py:306): aggregate then rename columns."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+    return cleaning.rename(out, {"l_returnflag": "flag", "l_linestatus": "status"})
+
+
+@query("op-count", oracle="SELECT count(*) AS n_rows FROM lineitem")
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-count (main.py:243): scalar row count as a 1-row DataFrame."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "op-count-distinct",
+    oracle="SELECT count(DISTINCT user_id) AS n_distinct FROM events",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-count-distinct (main.py:244, nunique)."""
+    return agg.count_distinct(_t(spark, sf_dir, "events"), "user_id")
+
+
+@query(
+    "op-min-max",
+    oracle="SELECT min(o_orderdate) AS min_value, max(o_orderdate) AS max_value FROM orders",
+)
+def q_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-min-max (main.py:245-248): temporal range."""
+    return agg.min_max(_t(spark, sf_dir, "orders"), "o_orderdate")
+
+
+@query(
+    "op-mean-round",
+    oracle="SELECT round(avg(value), 2) AS mean_value FROM events",
+)
+def q_mean_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-mean-round (main.py:249)."""
+    return agg.mean_round(_t(spark, sf_dir, "events"), "value")
+
+
+@query(
+    "op-eda-report",
+    oracle="""
+    SELECT count(*)                    AS n_rows,
+           count(DISTINCT event_type)  AS n_distinct,
+           min(ts)                     AS min_date,
+           max(ts)                     AS max_date,
+           round(avg(value), 2)        AS mean_value
+    FROM events
+    """,
+)
+def q_eda_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-eda-report (main.py:242-249): the reference's 5-pass profile as ONE
+    aggregation pass."""
+    return agg.eda_profile(
+        _t(spark, sf_dir, "events"),
+        count_distinct_col="event_type", date_col="ts", mean_col="value",
+    )
+
+
+# =====================================================================
+# §2.1/§2.2 scans, projections, casts
+# =====================================================================
+
+@query(
+    "op-parquet-scan",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def q_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-parquet-scan (main.py:198) with Catalyst projection + predicate
+    pushdown: the physical scan reads ONLY (l_orderkey, l_extendedprice,
+    l_quantity) and ships the quantity filter into the parquet reader
+    (verify: .explain shows PushedFilters + 3-column ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "op-union-all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-union-all (main.py:114-120 list-extend): bag-semantics union."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_totalprice")
+    return a.unionByName(b)
+
+
+@query(
+    "op-project-envelope",
+    oracle="SELECT doc_id, source FROM documents",
+)
+def q_project_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-project-envelope (main.py:75,119-120): the API's ``{results: [...]}``
+    envelope round-trip — pack documents into per-source envelopes (struct with
+    a results array), then recover rows via explode(results). Exercises the
+    envelope projection the bronze stage applies to raw pages."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    envelopes = docs.groupBy("source").agg(
+        F.collect_list(F.struct("doc_id")).alias("results")
+    )
+    return envelopes.select(
+        F.explode("results").alias("r"), "source"
+    ).select(F.col("r.doc_id").alias("doc_id"), "source")
+
+
+@query(
+    "op-cast-int",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INT)  AS ano,
+           CAST(month(ts) AS INT) AS mes
+    FROM events
+    """,
+)
+def q_cast_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-cast-int (main.py:143-144): partition-key int casts."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.year("ts").alias("ano"), F.month("ts").alias("mes")
+    )
+    return cleaning.cast_int(ev, ["ano", "mes"])
+
+
+@query(
+    "op-cast-nullable-int",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_int,
+           TRY_CAST(event_type AS INT)                                AS bad_int
+    FROM events
+    """,
+)
+def q_cast_nullable_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-cast-nullable-int (main.py:229-231): coercing cast, null on failure.
+    ``bad_int`` is always-unparseable text → all null (coerce path);
+    ``k_int`` parses the numeric prop out of the JSON props string."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_int"),
+        F.col("event_type").alias("bad_int"),
+    )
+    return cleaning.cast_nullable_int(ev, ["k_int", "bad_int"])
+
+
+@query(
+    "op-numeric-coerce-fillna",
+    oracle="""
+    SELECT event_id,
+           COALESCE(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS DOUBLE), 0.0) AS k_val,
+           COALESCE(TRY_CAST(event_type AS DOUBLE), 0.0)                                AS coerced_zero
+    FROM events
+    """,
+)
+def q_numeric_coerce_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-numeric-coerce-fillna (main.py:212-213): to_numeric(coerce).fillna(0)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_val"),
+        F.col("event_type").alias("coerced_zero"),
+    )
+    ev = cleaning.numeric_coerce_fillna(ev, "k_val")
+    return cleaning.numeric_coerce_fillna(ev, "coerced_zero")
+
+
+@query(
+    "op-date-parse",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS order_date,
+           TRY_CAST(o_orderpriority AS DATE)                   AS bad_date
+    FROM orders
+    """,
+)
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-date-parse (main.py:252-253): coercing 'yyyy-MM-dd' parse; the
+    unparseable column comes back all-null (pandas errors='coerce')."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("o_orderpriority").alias("bad_date"),
+    )
+    return cleaning.parse_date(o, ["order_date", "bad_date"])
+
+
+@query(
+    "op-upper-trim",
+    oracle="""
+    SELECT c_custkey,
+           upper(trim(c_name))       AS nome,
+           upper(trim(c_mktsegment)) AS segmento
+    FROM customer
+    """,
+)
+def q_upper_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-upper-trim (main.py:216-226): null-preserving standardization."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_name").alias("nome"), F.col("c_mktsegment").alias("segmento")
+    )
+    return cleaning.upper_trim(c, ["nome", "segmento"])
+
+
+# =====================================================================
+# §2.5 data quality — one-pass conditional aggregation
+# =====================================================================
+
+@query(
+    "op-dq-suite",
+    oracle="""
+    SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)                      AS null_o_custkey,
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)                    AS null_o_orderdate,
+           SUM(CASE WHEN NOT (month(o_orderdate) BETWEEN 1 AND 12) THEN 1 ELSE 0 END) AS range_mes,
+           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)                       AS negative_o_totalprice
+    FROM orders
+    """,
+)
+def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 complete suite (main.py:167-186) as ONE conditional-agg pass:
+    not-null, range, non-negative — violation counts per check."""
+    o = _t(spark, sf_dir, "orders").withColumn("mes", F.month("o_orderdate"))
+    suite = DQSuite(
+        required_columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        checks=[
+            not_null_check("o_custkey"),
+            not_null_check("o_orderdate"),
+            range_check("mes", 1, 12),
+            non_negative_check("o_totalprice"),
+        ],
+    )
+    return suite.violations_df(o)
+
+
+@query(
+    "op-dq-not-null",
+    oracle="""
+    SELECT SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_l_orderkey,
+           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_l_shipdate
+    FROM lineitem
+    """,
+)
+def q_dq_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dq-not-null (main.py:178)."""
+    li = _t(spark, sf_dir, "lineitem")
+    suite = DQSuite(checks=[not_null_check("l_orderkey"), not_null_check("l_shipdate")])
+    return suite.violations_df(li)
+
+
+@query(
+    "op-dq-range",
+    oracle="""
+    SELECT SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS range_l_discount
+    FROM lineitem
+    """,
+)
+def q_dq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dq-range (main.py:181)."""
+    li = _t(spark, sf_dir, "lineitem")
+    suite = DQSuite(checks=[range_check("l_discount", 0.0, 0.1)])
+    return suite.violations_df(li)
+
+
+@query(
+    "op-dq-non-negative",
+    oracle="""
+    SELECT SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS negative_l_extendedprice,
+           SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)      AS negative_l_quantity
+    FROM lineitem
+    """,
+)
+def q_dq_non_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dq-non-negative (main.py:184)."""
+    li = _t(spark, sf_dir, "lineitem")
+    suite = DQSuite(
+        checks=[non_negative_check("l_extendedprice"), non_negative_check("l_quantity")]
+    )
+    return suite.violations_df(li)
+
+
+@query(
+    "op-dq-col-exists",
+    oracle="SELECT CAST(1 AS INT) AS has_required_cols",
+)
+def q_dq_col_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dq-col-exists (main.py:175-177, 295-298): metadata-only schema check,
+    surfaced as a 1-row result so the harness can verify it."""
+    li = _t(spark, sf_dir, "lineitem")
+    cleaning.require_columns(li, ["l_orderkey", "l_quantity", "l_shipdate"])
+    return spark.range(1).select(F.lit(1).cast("int").alias("has_required_cols"))

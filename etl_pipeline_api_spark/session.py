@@ -1,0 +1,62 @@
+"""SparkSession bootstrap for the engine.
+
+The reference (``/root/reference/proj-eng-dados/main.py``) is a single-process
+pandas program with no session concept; here the session IS the engine
+substrate. Config choices are scale-oriented:
+
+- AQE on (runtime coalescing, skew-join splitting) so the same plans survive
+  a 1000-executor cluster without hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a real
+  cluster AQE coalescing makes the initial number far less critical.
+- UTC session timezone so timestamp semantics are engine-independent (and
+  match the DuckDB oracle, which is UTC-naive).
+- Arrow enabled for any Pandas-UDF path (extensions use vectorized UDFs only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "etl_pipeline_api_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local-mode for tests/bench; every config below is also the right default
+    on a multi-executor cluster (AQE handles the difference in parallelism).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert (see queries._t / sources.parquet_source)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load driver testdata parquet tables as DataFrames (see TESTDATA.md)."""
+    out = [spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names]
+    return out[0] if len(out) == 1 else out
