@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_pipeline_api_spark.operators.dq import DataQualityError
+from etl_pipeline_api_spark.plans.gastos import build_pipeline
+from etl_pipeline_api_spark.plans.pipeline import StageError
+from tests.test_sources import _record, write_raw_pages
+
+
+def _dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("raw", "bronze", "silver", "gold")}
+
+
+def test_end_to_end_raw_to_gold(spark, tmp_path):
+    d = _dirs(tmp_path)
+    write_raw_pages(tmp_path / "raw", 24)
+    pipe = build_pipeline(d["raw"], d["bronze"], d["silver"], d["gold"])
+    pipe.run(spark)
+
+    gold = spark.read.parquet(d["gold"])
+    assert set(gold.columns) == {"ano", "mes", "nome_orgao", "total_gasto"}
+    rows = gold.collect()
+    # names standardized before aggregation → uppercase, trimmed keys
+    assert all(r.nome_orgao.startswith("ORGAO ") for r in rows)
+    # sum of all groups == sum of all valor strings coerced to double
+    assert sum(r.total_gasto for r in rows) == pytest.approx(
+        sum(100 + i + 0.5 for i in range(24))
+    )
+    # hive layout: ano/mes partition directories exist
+    assert (tmp_path / "gold" / "ano=2017").exists()
+
+    # silver: date parsed to a real date type
+    silver = spark.read.parquet(d["silver"])
+    assert dict(silver.dtypes)["data_pagamento"] == "date"
+
+
+def test_dq_gate_aborts_silver_before_write(spark, tmp_path):
+    d = _dirs(tmp_path)
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    recs = [_record(i) for i in range(8)] + [_record(99, mes=13)]  # range violation
+    (raw / "page_1.json").write_text(json.dumps(recs))
+    pipe = build_pipeline(d["raw"], d["bronze"], d["silver"], d["gold"])
+    with pytest.raises(StageError) as e:
+        pipe.run(spark)
+    assert e.value.stage == "silver"
+    assert isinstance(e.value.cause, DataQualityError)
+    assert "range_mes" in e.value.cause.violations
+    assert not (tmp_path / "silver").exists()  # gate fired before any write
+
+
+def test_empty_input_guard(spark, tmp_path):
+    d = _dirs(tmp_path)
+    (tmp_path / "raw").mkdir()
+    (tmp_path / "raw" / "page_1.json").write_text(json.dumps([]))
+    pipe = build_pipeline(d["raw"], d["bronze"], d["silver"], d["gold"])
+    with pytest.raises(StageError) as e:
+        pipe.run(spark)
+    assert e.value.stage == "bronze"

@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from etl_pipeline_api_spark.plans.gastos import GASTOS_RECORD
+from etl_pipeline_api_spark.sources import json_source
+from etl_pipeline_api_spark.sources.http_source import PaginatedHttpSource
+
+
+def _record(i: int, **over):
+    base = dict(
+        ano=2017, mes=(i % 12) + 1, valor=f"{100 + i}.50",
+        nome_orgao=f"  orgao {i % 3} ", nome_favorecido=f"fav {i}",
+        nome_acao="a", nome_programa="p", nome_funcao="f", nome_grupo_despesa="g",
+        data_pagamento="2017-06-01", codigo_orgao=i,
+    )
+    base.update(over)
+    return base
+
+
+def write_raw_pages(raw: Path, n_records: int = 20) -> None:
+    """Both envelope shapes (SURVEY §1.3) + one corrupt file."""
+    raw.mkdir(parents=True, exist_ok=True)
+    recs = [_record(i) for i in range(n_records)]
+    (raw / "page_1.json").write_text(json.dumps(recs[: n_records // 2]))  # bare array
+    (raw / "page_2.json").write_text(
+        json.dumps({"count": n_records, "next": None, "previous": None,
+                    "results": recs[n_records // 2:]})
+    )
+    (raw / "page_3.json").write_text("{not valid json!!")
+
+
+def test_json_scan_dual_envelope_and_corrupt_isolation(spark, tmp_path):
+    raw = tmp_path / "raw"
+    write_raw_pages(raw, 20)
+    df = json_source.scan_json_pages(spark, str(raw), GASTOS_RECORD)
+    rows = df.collect()
+    assert len(rows) == 20  # both shapes consolidated, corrupt file excluded
+    assert {r.ano for r in rows} == {2017}
+    bad = json_source.corrupt_records(spark, str(raw), GASTOS_RECORD).collect()
+    assert len(bad) == 1
+
+
+def test_http_source_pagination_retry_resume(tmp_path):
+    pages = {
+        "http://api/p1": {"results": [{"x": 1}], "next": "http://api/p2"},
+        "http://api/p2": {"results": [{"x": 2}], "next": "http://api/p3"},
+        "http://api/p3": {"results": [], "next": None},
+    }
+    calls, sleeps = [], []
+    rate_limited = {"http://api/p2": True}  # first hit on p2 → 429
+
+    def transport(url, headers):
+        calls.append(url)
+        assert headers == {"Authorization": "Token sekrit"}
+        if rate_limited.pop(url, None):
+            return 429, ""
+        return 200, json.dumps(pages[url])
+
+    src = PaginatedHttpSource(
+        base_url="http://api/p1", out_dir=str(tmp_path / "raw"), token="sekrit",
+        transport=transport, sleep=sleeps.append,
+    )
+    written = src.fetch()
+    assert [p.name for p in written] == ["page_1.json", "page_2.json"]
+    assert calls.count("http://api/p2") == 2          # op-rate-limit-retry
+    assert 15.0 in sleeps and 1.0 in sleeps           # backoff + politeness
+
+    # op-incremental-skip: second run re-walks cursors but rewrites nothing
+    written2 = src.fetch()
+    assert written2 == []
+    assert src.downloaded_pages() == {1, 2}
