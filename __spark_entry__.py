@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_pipeline_api_spark.queries import ORACLES, QUERIES  # noqa: E402
+import etl_pipeline_api_spark.queries_ext  # noqa: E402,F401  (registers extension queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

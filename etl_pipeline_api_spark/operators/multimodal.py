@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md §2.9).
+
+Design: media payloads are opaque ``binary`` columns + a typed metadata
+struct (modality, mime, width/height/duration, source uri). All Spark-side
+plumbing — schema, partition sizing, Arrow batch shape, UDF signatures — is
+real and tested; the actual codec calls are STUBBED (this container has no
+image/audio libraries) behind ``decoder=`` injection points with a
+deterministic fake, so swapping in PIL/ffmpeg later changes one function.
+
+Patterns:
+- attach_payload:   make a (binary, metadata) multimodal column pair from any
+  source bytes; metadata is computed JVM-side (length, hashes) where possible.
+- decode_features:  mapInPandas over Arrow batches — the 100 TB shape for
+  per-item decode: batch-at-a-time, no per-row Python overhead, memory
+  bounded by ``maxRecordsPerBatch`` not partition size.
+- frame_sample:     deterministic pseudo frame sampling driven by metadata
+  (real decoder slots into the same signature).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),   # image|audio|video|text
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, bytes_col: str, modality: str, mime: str,
+    width=None, height=None, duration_s=None,
+) -> DataFrame:
+    """Wrap raw bytes as a multimodal (payload, meta) column pair; n_bytes
+    and content hash are computed JVM-side (no UDF)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.length(F.col(bytes_col)).cast("long").alias("n_bytes"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(duration_s).cast("double").alias("duration_s"),
+        ),
+    ).withColumn("content_sha", F.sha2(F.col(bytes_col), 256))
+
+
+def fake_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in for a real image/audio decoder: derives a fixed
+    8-dim feature vector from the payload bytes (sha256-seeded). Replace with
+    PIL/torchvision/ffmpeg in production — same signature."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return (np.frombuffer(digest[:32], dtype=np.uint8)[:8] / 255.0).astype(np.float64)
+
+
+def real_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """The production decode slot. Not available in this container."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg) are not installed in this environment; "
+        "inject fake_decode or a real decoder via decode_features(decoder=...)"
+    )
+
+
+def decode_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    decoder: Callable[[bytes, dict], np.ndarray] = fake_decode,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Batch decode → feature vectors via mapInPandas (Arrow batches).
+
+    Output: (id, features array<double>, feat_norm double). Each Arrow batch
+    is decoded in one Python call; per-executor memory is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch regardless of partition size.
+    """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)  # workers must import this module's decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = [
+                decoder(payload, meta)
+                for payload, meta in zip(b[payload_col], b[meta_col])
+            ]
+            mat = np.stack(feats) if feats else np.zeros((0, feature_dim))
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "features": list(mat),
+                    "feat_norm": np.round(np.linalg.norm(mat, axis=1), 6),
+                }
+            )
+
+    out_schema = f"{id_col} long, features array<double>, feat_norm double"
+    return df.select(id_col, payload_col, meta_col).mapInPandas(run, out_schema)
+
+
+def frame_sample(
+    df: DataFrame, id_col: str, meta_col: str = "meta", fps: float = 1.0
+) -> DataFrame:
+    """Deterministic frame-sampling plan for video payloads: one row per
+    sampled frame timestamp, derived from metadata duration (JVM-side
+    sequence/explode — the decoder only runs on the sampled frames,
+    which is the point at 100 TB). Output: (id, frame_idx, t_s)."""
+    n_frames = F.greatest(
+        (F.col(f"{meta_col}.duration_s") * fps).cast("int"), F.lit(1)
+    )
+    return (
+        df.filter(F.col(f"{meta_col}.modality") == "video")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .withColumn("t_s", F.round(F.col("frame_idx") / fps, 3))
+    )

@@ -1,0 +1,190 @@
+"""Vector similarity search over an embedding column (SURVEY.md §2.9).
+
+Three tiers, trading exactness for scale:
+
+1. cosine_topk — exact brute force for a bounded QUERY set against the full
+   corpus: crossJoin(queries, corpus) + JVM-side zip_with/aggregate dot
+   product + window top-k. Cost is |Q|·|corpus|; right when |Q| is small
+   (the common "search" shape). Corpus side stays distributed — no collect.
+2. cosine_pairs — all-pairs above a threshold via numpy-blocked matmul in
+   mapInPandas: the corpus matrix is a broadcast variable (fits executor
+   memory up to ~10^7 x 64 floats); each partition multiplies its block
+   against it. This is the "near-dup by embedding" shape.
+3. lsh_topk — approximate: random-hyperplane sign buckets (deterministic
+   seed) prune candidates before exact re-scoring; sub-quadratic, the
+   100 TB path (at that scale: IVF/bucketed LSH + re-rank, never brute force).
+
+Norms are precomputed once per side; cosine = dot / (na*nb).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "nrm") -> DataFrame:
+    return df.withColumn(out, _norm(F.col(vec_col).cast("array<double>")))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector. Returns
+    (query_id, neighbor_id, rank) — rank 1 = nearest, self-matches excluded.
+    The small query side is broadcast; the corpus is never collected."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    q = q.withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """op-dedup-embedding: all pairs with cosine >= threshold, (id_a < id_b).
+
+    numpy-blocked: broadcast the (ids, unit-vector matrix) once; each input
+    partition computes block @ corpus.T vectorized (Arrow in, BLAS inside).
+    Memory: corpus matrix must fit per executor — beyond that, switch to
+    lsh_topk-style bucketing. Returns (id_a, id_b, cos) with cos rounded."""
+    from ..session import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)  # mapInPandas closure must unpickle on workers
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block_sim(batches):
+        import pandas as pd
+
+        for pdf_block in batches:
+            block = np.stack(pdf_block[vec_col].to_numpy()).astype(np.float64)
+            block /= np.maximum(np.linalg.norm(block, axis=1, keepdims=True), 1e-12)
+            sims = block @ b_mat.value.T
+            rows_i, cols_j = np.where(sims >= threshold)
+            block_ids = pdf_block[id_col].to_numpy()
+            ida, idb = block_ids[rows_i], b_ids.value[cols_j]
+            keep = ida < idb
+            yield pd.DataFrame(
+                {
+                    "id_a": ida[keep],
+                    "id_b": idb[keep],
+                    "cos": np.round(sims[rows_i, cols_j][keep], 4),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        block_sim, schema="id_a long, id_b long, cos double"
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 12,
+    n_bands: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join + exact re-score.
+
+    Sign-bit signature over `n_planes` fixed hyperplanes (seeded — plan is
+    deterministic across runs/executors), split into `n_bands` bands of
+    n_planes/n_bands bits; candidates share at least one full band.
+    Sub-quadratic: the join key is (band index, band bits).
+
+    Recall/cost dial: for neighbor angle θ, per-bit agreement p = 1 - θ/π,
+    recall ≈ 1 - (1 - p^width)^n_bands. Narrow bands (width 2-3) are needed
+    when neighbors sit at moderate angles (cos ~0.4); wide bands only pay
+    off for tight clusters. At 100 TB, also cap bucket sizes (skew guard)
+    and multi-probe the adjacent buckets instead of adding bands.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    planes_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in row]) for row in planes
+    ])
+
+    def signature(vec):
+        bits = F.transform(
+            planes_lit,
+            lambda plane: F.when(_dot(plane, vec) >= 0, F.lit("1")).otherwise(F.lit("0")),
+        )
+        return F.concat_ws("", bits)
+
+    width = n_planes // n_bands
+
+    def bands(vec):
+        sig = signature(vec)
+        return F.array(*[
+            F.concat(F.lit(f"{i}:"), F.substring(sig, i * width + 1, width))
+            for i in range(n_bands)
+        ])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("band", F.explode(bands(F.col("cv")))).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("band", F.explode(bands(F.col("qv")))).withColumn("qn", _norm(F.col("qv")))
+    cand = (
+        c.join(F.broadcast(q), "band")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+        .distinct()
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

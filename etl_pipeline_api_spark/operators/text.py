@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.9).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs anywhere: at 100 TB these run as a
+single scan-and-project over the documents table, no shuffle at all.
+
+- token_stats:       whitespace tokens + BPE-ish subword count (regex token
+                     classes) + char/len stats.
+- quality_score:     heuristic [0,1] score from length / stopword ratio /
+                     punctuation ratio / mean token length (the standard
+                     cheap pre-filter before model-based quality).
+- langid:            marker-stopword n-gram heuristic (deterministic; for
+                     real corpora swap the marker table per language).
+- fingerprint:       polynomial rolling hash (base 131 mod 1e9+7) over the
+                     normalized text — deterministic doc fingerprint, exact
+                     dedup key that survives whitespace normalization.
+                     Expressed as fold(aggregate) over the char codes so the
+                     same arithmetic is SQL-expressible in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_expr
+
+# BPE-ish token classes: letter runs, digit runs, single other-symbols
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"]
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los", "de"],
+    "fr": ["le", "les", "des", "une"],
+    "de": ["der", "die", "und", "das"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """op-text-tokens: per-doc token statistics in one projection pass."""
+    toks = tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def _stopword_ratio(text_col: str) -> Column:
+    toks = tokens_expr(text_col)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def _punct_ratio(text_col: str) -> Column:
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    return punct / F.greatest(F.length(F.col(text_col)), F.lit(1))
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """op-text-quality: cheap heuristic quality in [0,1].
+
+    score = 0.4*length_ok + 0.3*stopword_ok + 0.3*(1 - punct_ratio), where
+    length_ok saturates at 200 chars and stopword_ok at an 8% stopword rate
+    (natural prose sits above it; keyword spam below).
+    """
+    length_ok = F.least(F.length(F.col(text_col)) / F.lit(200.0), F.lit(1.0))
+    stop_ok = F.least(_stopword_ratio(text_col) / F.lit(0.08), F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.round(F.lit(0.4) * length_ok + F.lit(0.3) * stop_ok
+                + F.lit(0.3) * (F.lit(1.0) - _punct_ratio(text_col)), 4).alias("quality"),
+    )
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """op-text-langid: argmax of per-language marker-token rates.
+
+    Deterministic tie-break: language order as listed (en before es ...).
+    On the synthetic corpus every doc shares one vocabulary, so this mostly
+    answers 'en' — the operator contract is the deterministic computation,
+    not model-grade accuracy (swap markers/char-ngrams for production).
+    """
+    toks = tokens_expr(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t: t.isin(*markers))) / n)
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best = F.lit("unknown")
+    best_score = F.lit(0.0)
+    for lang, score in scores:  # first language wins ties via strict >
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return df.select(F.col(id_col), best.alias("lang_guess"),
+                     F.round(best_score, 4).alias("marker_rate"))
+
+
+FP_BASE = 131
+FP_MOD = 1_000_000_007
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """op-text-fingerprint: rolling polynomial hash of the normalized text.
+
+    h = fold(chars, acc -> (acc*131 + code) % 1e9+7), chars = unicode points
+    of lower(trim(text)) with whitespace runs collapsed. The same fold is
+    expressible in DuckDB (list_reduce), so this op is oracle-checked.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.aggregate(
+            # slice to exactly length(norm) chars — split("", …) can emit a
+            # trailing empty element whose ascii()=0 would corrupt the fold
+            F.slice(F.split(norm, ""), 1, F.length(norm)),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+        ).alias("fingerprint"),
+    )

@@ -41,6 +41,15 @@ BENCH_QUERIES: list[str] = [
     "op-dq-suite",
     "op-cast-nullable-int",
     "op-upper-trim",
+    "op-join-broadcast",
+    "op-window-topk",
+    "op-asof-join",
+    "op-dedup-fuzzy",
+    "op-dedup-minhash",
+    "op-dedup-embedding",
+    "op-sim-search",
+    "op-text-analysis",
+    "op-text-fingerprint",
 ]
 
 

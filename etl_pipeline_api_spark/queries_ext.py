@@ -1,0 +1,394 @@
+"""Extension operator queries (SURVEY.md §2.9 + relational breadth §2.7).
+
+Registered into the same QUERIES/ORACLES dicts as queries.py. Ops whose
+Spark implementation uses engine-specific hashing (xxhash64 MinHash/SimHash)
+or approximation (LSH) have no DuckDB twin → rows-only checks; the
+oracle-checked ngram-Jaccard / brute-force-cosine variants pin the exact
+semantics those approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .queries import _t, query
+
+# ---------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------
+
+@query(
+    "op-dedup-exact",
+    oracle="""
+    SELECT lang, source, min(doc_id) AS doc_id
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dedup-exact: representative (min-id) doc per (lang, source) group —
+    hash groupBy, single shuffle, map-side combined."""
+    return dedup.exact_dedup(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id"
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tokens
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(tokens)-2, 0)),
+                    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+      FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+@query("op-dedup-fuzzy", oracle=_JACCARD_ORACLE)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dedup-fuzzy (exact n-gram Jaccard): near-dup pairs at tau=0.5 —
+    the corpus has a clean gap (seeded dups ~0.98, background <0.3)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@query("op-dedup-minhash")  # rows-only: xxhash64 signatures have no DuckDB twin
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dedup-fuzzy scale path: MinHash LSH candidate pairs at tau=0.5.
+    Unit tests assert it recovers the exact-Jaccard pairs on this corpus."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@query("op-dedup-simhash")  # rows-only: xxhash64 has no DuckDB twin
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dedup-simhash: 64-bit fingerprints + banded hamming candidates."""
+    fp = dedup.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return dedup.simhash_band_candidates(fp, "doc_id").filter(F.col("hamming") <= 8)
+
+
+@query(
+    "op-dedup-embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dedup-embedding: near-dup pairs by embedding cosine >= 0.4 via
+    numpy-blocked matmul (mapInPandas over Arrow batches, corpus broadcast).
+    Scores are engine-arithmetic-specific (float32 vs float64 summation), so
+    the contract — and the oracle — is the PAIR SET, not the score."""
+    pairs = similarity.cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+    return pairs.select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------
+
+@query(
+    "op-sim-search",
+    oracle="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS INT) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8)
+    WHERE rank <= 5
+    """,
+)
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-sim-search: exact brute-force cosine top-5 for 8 query vectors
+    against the full corpus (query side broadcast; corpus distributed).
+    Neighbor gaps >> float error on this data, so ranks are engine-stable;
+    the contract is (query, neighbor, rank), scores stay internal."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
+    )
+
+
+@query("op-sim-search-lsh")  # rows-only: approximate by construction
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-sim-search scale path: random-hyperplane LSH buckets + exact
+    re-score. Unit tests measure recall vs the exact top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
+    )
+
+
+# ---------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------
+
+@query(
+    "op-text-analysis",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS tokens
+      FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len(tokens) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(tokens)) AS INT) AS n_distinct_tokens,
+           round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                 / greatest(len(tokens), 1), 4) AS mean_token_len
+    FROM tok
+    """,
+)
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-text-analysis: per-doc token statistics, one JVM projection pass."""
+    return text.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "op-text-quality",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS tokens
+      FROM documents)
+    SELECT doc_id,
+           round(
+             0.4 * least(length(text) / 200.0, 1.0)
+           + 0.3 * least((len(list_filter(tokens, t -> list_contains(
+                 ['the','a','of','to','and','in','is','for','on','with'], t)))
+                 * 1.0 / greatest(len(tokens), 1)) / 0.08, 1.0)
+           + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 * 1.0 / greatest(length(text), 1)), 4) AS quality
+    FROM tok
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-text-quality: heuristic [0,1] quality score (length, stopword
+    rate, punctuation ratio)."""
+    return text.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "op-text-langid",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS tokens,
+             greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS n
+      FROM documents),
+    rates AS (
+      SELECT doc_id,
+        len(list_filter(tokens, t -> list_contains(['the','and','of'], t))) * 1.0 / n AS r_en,
+        len(list_filter(tokens, t -> list_contains(['el','la','los','de'], t))) * 1.0 / n AS r_es,
+        len(list_filter(tokens, t -> list_contains(['le','les','des','une'], t))) * 1.0 / n AS r_fr,
+        len(list_filter(tokens, t -> list_contains(['der','die','und','das'], t))) * 1.0 / n AS r_de,
+        len(list_filter(tokens, t -> list_contains(['的','是','了'], t))) * 1.0 / n AS r_zh
+      FROM tok)
+    SELECT doc_id,
+           CASE WHEN greatest(r_en, r_es, r_fr, r_de, r_zh) = 0 THEN 'unknown'
+                WHEN r_en = greatest(r_en, r_es, r_fr, r_de, r_zh) THEN 'en'
+                WHEN r_es = greatest(r_en, r_es, r_fr, r_de, r_zh) THEN 'es'
+                WHEN r_fr = greatest(r_en, r_es, r_fr, r_de, r_zh) THEN 'fr'
+                WHEN r_de = greatest(r_en, r_es, r_fr, r_de, r_zh) THEN 'de'
+                ELSE 'zh' END AS lang_guess,
+           round(greatest(r_en, r_es, r_fr, r_de, r_zh), 4) AS marker_rate
+    FROM rates
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-text-langid: marker-stopword rate argmax (first-listed language
+    wins ties — mirrored exactly in the oracle's CASE order)."""
+    return text.langid(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "op-text-fingerprint",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(t)),
+                              i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+    FROM norm
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-text-fingerprint: rolling polynomial hash (base 131, mod 1e9+7)
+    over whitespace-normalized text — identical fold on both engines."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------
+
+@query(
+    "op-multimodal-col",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def q_multimodal_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-multimodal-col: opaque binary payload + typed metadata struct.
+    Payloads here are utf-8 document bytes standing in for media bytes; the
+    JVM-side plumbing (byte length, content hash) is the oracle-checked part."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    wrapped = multimodal.attach_payload(docs, "payload", "image", "application/octet-stream")
+    return wrapped.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"), "content_sha"
+    )
+
+
+@query("op-multimodal-decode")  # rows-only: decoder is the injected stub
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-multimodal-col decode path: Arrow-batched mapInPandas feature
+    extraction through the injected (stub) decoder."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    wrapped = multimodal.attach_payload(docs, "payload", "image", "application/octet-stream")
+    return multimodal.decode_features(wrapped, "doc_id")
+
+
+# ---------------------------------------------------------------------
+# relational breadth (§2.7 — free from Spark, exposed for completeness)
+# ---------------------------------------------------------------------
+
+@query(
+    "op-window-topk",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority (window row_number, deterministic
+    tie-break on key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "op-join-broadcast",
+    oracle="""
+    SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with every dimension broadcast — the fact table never
+    shuffles before aggregation."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "op-sort-limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 global sort — Spark executes as per-partition top-K + merge
+    (TakeOrderedAndProject), never a full sort at scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "op-asof-join",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+    FROM events
+    QUALIFY event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each purchase, the user's
+    most recent STRICTLY-prior click — window last_value(ignore nulls) over
+    a rows-frame ending at 1 PRECEDING. One shuffle on user_id; no
+    range-join explosion."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )

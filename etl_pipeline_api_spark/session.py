@@ -56,6 +56,41 @@ def get_spark(
     return spark
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Ops built from pyspark.sql.functions never need this (pure JVM), but
+    mapInPandas/pandas-UDF closures pickle module-level references
+    (e.g. the default decoder), and the session the DRIVER hands us may not
+    have the repo on the workers' PYTHONPATH. Zip the package once per
+    process and addPyFile it — idempotent, works for any session origin.
+    """
+    sent = getattr(ship_package, "_sent", set())
+    key = id(spark.sparkContext)
+    if key in sent:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"etl_pipeline_api_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        arc = os.path.join(
+                            "etl_pipeline_api_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, arc)
+    spark.sparkContext.addPyFile(zpath)
+    sent.add(key)
+    ship_package._sent = sent
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load driver testdata parquet tables as DataFrames (see TESTDATA.md)."""
     out = [spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names]

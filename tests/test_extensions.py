@@ -1,0 +1,134 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_pipeline_api_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    Row(doc_id=0, text="the quick brown fox jumps over the lazy dog near the river bank"),
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    Row(doc_id=2, text="completely different content about spark query engines and shuffles here"),
+    Row(doc_id=3, text="the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(DOCS)
+    out = dedup.exact_dedup(df, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    df = spark.createDataFrame(DOCS)
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_recovers_exact_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {(r.id_a, r.id_b)
+             for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert exact, "corpus should contain seeded near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"MinHash recall {recall} too low ({exact - approx})"
+
+
+def test_simhash_fingerprints(spark):
+    df = spark.createDataFrame(DOCS)
+    fps = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+    assert fps[0] == fps[3]  # identical text → identical fingerprint
+    ham01 = bin((fps[0] ^ fps[1]) & (2**64 - 1)).count("1")
+    ham02 = bin((fps[0] ^ fps[2]) & (2**64 - 1)).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+    cands = dedup.simhash_band_candidates(
+        dedup.simhash(df, "doc_id", "text"), "doc_id"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in cands if r.hamming == 0} == {(0, 3)}
+
+
+def test_cosine_topk_and_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3).collect()}
+    assert len(exact) == 15  # 5 queries x top-3, self excluded
+    approx = {(r.query_id, r.neighbor_id)
+              for r in similarity.lsh_topk(emb, queries, "vec_id", "embedding", k=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall}"
+
+
+def test_cosine_pairs_threshold(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # cos(0,1) ~ 0.9939
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r.id_a, r.id_b) for r in
+             similarity.cosine_pairs(df, "vec_id", "embedding", threshold=0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_text_ops_deterministic(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="The cat and the dog!  ")])
+    stats = text.token_stats(df, "doc_id", "text").collect()[0]
+    assert stats.n_tokens == 5
+    assert stats.n_bpe_tokens == 6  # 5 words + '!'
+    assert stats.n_distinct_tokens == 4  # 'the' twice after lowering
+    q = text.quality_score(df, "doc_id", "text").collect()[0]
+    assert 0.0 <= q.quality <= 1.0
+    lang = text.langid(df, "doc_id", "text").collect()[0]
+    assert lang.lang_guess == "en"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="hello   world"),
+        Row(doc_id=1, text="  hello world "),
+        Row(doc_id=2, text="hello worlds"),
+    ])
+    fps = {r.doc_id: r.fingerprint for r in text.fingerprint(df, "doc_id", "text").collect()}
+    assert fps[0] == fps[1]  # whitespace-normalized
+    assert fps[0] != fps[2]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([Row(item_id=0, raw=b"fake-image-bytes"),
+                                Row(item_id=1, raw=b"")])
+    wrapped = multimodal.attach_payload(df, "raw", "image", "image/png", width=64, height=64)
+    meta = wrapped.select("meta.*", "content_sha").collect()
+    assert [m.n_bytes for m in meta] == [16, 0]
+    assert all(m.modality == "image" and len(r.content_sha) == 64
+               for m, r in zip(meta, wrapped.select("meta.*", "content_sha").collect()))
+
+    feats = multimodal.decode_features(
+        wrapped.withColumnRenamed("raw", "payload"), "item_id"
+    ).collect()
+    assert {len(r.features) for r in feats} == {8}
+    assert all(r.feat_norm > 0 for r in feats)
+    # deterministic: same payload → same features
+    again = multimodal.decode_features(
+        wrapped.withColumnRenamed("raw", "payload"), "item_id"
+    ).collect()
+    assert sorted(r.features for r in feats) == sorted(r.features for r in again)
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"x", {})
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame([Row(vid_id=0, raw=b"fake-video")])
+    wrapped = multimodal.attach_payload(df, "raw", "video", "video/mp4", duration_s=3.0)
+    frames = multimodal.frame_sample(wrapped, "vid_id", fps=2.0).collect()
+    assert len(frames) == 6
+    assert [r.t_s for r in frames] == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
