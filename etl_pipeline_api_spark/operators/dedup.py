@@ -21,7 +21,7 @@ LLM-training-data operators the north star requires, each designed for the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,18 +38,53 @@ def tokens_expr(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = tokens_expr(text_col)
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-document distinct word n-gram shingle SET: (__id, shs array, n_sh).
+
+    Dedup happens row-locally via array_distinct — NO shuffle at all; the
+    set size rides along with the row, so downstream Jaccard math never
+    needs a separate sizes aggregation (one fewer shuffle + two fewer joins
+    than the naive explode→distinct→groupBy-count shape)."""
+    # Materialize the token array as a real column FIRST: referencing the
+    # split() expression inside the n-gram lambda would embed a copy of it
+    # per element_at — O(len²) re-tokenization per document (measured 4x
+    # end-to-end slowdown at sf0.1 before this split into two projections).
+    from ..session import fan_out
+
+    toks_df = fan_out(df).select(
+        F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
+    # Docs with < n tokens: sequence(1, size-(n-1)) would DESCEND (Spark
+    # generates [1, 0] for sequence(1,0)) and element_at would go out of
+    # bounds — emit an empty shingle set instead (DuckDB's generate_series
+    # is empty there, so this is also the oracle's semantics).
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return toks_df.select(
+        "__id", F.array_distinct(grams).alias("shs")
+    ).withColumn("n_sh", F.size("shs"))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded distinct shingles per document: (__id, shingle, n_sh).
+
+    explode_outer + null-filter instead of explode: plain explode triggers
+    InferFiltersFromGenerate, whose ``size(shs) > 0`` predicate gets pushed
+    below the fan-out exchange and re-evaluates the ENTIRE shingle build
+    single-threaded on the scan side (measured ~10x slowdown at sf0.1).
+    """
     return (
-        df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("shingle"))
-        .distinct()
+        shingle_sets(df, id_col, text_col, n)
+        .select("__id", F.explode_outer("shs").alias("shingle"), "n_sh")
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -64,31 +99,35 @@ def ngram_jaccard_pairs(
     """op-dedup-fuzzy (exact variant): pairs with shingle-set Jaccard >=
     threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    Scale: the self-join shuffles on the shingle; `max_df` removes shingles
-    present in more than `max_df` docs (they contribute join-explosion but
-    little Jaccard mass). Leave None for oracle-exact semantics.
+    Scale shape: set sizes ride along with each exploded shingle row
+    (shingle_sets), so the whole op is exactly TWO shuffles — the shingle
+    equi-join and the pair aggregation. `max_df` removes shingles present in
+    more than `max_df` docs (join-explosion guard for hot shingles; Jaccard
+    of surviving pairs is then computed on the filtered sets). Leave None
+    for oracle-exact semantics.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n)
     if max_df is not None:
         rare = (
             sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("__id").alias("id_a"), "shingle")
-    b = sh.select(F.col("__id").alias("id_b"), "shingle")
-    inter = (
+        # recompute per-doc sizes on the surviving shingles
+        sh = sh.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("__id"))
+        )
+    a = sh.select(F.col("__id").alias("id_a"), "shingle", F.col("n_sh").alias("na"))
+    b = sh.select(F.col("__id").alias("id_b"), "shingle", F.col("n_sh").alias("nb"))
+    return (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("na")).alias("na"),
+            F.any_value(F.col("nb")).alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
@@ -118,14 +157,21 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = shingles(df, id_col, text_col, n)
-    sets = sh.groupBy("__id").agg(F.collect_list("shingle").alias("sh"))
+    # shingle sets are built row-locally (array_distinct) — no shuffle
+    # before the LSH bucket join itself
+    sets = shingle_sets(df, id_col, text_col, n).select("__id", F.col("shs").alias("sh"))
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
     )
     feats = tf.transform(sets)
     # MinHashLSH requires at least one non-zero entry; empty docs are dropped
     feats = feats.filter(F.size("sh") > 0)
+    # Persist the feature vectors: approxSimilarityJoin re-evaluates its
+    # input on BOTH join sides (signature explode x2) — without this the
+    # shingle+TF pipeline runs 4x (measured 13.6s -> 3.0s at sf0.1).
+    # MEMORY_AND_DISK (the default) spills rather than OOMs at scale; this
+    # is the Spark ML-documented pattern for LSH joins.
+    feats = feats.persist()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(
@@ -152,7 +198,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
     No DuckDB oracle: xxhash64 has no DuckDB twin (rows-only check).
     """
-    tok = df.select(
+    from ..session import fan_out
+
+    tok = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.explode(tokens_expr(text_col)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

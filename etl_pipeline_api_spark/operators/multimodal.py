@@ -89,9 +89,10 @@ def decode_features(
     is decoded in one Python call; per-executor memory is bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch regardless of partition size.
     """
-    from ..session import ship_package
+    from ..session import fan_out, ship_package
 
     ship_package(df.sparkSession)  # workers must import this module's decoder
+    df = fan_out(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

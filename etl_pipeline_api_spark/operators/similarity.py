@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import fan_out
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -57,7 +59,7 @@ def cosine_topk(
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
     q = q.withColumn("qn", _norm(F.col("qv")))
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("cn", _norm(F.col("cv")))
@@ -116,7 +118,7 @@ def cosine_pairs(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(
         block_sim, schema="id_a long, id_b long, cos double"
     )
 
@@ -167,7 +169,7 @@ def lsh_topk(
             for i in range(n_bands)
         ])
 
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("band", F.explode(bands(F.col("cv")))).withColumn("cn", _norm(F.col("cv")))

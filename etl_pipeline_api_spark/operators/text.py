@@ -41,8 +41,10 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """op-text-tokens: per-doc token statistics in one projection pass."""
+    from ..session import fan_out
+
     toks = tokens_expr(text_col)
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
@@ -76,9 +78,11 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     length_ok saturates at 200 chars and stopword_ok at an 8% stopword rate
     (natural prose sits above it; keyword spam below).
     """
+    from ..session import fan_out
+
     length_ok = F.least(F.length(F.col(text_col)) / F.lit(200.0), F.lit(1.0))
     stop_ok = F.least(_stopword_ratio(text_col) / F.lit(0.08), F.lit(1.0))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.round(F.lit(0.4) * length_ok + F.lit(0.3) * stop_ok
                 + F.lit(0.3) * (F.lit(1.0) - _punct_ratio(text_col)), 4).alias("quality"),
@@ -93,6 +97,9 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     answers 'en' — the operator contract is the deterministic computation,
     not model-grade accuracy (swap markers/char-ngrams for production).
     """
+    from ..session import fan_out
+
+    df = fan_out(df)
     toks = tokens_expr(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
     scores = [
@@ -120,8 +127,10 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     of lower(trim(text)) with whitespace runs collapsed. The same fold is
     expressible in DuckDB (list_reduce), so this op is oracle-checked.
     """
+    from ..session import fan_out
+
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.aggregate(
             # slice to exactly length(norm) chars — split("", …) can emit a

@@ -284,6 +284,59 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# streaming (batch/stream dual plans; streaming execution via AvailableNow)
+# ---------------------------------------------------------------------
+
+@query(
+    "op-stream-window-agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-window-agg: tumbling 1h counts/sums per event_type executed
+    AS A STREAMING QUERY (file source → watermark → windowed state → memory
+    sink, Trigger.AvailableNow) — the result table is compared against the
+    batch/DuckDB date_trunc twin, proving stream/batch result parity."""
+    from .streaming import events as sev
+
+    stream = sev.read_events_stream(spark, sf_dir)
+    return sev.run_available_now(sev.windowed_agg(stream))
+
+
+@query(
+    "op-stream-session-window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 10 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-session-window: gap-based (10 min) per-user sessions via
+    session_window — same operator streams with a watermark; the oracle
+    reconstructs sessions with the classic lag/cumsum SQL."""
+    from .streaming import events as sev
+
+    ev = _t(spark, sf_dir, "events")
+    return sev.sessionized(ev)
+
+
+# ---------------------------------------------------------------------
 # relational breadth (§2.7 — free from Spark, exposed for completeness)
 # ---------------------------------------------------------------------
 

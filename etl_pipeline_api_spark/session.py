@@ -56,6 +56,22 @@ def get_spark(
     return spark
 
 
+def fan_out(df, min_partitions: int | None = None):
+    """Ensure a compute-heavy stage has enough partitions to use the cluster.
+
+    Small-on-disk inputs (snappy parquet text) arrive as a single scan
+    partition under the default 128 MB maxPartitionBytes, serializing any
+    CPU-bound per-row work (shingling, hashing, decoding) onto one core.
+    Repartition up to the session's default parallelism when — and only
+    when — the input has fewer partitions: at real scale inputs already
+    exceed it and this is a no-op (no shuffle inserted).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers.
 

@@ -1,0 +1,100 @@
+"""Structured Streaming operators over the events stream (SURVEY.md §2.9;
+the reference has NO streaming — §2.7 — its extract loop is batch polling.
+These are the Spark-native stream variants a production ingest would use).
+
+Batch/stream duality: every aggregation here is written so the SAME logic
+runs in batch (for the DuckDB oracle) and as a streaming query (watermarked,
+incremental state). ``run_available_now`` drives a stream to completion over
+a static source — the Trigger.AvailableNow catch-up pattern, which is also
+how the reference's resumable poll-loop maps onto Spark (SURVEY §2.1).
+
+Scale notes: watermark bounds state (late rows beyond it are dropped);
+windowed aggs shuffle on (window, key); session windows merge in-state per
+key. ``maxFilesPerTrigger`` throttles catch-up batches at 100 TB backfills.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet (ts arrives as raw nanos —
+    see session.py nanosAsLong — and is truncated to µs exactly like the
+    batch reader)."""
+    # the file stream source wants a DIRECTORY; select just the events
+    # parquet out of the shared testdata dir via glob filter
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_agg(events: DataFrame, window: str = "1 hour",
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window counts/sums per event_type. In streaming mode the
+    watermark bounds state and admits late data up to 30 min; in batch mode
+    the same expression computes the identical result (oracle twin:
+    date_trunc)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n", "total",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "10 minutes",
+                watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). session_window works in both
+    batch and streaming plans; streaming needs the watermark to finalize
+    sessions."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id", "n_events", "session_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion over its static backlog
+    (Trigger.AvailableNow) into a memory sink; returns the materialized
+    result as a batch DataFrame. Checkpoint is per-run (throwaway)."""
+    name = f"stream_out_{uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

@@ -29,6 +29,18 @@ def test_ngram_jaccard_finds_near_dups(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_ngram_jaccard_short_docs(spark):
+    # docs with < n tokens: Spark's sequence(1, 0) DESCENDS — these must
+    # yield empty shingle sets, not an element_at out-of-bounds crash
+    rows = [Row(doc_id=0, text="one two"), Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="a b c d e f"), Row(doc_id=3, text="x")]
+    df = spark.createDataFrame(rows)
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+    sets = {r["__id"]: r.n_sh for r in dedup.shingle_sets(df, "doc_id", "text").collect()}
+    assert sets[0] == 0 and sets[3] == 0
+
+
 def test_minhash_recovers_exact_pairs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = {(r.id_a, r.id_b)
