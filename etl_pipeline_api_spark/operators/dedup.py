@@ -187,6 +187,49 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 20
+) -> DataFrame:
+    """Cluster near-dup pairs into connected components: (node, component)
+    where component = min node id reachable. Iterative min-label
+    propagation: each round joins labels across edges and keeps the min;
+    stops when no label changes. Near-dup graphs have tiny components, so
+    rounds ~ O(log max-component-diameter) — each round is one shuffle.
+
+    (At true 100 TB scale with huge components, switch to the alternating
+    large-star/small-star algorithm; the round structure is the same.)
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate labels via neighbors (qualified names — self-join lineage)
+        e, l = edges.alias("e"), labels.alias("l")
+        neighbor_labels = e.join(
+            l, F.col("e.dst") == F.col("l.node")
+        ).select(F.col("e.src").alias("node"), F.col("l.component").alias("component"))
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node").agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """op-dedup-simhash: 64-bit SimHash fingerprint per document.
 

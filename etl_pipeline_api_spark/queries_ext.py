@@ -336,6 +336,33 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sev.sessionized(ev)
 
 
+@query(
+    "op-stream-stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-stateful: custom stateful operator (applyInPandasWithState)
+    — per-user running totals over the stream; after draining the backlog
+    the final state per user must equal the batch groupBy (the oracle).
+    Last update per user taken defensively in case the source splits the
+    backlog into multiple micro-batches."""
+    from pyspark.sql import Window
+
+    from .streaming import events as sev
+
+    stream = sev.read_events_stream(spark, sf_dir)
+    out = sev.run_available_now(sev.user_running_totals(stream), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
 # ---------------------------------------------------------------------
 # relational breadth (§2.7 — free from Spark, exposed for completeness)
 # ---------------------------------------------------------------------

@@ -82,6 +82,41 @@ def sessionized(events: DataFrame, gap: str = "10 minutes",
     )
 
 
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-user running (n_events, total_value), state carried across
+    micro-batches, one updated row per user per batch.
+
+    This is the escape hatch for operators Spark's built-in streaming aggs
+    can't express (custom eviction, sketches, ML feature state …) — state
+    is partitioned by key, Arrow-batched per group, bounded by the state
+    store not executor memory.
+    """
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "total_value": [round(total, 2)]}
+        )
+
+    from ..session import ship_package
+
+    ship_package(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion over its static backlog
     (Trigger.AvailableNow) into a memory sink; returns the materialized

@@ -52,6 +52,16 @@ def test_minhash_recovers_exact_pairs(spark, sf_dir):
     assert recall >= 0.9, f"MinHash recall {recall} too low ({exact - approx})"
 
 
+def test_connected_components_transitive(spark):
+    # A~B, B~C, (A~C never emitted) must still collapse into one cluster
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    comp = {r.node: r.component
+            for r in dedup.connected_components(pairs, "id_a", "id_b").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_simhash_fingerprints(spark):
     df = spark.createDataFrame(DOCS)
     fps = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
