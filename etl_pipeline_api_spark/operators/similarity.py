@@ -123,6 +123,83 @@ def cosine_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Centroids = a deterministic hash-ordered sample of corpus vectors (a
+    k-means iteration can refine them — sampling alone already buys the
+    pruning). Every corpus vector is assigned to its nearest centroid
+    (K dot products, JVM-side, no shuffle); queries probe their `n_probe`
+    nearest centroids and re-rank exactly within those cells only.
+
+    Scan fraction ~ n_probe/n_centroids of the corpus per query — the
+    standard recall/cost dial. Assignment is one pass; the probe join is
+    broadcast (queries × probes is small).
+    """
+    # deterministic tiny centroid sample — xxhash64 order, collected (K rows)
+    cents = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(i).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in row.v]).alias("cv"),
+        )
+        for i, row in enumerate(cents)
+    ])
+
+    def scored_cells(vec):
+        # struct(dot, cid) array — struct ordering makes array_sort rank by dot
+        return F.array_sort(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    (-_dot(c["cv"], vec)).alias("neg_dot"), c["cid"].alias("cid")
+                ),
+            )
+        )
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    c = c.withColumn("cell", scored_cells(F.col("cv"))[0]["cid"]).withColumn(
+        "cn", _norm(F.col("cv"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    q = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(F.slice(scored_cells(F.col("qv")), 1, n_probe), lambda s: s["cid"])
+        ),
+    ).withColumn("qn", _norm(F.col("qv")))
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

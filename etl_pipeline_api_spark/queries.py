@@ -541,6 +541,24 @@ def q_dq_non_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "op-empty-guard",
+    oracle="""
+    SELECT CAST(CASE WHEN (SELECT count(*) FROM lineitem WHERE l_quantity < 0) = 0
+                THEN 1 ELSE 0 END AS INT) AS input_is_empty
+    """,
+)
+def q_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-empty-guard (main.py:110-112, 203-205): O(1) empty-input detection
+    (isEmpty scans at most one partition's first row, not a full count)."""
+    from .operators.cleaning import is_empty
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 0)
+    return spark.range(1).select(
+        F.lit(int(is_empty(li))).cast("int").alias("input_is_empty")
+    )
+
+
+@query(
     "op-dq-col-exists",
     oracle="SELECT CAST(1 AS INT) AS has_required_cols",
 )

@@ -130,6 +130,17 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("op-sim-search-ivf")  # rows-only: approximate by construction
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-sim-search scale path #2: IVF coarse quantization (probe
+    n_probe/n_centroids of the corpus per query, exact re-rank in-cell).
+    Unit tests measure recall vs the exact top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
+    )
+
+
 @query("op-sim-search-lsh")  # rows-only: approximate by construction
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-sim-search scale path: random-hyperplane LSH buckets + exact

@@ -87,6 +87,20 @@ def test_cosine_topk_and_lsh_recall(spark, sf_dir):
     assert recall >= 0.6, f"LSH recall {recall}"
 
 
+def test_ivf_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in similarity.ivf_topk(emb, queries, "vec_id", "embedding",
+                                           k=3, n_centroids=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall}"  # probing half the cells
+    # IVF must return results for every query
+    assert {q for q, _ in approx} == {0, 1, 2, 3, 4}
+
+
 def test_cosine_pairs_threshold(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),

@@ -1,0 +1,93 @@
+"""Physical-plan assertions — the 100 TB design properties, enforced.
+
+These guard the *plan shape*, not results: pushdown reaching the scan,
+dimensions broadcasting, single-shuffle aggregations, and no row-at-a-time
+Python in any hot path. A regression here is a scale regression even when
+every value still matches the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = entry.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def tree_of(spark, name: str) -> str:
+    """Just the plan tree (formatted mode repeats node names in the detail
+    section — counts must run on the tree only)."""
+    full = plan_of(spark, name)
+    return full.split("\n\n(")[0]
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "op-parquet-scan")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in plan
+    # column pruning: only the 3 referenced columns reach the reader
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_extendedprice:double>" in plan
+
+
+def test_flagship_broadcasts_dims_single_agg_shuffle(spark):
+    tree = tree_of(spark, "op-groupby-sum")
+    assert tree.count("BroadcastHashJoin") == 2  # customer + nation build sides
+    assert "SortMergeJoin" not in tree
+    # exactly one data shuffle: the (ano, mes, nome_orgao) aggregation
+    # 1 agg shuffle + 2 broadcast exchanges (formatted mode names them all
+    # "Exchange"; the detail section identifies hashpartitioning vs broadcast)
+    assert tree.count("Exchange") == 3
+    assert plan_of(spark, "op-groupby-sum").count("Arguments: hashpartitioning") == 1
+
+
+def test_star_join_all_broadcast(spark):
+    tree = tree_of(spark, "op-join-broadcast")
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in tree
+
+
+def test_dq_suite_is_single_pass(spark):
+    tree = tree_of(spark, "op-dq-suite")
+    assert tree.count("Scan parquet") == 1  # one scan for all checks
+
+
+def test_sort_limit_is_topk_not_global_sort(spark):
+    plan = plan_of(spark, "op-sort-limit")
+    assert "TakeOrderedAndProject" in plan  # per-partition top-K + merge
+
+
+def test_no_row_at_a_time_python_udfs(spark):
+    # Arrow-batched Python (ArrowEvalPython / mapInPandas) is allowed in the
+    # decode/cosine paths; row-at-a-time BatchEvalPython is never acceptable.
+    for name in ("op-groupby-sum", "op-dedup-fuzzy", "op-text-analysis",
+                 "op-text-fingerprint", "op-upper-trim", "op-eda-report",
+                 "op-multimodal-decode", "op-dedup-embedding"):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_text_ops_shuffle_free(spark):
+    # pure scan->project pipelines: no aggregation/join exchange (the only
+    # allowed exchange is the explicit fan_out round-robin repartition)
+    for name in ("op-text-analysis", "op-text-quality", "op-text-fingerprint"):
+        plan = plan_of(spark, name)
+        assert "Arguments: hashpartitioning" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["op-dedup-fuzzy"])
+def test_jaccard_two_data_shuffles(spark, name):
+    plan = plan_of(spark, name)
+    # shingle-join exchanges (both sides hash on shingle) + pair aggregation;
+    # fan_out adds round-robin exchanges, which don't carry exploded data
+    assert 1 <= plan.count("Arguments: hashpartitioning") <= 3
