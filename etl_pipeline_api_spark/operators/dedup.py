@@ -173,10 +173,15 @@ def minhash_lsh_pairs(
     # Persisted once: feeds the signature/band branch AND both sides of the
     # verification join. MEMORY_AND_DISK spills rather than OOMs at scale.
     sets = sets.persist()
+    # NB: the transform lambda must take ONE arg — pyspark passes the array
+    # index to a second parameter, which would make hashes position-dependent
+    # (breaking set semantics: 0/64 signature agreement on a 0.99-Jaccard
+    # pair when this was `lambda s, i=i: ...`).
+    def _hash_fn(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     sig = F.array(*[
-        F.array_min(
-            F.transform(F.col("shs"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
-        )
+        F.array_min(F.transform(F.col("shs"), _hash_fn(i)))
         for i in range(num_hashes)
     ])
     bands = (

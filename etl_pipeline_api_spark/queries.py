@@ -272,7 +272,11 @@ def q_cast_nullable_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-cast-nullable-int (main.py:229-231): coercing cast, null on failure.
     ``bad_int`` is always-unparseable text → all null (coerce path);
     ``k_int`` parses the numeric prop out of the JSON props string."""
-    ev = _t(spark, sf_dir, "events").select(
+    from .session import fan_out
+
+    # fan_out: events.parquet is one scan partition at small SF — the regexp
+    # would serialize on one core (no-op at real scale; see session.fan_out).
+    ev = fan_out(_t(spark, sf_dir, "events")).select(
         "event_id",
         F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_int"),
         F.col("event_type").alias("bad_int"),
@@ -291,7 +295,9 @@ def q_cast_nullable_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_numeric_coerce_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-numeric-coerce-fillna (main.py:212-213): to_numeric(coerce).fillna(0)."""
-    ev = _t(spark, sf_dir, "events").select(
+    from .session import fan_out
+
+    ev = fan_out(_t(spark, sf_dir, "events")).select(
         "event_id",
         F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_val"),
         F.col("event_type").alias("coerced_zero"),
