@@ -267,3 +267,37 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def l2_normalize(df: DataFrame, vec_col: str, out: str = "unit") -> DataFrame:
+    """Unit-normalize an embedding column (row-local, zero shuffle).
+
+    The norm is materialized as a real column FIRST — dividing inside a
+    transform lambda that references the norm *expression* would embed a
+    copy of the full sum-of-squares tree per element (the higher-order-
+    function expression-copy trap)."""
+    with_n = df.withColumn(
+        "__nrm", _norm(F.col(vec_col).cast("array<double>"))
+    )
+    return with_n.withColumn(
+        out,
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: x / F.col("__nrm")
+        ),
+    ).drop("__nrm")
+
+
+def centroids(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """Per-group centroid as (group, dim, c): posexplode + ONE hash
+    aggregation keyed on (group, dim) — partial aggregation combines
+    map-side, so the shuffle carries |groups|×dims rows, not |rows|×dims.
+    (The long format avoids building wide rows in the agg; pivot back to
+    array with array_agg ordered by dim if a vector column is needed.)"""
+    return (
+        df.select(
+            F.col(group_col),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        )
+        .groupBy(group_col, "dim")
+        .agg(F.avg("x").alias("c"))
+    )

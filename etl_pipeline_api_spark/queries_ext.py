@@ -483,3 +483,24 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_click_ts")
     )
+
+
+@query(
+    "op-stream-dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY 1
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-dedup: exact dedup over an at-least-once stream. The
+    events file is read TWICE (two stream sources unioned → every row
+    duplicated); dropDuplicatesWithinWatermark collapses the duplicates
+    with watermark-bounded state, so the drained output equals the batch
+    table — the oracle counts the ORIGINAL events once."""
+    from .streaming import events as sev
+
+    doubled = sev.read_events_stream(spark, sf_dir).unionByName(
+        sev.read_events_stream(spark, sf_dir)
+    )
+    out = sev.run_available_now(sev.deduped(doubled), output_mode="append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

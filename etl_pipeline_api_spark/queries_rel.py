@@ -151,3 +151,243 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
     return dedup.connected_components(pairs, "id_a", "id_b")
+
+
+# =====================================================================
+# Multi-join analytical queries (TPC-H-shaped; exercise join ordering,
+# broadcast planning, partial aggregation — the 100 TB star-join path)
+# =====================================================================
+
+@query(
+    "op-tpch-q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority revenue): selective dim filter →
+    broadcast → fact join → hash agg → top-k. Catalyst pushes both date
+    filters into the parquet scans; the filtered customer side is tiny and
+    broadcast explicitly; TakeOrderedAndProject avoids a global sort."""
+    cut = F.to_timestamp(F.lit("1997-01-01"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "op-tpch-q5",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): 6-way star join. All dims
+    (region→nation→customer/supplier) broadcast; only the orders⨝lineitem
+    fact-to-fact join shuffles. The c_nationkey = s_nationkey predicate is
+    the classic non-key equi-condition Catalyst keeps as a join filter."""
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1997-01-01"))
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+@query(
+    "op-grouping-sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): the three granularities
+    compute in ONE pass — Expand replicates each input row per set, then a
+    single hash aggregation; no re-scan per granularity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "op-salted-join",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-salted-join (skew toolkit): fact rows scattered over (key, salt),
+    dim replicated salt× — identical result to the plain join (what the
+    oracle asserts), hot keys spread across `salt` reducers. The rename to
+    the shared key name makes the equi-join condition explicit."""
+    from .operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, ords, "orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "op-csv-roundtrip",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem WHERE l_linenumber = 1 GROUP BY 1
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink: write a projection out as headered CSV, read it back
+    with an EXPLICIT schema (no inference job at scale — schema-on-read),
+    aggregate. Proves the engine speaks delimited text, the second-most
+    common lake format after parquet."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    li.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "l_orderkey long, l_returnflag string, l_quantity double"
+    ).option("header", True).csv(out)
+    return back.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# =====================================================================
+# Embedding-column operators (the 100 TB vector-pipeline surface)
+# =====================================================================
+
+@query(
+    "op-embed-normalize",
+    oracle="""
+    WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM t)
+    SELECT vec_id, round(v[1] / nrm, 4) AS e0, round(v[64] / nrm, 4) AS e63
+    FROM n
+    """,
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings row-locally (zero shuffle); first/last unit
+    components checked against DuckDB list arithmetic."""
+    from .operators.similarity import l2_normalize
+
+    emb = l2_normalize(_t(spark, sf_dir, "embeddings"), "embedding")
+    return emb.select(
+        "vec_id",
+        F.round(F.col("unit")[0], 4).alias("e0"),
+        F.round(F.col("unit")[63], 4).alias("e63"),
+    )
+
+
+@query(
+    "op-embed-centroid",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(v[i]), 4) AS c
+    FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         generate_series(1, 64) AS t(i)
+    GROUP BY 1, 2
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long (label, dim, c) form — posexplode + one
+    partial-agg shuffle of |labels|×64 rows (k-means assign/update building
+    block; also the IVF centroid refinement step)."""
+    from .operators.similarity import centroids
+
+    return centroids(_t(spark, sf_dir, "embeddings"), "label", "embedding").select(
+        "label", "dim", F.round("c", 4).alias("c")
+    )

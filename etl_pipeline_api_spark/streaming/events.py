@@ -133,3 +133,15 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def deduped(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id: dropDuplicatesWithinWatermark
+    keeps dedup state only for ids younger than the watermark — bounded
+    state, unlike a plain dropDuplicates over an unbounded stream. This is
+    the streaming twin of operators.dedup.exact_dedup (at-least-once
+    sources → exactly-once rows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    if events.isStreaming:
+        return src.dropDuplicatesWithinWatermark(["event_id"])
+    return src.dropDuplicates(["event_id"])

@@ -1,0 +1,52 @@
+"""Unit tests: salted join parity, embedding normalize/centroid."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_pipeline_api_spark.operators import similarity
+from etl_pipeline_api_spark.operators.joins import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed fact side: key 1 is 80% of rows
+    facts = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(80)] + [Row(k=j, v=j) for j in range(2, 22)]
+    )
+    dim = spark.createDataFrame([Row(k=i, name=f"d{i}") for i in range(0, 25)])
+    plain = {(r.k, r.v, r.name) for r in facts.join(dim, "k").collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(facts, dim, "k", salt=4).collect()}
+    assert salted == plain
+    # left join keeps unmatched fact rows exactly once
+    facts2 = facts.union(spark.createDataFrame([Row(k=999, v=0)]))
+    left = salted_join(facts2, dim, "k", salt=4, how="left")
+    assert left.filter(F.col("k") == 999).count() == 1
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, "k", how="outer")
+
+
+def test_l2_normalize_unit_norm(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[3.0, 4.0]), Row(vec_id=1, embedding=[0.5, 0.0])]
+    )
+    out = {r.vec_id: r.unit for r in similarity.l2_normalize(df, "embedding").collect()}
+    assert out[0] == pytest.approx([0.6, 0.8])
+    for v in out.values():
+        assert math.fsum(x * x for x in v) == pytest.approx(1.0)
+
+
+def test_centroids(spark):
+    df = spark.createDataFrame(
+        [
+            Row(label=0, embedding=[1.0, 2.0]),
+            Row(label=0, embedding=[3.0, 4.0]),
+            Row(label=1, embedding=[10.0, 20.0]),
+        ]
+    )
+    got = {
+        (r.label, r.dim): r.c
+        for r in similarity.centroids(df, "label", "embedding").collect()
+    }
+    assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
