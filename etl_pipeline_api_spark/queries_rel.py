@@ -391,3 +391,121 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroids(_t(spark, sf_dir, "embeddings"), "label", "embedding").select(
         "label", "dim", F.round("c", 4).alias("c")
     )
+
+
+@query(
+    "op-bucketed-join",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(l_extendedprice), 2) AS total_price, count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-bucketed-join: both sides materialized as bucketed+sorted tables
+    on the join key — the join plan has NO exchange and NO sort (asserted in
+    tests/test_plans.py). At 100 TB this is the co-located fact-to-fact
+    join strategy: pay the bucketing shuffle once at ingest, never again."""
+    from .operators.joins import bucketed_table
+
+    li = bucketed_table(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "li_bucketed", "l_orderkey",
+    )
+    ords = bucketed_table(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "ord_bucketed", "o_orderkey",
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "op-range-join",
+    oracle="""
+    SELECT e1.event_id, count(e2.event_id) AS n_prev
+    FROM events e1 LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts - INTERVAL 5 MINUTE AND e2.ts < e1.ts
+    GROUP BY 1
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-range-join: per event, how many same-user events in the preceding
+    5 minutes. Time-bucketed equi-join (linear shuffle, 2x right side) —
+    never the quadratic theta-join the naive SQL implies."""
+    from .operators.joins import range_join_count
+
+    ev = _t(spark, sf_dir, "events")
+    return range_join_count(ev, ev, "event_id", "user_id", "ts", lookback_s=300)
+
+
+@query(
+    "op-window-running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           round(value - coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0),
+                 2) AS delta_prev
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates: cumulative sum + lag delta per user — one window
+    shuffle on user_id serves both frames (event_id tiebreak makes the
+    running order deterministic under ts ties)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_total"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("delta_prev"),
+    )
+
+
+@query(
+    "op-embed-quantize",
+    oracle="""
+    WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 127.0 / nullif(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
+          FROM t)
+    SELECT vec_id,
+           CAST(round(v[1]  * scale) AS INT) AS q0,
+           CAST(round(v[64] * scale) AS INT) AS q63,
+           round(scale, 6) AS scale
+    FROM s
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization (max-abs symmetric): 4x memory reduction for
+    the ANN candidate scan — row-local transform, zero shuffle; scale rides
+    with the row for dequantization."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # materialize scale as a column FIRST (higher-order expr-copy trap)
+    emb = emb.withColumn(
+        "scale",
+        F.lit(127.0)
+        / F.nullif(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))), F.lit(0.0)
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.col("v")[0] * F.col("scale")).cast("int").alias("q0"),
+        F.round(F.col("v")[63] * F.col("scale")).cast("int").alias("q63"),
+        F.round("scale", 6).alias("scale"),
+    )

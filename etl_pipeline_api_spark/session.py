@@ -47,6 +47,9 @@ def get_spark(
         # rejects; read as long and convert (see queries._t / sources.parquet_source)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # bucketed tables (operators.joins.bucketed_table) live outside the
+        # repo tree; at real scale this is the lake/metastore warehouse path
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

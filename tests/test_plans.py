@@ -91,3 +91,38 @@ def test_jaccard_two_data_shuffles(spark, name):
     # shingle-join exchanges (both sides hash on shingle) + pair aggregation;
     # fan_out adds round-robin exchanges, which don't carry exploded data
     assert 1 <= plan.count("Arguments: hashpartitioning") <= 3
+
+
+def test_bucketed_join_no_exchange(spark):
+    # materializing the bucketed tables happens on query build; the JOIN
+    # itself must then read both bucketed scans with no shuffle and no sort
+    # above them (SortMergeJoin fed directly by the sorted bucket files,
+    # or a bucket-local hash join — either way: zero Exchange under the join)
+    import re
+
+    df = entry.queries()["op-bucketed-join"](spark, SF)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n(")[0]
+    # the only exchange allowed is the final 1-key aggregation shuffle
+    assert plan.count("Arguments: hashpartitioning") <= 1
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_tpch_q3_broadcasts_customer_and_takeordered(spark):
+    plan = plan_of(spark, "op-tpch-q3")
+    tree = plan.split("\n\n(")[0]
+    assert "BroadcastHashJoin" in tree        # filtered customer side
+    assert "TakeOrderedAndProject" in tree    # top-10, no global sort
+    assert "PushedFilters" in plan            # date predicates reach the scans
+
+
+def test_tpch_q5_single_fact_shuffle(spark):
+    tree = tree_of(spark, "op-tpch-q5")
+    # all dims broadcast; SMJ only between the two facts (or none if AQE
+    # converts it) — never a dim-side sort-merge
+    assert tree.count("BroadcastHashJoin") >= 3
