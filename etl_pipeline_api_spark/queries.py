@@ -50,6 +50,11 @@ BENCH_QUERIES: list[str] = [
     "op-sim-search",
     "op-text-analysis",
     "op-text-fingerprint",
+    "op-tpch-q3",
+    "op-tpch-q5",
+    "op-window-running",
+    "op-range-join",
+    "op-embed-normalize",
 ]
 
 

@@ -364,8 +364,11 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize embeddings row-locally (zero shuffle); first/last unit
     components checked against DuckDB list arithmetic."""
     from .operators.similarity import l2_normalize
+    from .session import fan_out
 
-    emb = l2_normalize(_t(spark, sf_dir, "embeddings"), "embedding")
+    # fan_out: one scan partition at small SF would serialize the per-row
+    # norm+divide on a single core (no-op at real scale)
+    emb = l2_normalize(fan_out(_t(spark, sf_dir, "embeddings")), "embedding")
     return emb.select(
         "vec_id",
         F.round(F.col("unit")[0], 4).alias("e0"),
@@ -492,7 +495,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization (max-abs symmetric): 4x memory reduction for
     the ANN candidate scan — row-local transform, zero shuffle; scale rides
     with the row for dequantization."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    from .session import fan_out
+
+    emb = fan_out(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # materialize scale as a column FIRST (higher-order expr-copy trap)
