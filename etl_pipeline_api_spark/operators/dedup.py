@@ -143,7 +143,7 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     band_rows: int = 2,
 ) -> DataFrame:
     """op-dedup-fuzzy (scale path): MinHash + banded LSH candidate pairs,
@@ -162,8 +162,9 @@ def minhash_lsh_pairs(
       all-pairs;
     - verification: candidate pairs join back to the shingle sets and
       compute exact Jaccard via ``array_intersect`` — precision 1.0 by
-      construction, recall = 1-(1-j^r)^b (r=2, b=32 at the defaults:
-      >99.99% for j>=0.5).
+      construction, recall = 1-(1-j^r)^b (r=2, b=16 at the defaults:
+      ~99% for j>=0.5, 99.9% at j>=0.6; raise num_hashes for stricter
+      recall floors).
 
     Returns (id_a, id_b, jaccard_approx) with id_a < id_b — the jaccard is
     exact on surviving pairs; the _approx name reflects candidate recall.

@@ -301,3 +301,108 @@ def centroids(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
         .groupBy(group_col, "dim")
         .agg(F.avg("x").alias("c"))
     )
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    max_iter: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means expressed as DataFrame ops (no MLlib, no RDDs).
+
+    Per iteration:
+    - ASSIGN is row-local: the k centroids are embedded as a literal array
+      (k×dim doubles — broadcast-by-literal, tiny) and each row picks its
+      argmin-distance centroid inside whole-stage codegen. Zero shuffle.
+    - UPDATE is one partial-aggregated shuffle: posexplode to (cluster, dim,
+      x), hash-agg avg — the shuffle carries k×dim rows per map task, not
+      |rows|. The new centroids (k×dim doubles) collect to the driver; this
+      is the one driver round-trip per iteration and is O(k·dim), not O(N).
+
+    Init: deterministic farthest-first traversal (first seed = min xxhash64
+    of the id; each next seed maximizes distance to its nearest chosen
+    seed) — the classic 2-approximation for k-center, immune to the
+    all-seeds-in-one-blob failure of random/hash sampling, and rerunnable
+    without a seed. k-1 extra passes over the data, driver traffic O(k·dim).
+    Returns (assignments DataFrame (id, cluster), centroids).
+
+    An empty cluster keeps its previous centroid (standard Lloyd's fallback).
+    """
+    data = fan_out(df).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+
+    def _min_d2(chosen: list[list[float]]):
+        cent_arr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in chosen
+        ])
+        return F.array_min(
+            F.transform(
+                cent_arr,
+                lambda cv: F.aggregate(
+                    F.zip_with(cv, F.col("v"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+
+    first = (
+        data.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(1)
+        .collect()[0]
+    )
+    cents: list[list[float]] = [list(first.v)]
+    while len(cents) < k:
+        far = (
+            data.withColumn("__d2", _min_d2(cents))
+            .orderBy(F.col("__d2").desc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append(list(far.v))
+    try:
+        assigned = None
+        for _ in range(max_iter):
+            cent_lit = F.array(*[
+                F.struct(
+                    F.lit(ci).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+                )
+                for ci, c in enumerate(cents)
+            ])
+            # squared euclidean distance; argmin via struct-ordered array_sort
+            best = F.array_sort(
+                F.transform(
+                    cent_lit,
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(c["cv"], F.col("v"), lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d2"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )[0]["cid"]
+            assigned = data.withColumn("cluster", best)
+            upd = (
+                assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("x").alias("c"))
+                .collect()
+            )
+            new_cents = [list(c) for c in cents]  # empty cluster → keep old
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in upd:
+                by_cluster.setdefault(r.cluster, {})[r.dim] = r.c
+            for ci, dims in by_cluster.items():
+                new_cents[ci] = [dims[d] for d in sorted(dims)]
+            if new_cents == cents:
+                break
+            cents = new_cents
+        return assigned.select(id_col, "cluster"), cents
+    finally:
+        data.unpersist()

@@ -504,3 +504,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sev.run_available_now(sev.deduped(doubled), output_mode="append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("op-kmeans")  # rows-only: iterative algorithm, not SQL-expressible
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-kmeans: Lloyd's clustering as DataFrame ops — row-local assign
+    (centroid literals in codegen), one k×dim partial-agg shuffle per
+    update. Unit tests pin purity on separated synthetic clusters; here it
+    clusters the embeddings table."""
+    assigned, _ = similarity.kmeans(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, max_iter=3
+    )
+    return assigned

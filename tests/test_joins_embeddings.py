@@ -50,3 +50,21 @@ def test_centroids(spark):
         for r in similarity.centroids(df, "label", "embedding").collect()
     }
     assert got == {(0, 0): 2.0, (0, 1): 3.0, (1, 0): 10.0, (1, 1): 20.0}
+
+
+def test_kmeans_separates_clusters(spark):
+    # three tight, well-separated blobs -> perfect purity in <=5 iters
+    rows = []
+    for cid, base in ((0, 0.0), (1, 100.0), (2, -100.0)):
+        for i in range(20):
+            rows.append(Row(vid=cid * 100 + i, v=[base + (i % 5) * 0.1, base - (i % 3) * 0.1]))
+    df = spark.createDataFrame(rows)
+    assigned, cents = similarity.kmeans(df, "vid", "v", k=3, max_iter=5)
+    got = assigned.collect()
+    assert len(cents) == 3 and all(len(c) == 2 for c in cents)
+    # every true blob maps onto exactly one learned cluster
+    blobs = {}
+    for r in got:
+        blobs.setdefault(r.vid // 100, set()).add(r.cluster)
+    assert all(len(s) == 1 for s in blobs.values()), blobs
+    assert len({next(iter(s)) for s in blobs.values()}) == 3
