@@ -579,3 +579,108 @@ def q_dq_col_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cleaning.require_columns(li, ["l_orderkey", "l_quantity", "l_shipdate"])
     return spark.range(1).select(F.lit(1).cast("int").alias("has_required_cols"))
+
+
+# =====================================================================
+# Scalar-function surface breadth (SURVEY §2.8 + the Spark built-ins a
+# reference user gets for free through the passthrough surface)
+# =====================================================================
+
+@query(
+    "op-string-funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(substring(p_name, 1, 8)) AS head8,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green,
+           length(replace(p_name, ' ', '')) AS n_nonspace
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: substring/lpad/concat_ws/LIKE/replace/length
+    — all JVM-side expressions in one projection (no UDF, one codegen stage)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("head8"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+        F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+    )
+
+
+@query(
+    "op-date-funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_95
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: trunc/last_day/quarter/datediff — the temporal
+    vocabulary the reference's ano/mes partitioning implies, all codegen."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("q"),
+        F.datediff(F.col("o_orderdate"), F.to_timestamp(F.lit("1995-01-01"))).alias("days_since_epoch_95"),
+    )
+
+
+@query(
+    "op-conditional-funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS bucket,
+           round(least(l_extendedprice, 20000.0), 2) AS capped,
+           round(greatest(l_discount, l_tax), 2) AS max_rate,
+           CAST(nullif(l_linenumber, 1) AS INT) AS ln_or_null
+    FROM lineitem
+    """,
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional surface: CASE/least/greatest/nullif in one projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+         .when(F.col("l_quantity") >= 10, "mid")
+         .otherwise("small").alias("bucket"),
+        F.round(F.least("l_extendedprice", F.lit(20000.0)), 2).alias("capped"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+        F.nullif(F.col("l_linenumber"), F.lit(1)).cast("int").alias("ln_or_null"),
+    )
+
+
+@query(
+    "op-json-funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (semi-structured props) —
+    get_json_object stays JVM-side; from_json with an explicit schema is the
+    bulk path (one parse, typed struct) used for the int twin."""
+    from .session import fan_out
+
+    ev = fan_out(_t(spark, sf_dir, "events"))
+    parsed = ev.withColumn("j", F.from_json("props", "k int"))
+    return parsed.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.col("j.k").alias("k_int"),
+    )
