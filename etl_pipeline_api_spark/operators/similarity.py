@@ -131,32 +131,44 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
-    Centroids = a deterministic hash-ordered sample of corpus vectors (a
-    k-means iteration can refine them — sampling alone already buys the
-    pruning). Every corpus vector is assigned to its nearest centroid
-    (K dot products, JVM-side, no shuffle); queries probe their `n_probe`
+    Centroids = a deterministic hash-ordered sample of corpus vectors;
+    ``kmeans_iters > 0`` refines them with Lloyd's iterations (see
+    ``kmeans``) for tighter cells → better recall at the same n_probe.
+    Every corpus vector is assigned to its nearest centroid (K dot
+    products, JVM-side, no shuffle); queries probe their `n_probe`
     nearest centroids and re-rank exactly within those cells only.
 
     Scan fraction ~ n_probe/n_centroids of the corpus per query — the
     standard recall/cost dial. Assignment is one pass; the probe join is
     broadcast (queries × probes is small).
     """
-    # deterministic tiny centroid sample — xxhash64 order, collected (K rows)
-    cents = (
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
-        .limit(n_centroids)
-        .collect()
-    )
+    if kmeans_iters > 0:
+        _, cent_vecs = kmeans(
+            corpus, id_col, vec_col, k=n_centroids, max_iter=kmeans_iters
+        )
+    else:
+        # deterministic tiny centroid sample — xxhash64 order, collected (K rows)
+        cent_vecs = [
+            list(row.v)
+            for row in (
+                corpus.select(
+                    F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+                )
+                .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+                .limit(n_centroids)
+                .collect()
+            )
+        ]
     cent_lit = F.array(*[
         F.struct(
             F.lit(i).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in row.v]).alias("cv"),
+            F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
         )
-        for i, row in enumerate(cents)
+        for i, v in enumerate(cent_vecs)
     ])
 
     def scored_cells(vec):

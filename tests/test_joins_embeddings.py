@@ -68,3 +68,16 @@ def test_kmeans_separates_clusters(spark):
         blobs.setdefault(r.vid // 100, set()).add(r.cluster)
     assert all(len(s) == 1 for s in blobs.values()), blobs
     assert len({next(iter(s)) for s in blobs.values()}) == 3
+
+
+def test_ivf_kmeans_refinement_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3).collect()}
+    refined = {(r.query_id, r.neighbor_id)
+               for r in similarity.ivf_topk(emb, queries, "vec_id", "embedding",
+                                            k=3, n_centroids=8, n_probe=4,
+                                            kmeans_iters=2).collect()}
+    assert len(exact & refined) / len(exact) >= 0.4
+    assert {q for q, _ in refined} == {0, 1, 2, 3, 4}
