@@ -514,3 +514,86 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v")[63] * F.col("scale")).cast("int").alias("q63"),
         F.round("scale", 6).alias("scale"),
     )
+
+
+@query(
+    "op-percentile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(median(value), 4) AS med
+    FROM events GROUP BY 1
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based; the scale path is
+    op-approx-aggregates' approx_percentile sketch — same API shape, bounded
+    memory). Spark percentile() and DuckDB quantile_cont share linear
+    interpolation — checked to 4 decimals."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.median("value"), 4).alias("med"),
+    )
+
+
+@query(
+    "op-null-semantics",
+    oracle="""
+    SELECT event_id,
+           coalesce(try_cast(event_type AS DOUBLE), value, 0.0) AS first_present,
+           (props IS NOT DISTINCT FROM NULL) AS props_is_null,
+           CASE WHEN value IS NOT DISTINCT FROM value THEN 1 ELSE 0 END AS self_eq
+    FROM events
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics surface: coalesce chains and null-safe equality
+    (Spark <=> ≡ SQL IS NOT DISTINCT FROM) — the coerce-then-default
+    pattern the reference's fillna pipelines rely on (main.py:212-213)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.col("event_type").try_cast("double"), F.col("value"), F.lit(0.0)
+        ).alias("first_present"),
+        F.col("props").eqNullSafe(F.lit(None).cast("string")).alias("props_is_null"),
+        F.when(F.col("value").eqNullSafe(F.col("value")), 1).otherwise(0).alias("self_eq"),
+    )
+
+
+@query(
+    "op-grouped-zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+    FROM events
+    """,
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas) with an ORACLE: per-user
+    z-scores computed in Arrow-batched Python match the SQL window twin to
+    4 decimals — proving the Python escape hatch is numerically faithful,
+    not just plumbed. State per group is one pandas frame (memory bounded
+    by the largest group, the applyInPandas contract)."""
+    import pandas as pd
+
+    from .session import ship_package
+
+    ship_package(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = pdf["value"].std(ddof=1)
+        z = ((pdf["value"] - pdf["value"].mean()) / s).round(4)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"],
+             "z": z.astype("Float64")}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, z double"
+    )
