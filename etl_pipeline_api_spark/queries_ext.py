@@ -516,3 +516,48 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, max_iter=3
     )
     return assigned
+
+
+@query(
+    "op-text-topk-tokens",
+    oracle="""
+    SELECT tok, count(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents) t
+    WHERE tok <> ''
+    GROUP BY 1 ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def q_text_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k vocabulary: explode tokens → partial-agg count →
+    TakeOrderedAndProject (per-partition top-k, no global sort). The
+    building block for stop-shingle discovery (dedup.max_df) and BPE
+    vocabulary induction."""
+    from .operators.dedup import tokens_expr
+    from .session import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode_outer(tokens_expr("text")).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@query("op-multimodal-framesample")  # rows-only: synthetic payload sampling
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-multimodal-col companion: deterministic frame sampling over opaque
+    binary payloads (every k-th frame offset; the decode itself is the
+    stubbed codec — Spark plumbing, schema, and batch shape are real)."""
+    from .operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").limit(200).select(
+        "doc_id", F.encode("text", "utf-8").alias("raw")
+    )
+    payloads = multimodal.attach_payload(
+        docs, "raw", "video", "video/mp4", duration_s=2.0
+    )
+    return multimodal.frame_sample(payloads, "doc_id", fps=2.0)
