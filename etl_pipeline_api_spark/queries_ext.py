@@ -561,3 +561,31 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "raw", "video", "video/mp4", duration_s=2.0
     )
     return multimodal.frame_sample(payloads, "doc_id", fps=2.0)
+
+
+@query(
+    "op-stream-stream-join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-stream-join: click→purchase attribution executed AS TWO
+    STREAMS (watermarked time-interval join, state bounded by watermark +
+    interval, AvailableNow drain) — result must equal the batch/DuckDB
+    join, proving stream/batch parity for the join operator."""
+    from .streaming import events as sev
+
+    clicks = sev.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = sev.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return sev.run_available_now(
+        sev.purchases_after_clicks(clicks, purchases), output_mode="append"
+    )

@@ -145,3 +145,33 @@ def deduped(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     if events.isStreaming:
         return src.dropDuplicatesWithinWatermark(["event_id"])
     return src.dropDuplicates(["event_id"])
+
+
+def purchases_after_clicks(
+    clicks: DataFrame, purchases: DataFrame, within: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user click
+    in the preceding `within` interval. Both sides are watermarked, and the
+    time-range join condition lets Spark expire buffered rows — state stays
+    bounded by (watermark + interval), the canonical stream-stream join
+    contract. In batch mode the identical expression computes the oracle
+    twin."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", within)
+        p = p.withWatermark("p_ts", within)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("click_id", "purchase_id")
