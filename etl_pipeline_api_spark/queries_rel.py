@@ -625,3 +625,24 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         zscore, "event_id long, user_id long, z double"
     )
+
+
+_SHARED_SQL = """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total,
+           round(avg(l_discount), 4) AS avg_disc
+    FROM lineitem WHERE l_quantity > 10
+    GROUP BY l_returnflag
+"""
+
+
+@query("op-sql-passthrough", oracle=_SHARED_SQL)
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-sql-passthrough: the engine's SQL surface — temp views over the
+    lake tables + spark.sql. The SAME SQL text runs on Spark and DuckDB
+    (ANSI-compatible subset), so the query IS its own oracle; Catalyst
+    plans it identically to the DataFrame API (one scan, partial+final
+    hash agg)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SHARED_SQL)
