@@ -646,3 +646,61 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg)."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SHARED_SQL)
+
+
+@query(
+    "op-scd2",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-scd2: slowly-changing-dimension type-2 intervals from an event
+    log — each state change opens a validity window closed by the next
+    change (lead over the user timeline; one window shuffle). The warehouse
+    pattern for reconstructing 'attribute as of time T' at 100 TB without
+    storing snapshots."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "op-histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS INT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket assignment is row-local arithmetic,
+    counts are one partial-agg shuffle of |buckets| rows — the profile
+    primitive behind data-drift monitors at scale (vs. exact sort-based
+    percentiles)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 25.0).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )

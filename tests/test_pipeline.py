@@ -60,3 +60,30 @@ def test_empty_input_guard(spark, tmp_path):
     with pytest.raises(StageError) as e:
         pipe.run(spark)
     assert e.value.stage == "bronze"
+
+
+def test_engine_facade(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_api_spark.engine import Engine
+    from etl_pipeline_api_spark.operators.dq import non_negative_check
+
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [Row(ano=2024, mes=1, valor=10.0), Row(ano=2024, mes=2, valor=-1.0)]
+    )
+    out = str(tmp_path / "part")
+    eng.write_partitioned(df, out)
+    back = eng.read_parquet(out)
+    assert back.count() == 2
+    viol = eng.dq(back, [non_negative_check("valor")]).collect()[0]
+    assert viol["negative_valor"] == 1
+    back.createOrReplaceTempView("facade_t")
+    assert eng.sql("SELECT sum(valor) AS s FROM facade_t").collect()[0].s == 9.0
+    import pytest as _pytest
+
+    from etl_pipeline_api_spark.operators.dq import DataQualityError
+
+    with _pytest.raises(DataQualityError):
+        eng.dq_gate(back, [non_negative_check("valor")])
