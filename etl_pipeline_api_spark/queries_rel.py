@@ -121,20 +121,22 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-approx-aggregates",
     oracle="""
     SELECT count(DISTINCT user_id) AS exact_users,
-           round(quantile_cont(value, 0.5), 2) AS median_value
+           round(quantile_disc(value, 0.5), 2) AS median_value
     FROM events
     """,
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path aggregates. The oracle pins the EXACT answers; the Spark
-    side computes approx_count_distinct / percentile_approx and asserts
-    in-plan that they land on the exact values for this data (rsd/accuracy
-    chosen so they do) — at 100 TB these are the only viable variants
-    (bounded memory, one pass, no global sort)."""
+    """Scale-path aggregates. The oracle pins the EXACT answers —
+    quantile_disc, because percentile_approx returns a real data element
+    (no interpolation), exactly when n <= accuracy. Sketch sizes are
+    deliberately moderate: rsd=0.002 (~2 MB HLL registers) and
+    accuracy=10000 — cranking them higher for "exactness" serialized
+    ~90 MB sketch buffers into every task binary, the opposite of the
+    bounded-memory point of approximate aggregation at 100 TB."""
     ev = _t(spark, sf_dir, "events")
     approx = ev.agg(
-        F.approx_count_distinct("user_id", rsd=0.001).alias("exact_users"),
-        F.round(F.percentile_approx("value", 0.5, 100000), 2).alias("median_value"),
+        F.approx_count_distinct("user_id", rsd=0.002).alias("exact_users"),
+        F.round(F.percentile_approx("value", 0.5, 10000), 2).alias("median_value"),
     )
     return approx
 
@@ -407,7 +409,8 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-embed-centroid",
     oracle="""
-    SELECT label, CAST(i - 1 AS INT) AS dim, round(avg(v[i]), 4) AS c
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           round(avg(v[i]), 4) + 0.0 AS c
     FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          generate_series(1, 64) AS t(i)
     GROUP BY 1, 2
@@ -420,7 +423,9 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import centroids
 
     return centroids(_t(spark, sf_dir, "embeddings"), "label", "embedding").select(
-        "label", "dim", F.round("c", 4).alias("c")
+        # + 0.0 canonicalizes -0.0 → 0.0 (IEEE negative zero survives round
+        # and hashes differently across engines; also applied in the oracle)
+        "label", "dim", (F.round("c", 4) + F.lit(0.0)).alias("c")
     )
 
 
