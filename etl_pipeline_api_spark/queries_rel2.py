@@ -1,0 +1,337 @@
+"""Second batch of relational-breadth queries: statistical aggregates,
+deterministic sampling, ntile bucketing, regex surface, lateral explode
+with ordinality, array-function surface, MERGE-style upsert, and the two
+classic TPC-H scan-aggregate shapes (Q1, Q6).
+
+All oracle-checked (driver t2 gate). Registered into the shared
+QUERIES/ORACLES registries. None of these exist in the reference
+(SURVEY.md §2.7 — its only aggregate surface is main.py:303-307's
+groupby-sum); they are the Spark-native breadth a user migrating off the
+reference gains for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+
+
+# =====================================================================
+# TPC-H scan-aggregate classics (pure map-side-combine shapes)
+# =====================================================================
+
+@query(
+    "op-tpch-q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical pricing-summary scan-aggregate.
+
+    Scale notes: 4-group output means the shuffle moves only partial-agg
+    states (a few rows per map task) — the plan is scan → partial
+    HashAggregate → tiny exchange → final agg, all in one codegen stage.
+    The shipdate predicate reaches the parquet scan (PushedFilters), so
+    at 100 TB the scan skips row groups on min/max stats.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "op-tpch-q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective filter → scalar sum. Every
+    predicate is a plain comparison on a scanned column, so all four
+    reach the parquet reader; at scale this is an I/O-pruned scan plus a
+    near-free aggregation (no shuffle beyond the single-row final agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# =====================================================================
+# Statistical aggregate surface
+# =====================================================================
+
+@query(
+    "op-stats-agg",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 2)                       AS sd,
+           round(var_samp(value), 1)                          AS var,
+           round(corr(value, CAST(user_id AS DOUBLE)), 3)     AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 1) AS cov_vu
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate surface: stddev/variance/correlation/
+    covariance. All are single-pass distributive sketches (sum, sum-of-
+    squares, co-moments) with map-side partial merge — the same
+    one-shuffle shape as a plain sum, so they scale identically.
+    Rounding is coarse (2/1/3/1 dp) because the merge order of partial
+    moments differs between engines at the ~1e-10 level."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 2).alias("sd"),
+        F.round(F.var_samp("value"), 1).alias("var"),
+        F.round(F.corr(F.col("value"), u), 3).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 1).alias("cov_vu"),
+    )
+
+
+@query(
+    "op-ntile",
+    oracle="""
+    SELECT bucket, count(*) AS n, round(sum(value), 2) AS total
+    FROM (SELECT ntile(4) OVER (ORDER BY value, event_id) AS bucket, value
+          FROM events)
+    GROUP BY bucket
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile bucketing → per-bucket rollup. The ORDER BY is a
+    total order (value, event_id) so bucket assignment is deterministic.
+
+    Scale caveat (by design, documented): an unpartitioned ntile is a
+    global sort into ONE window partition — fine here, wrong at 100 TB.
+    The scale path is op-histogram / op-percentile: derive cutpoints via
+    percentile_approx and assign buckets with a comparison, which stays
+    embarrassingly parallel. This query exists to pin the exact-SQL
+    semantics that that approximation is judged against."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select(F.ntile(4).over(w).alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
+    "op-sample-deterministic",
+    oracle="""
+    SELECT count(*) AS n, round(sum(value), 2) AS total,
+           round(avg(value), 3) AS mean
+    FROM events WHERE event_id % 20 = 0
+    """,
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% systematic sample (key mod 20): reproducible
+    across engines and runs, unlike Bernoulli df.sample (seeded RNG is
+    engine-specific, so it cannot be oracle-checked). At 100 TB the
+    modulo predicate is evaluated in the scan stage — no shuffle, no
+    materialized sample, and the same rows are selected on every rerun,
+    which is what a training-data pipeline needs for reproducible
+    holdouts. For key-skew-free sampling of arbitrary keys, substitute
+    pmod(xxhash64(key), 20) — same plan shape (hash differs per engine,
+    hence the plain modulo in the oracle-checked query)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 3).alias("mean"),
+    )
+
+
+# =====================================================================
+# Regex + lateral-explode + array-function surface
+# =====================================================================
+
+@query(
+    "op-regex-funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1)                 AS first_word,
+           regexp_replace(text, '[aeiou]', '_', 'g')           AS devoweled,
+           CAST(regexp_matches(text, 'spark') AS INT)          AS has_spark,
+           length(regexp_replace(text, '[^ ]', '', 'g')) + 1   AS n_tokens
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract / replace-all / rlike / count-via-
+    strip. All JVM-codegen'd expressions (no UDF); dialect deltas are
+    confined to the oracle (DuckDB needs the 'g' flag for replace-all
+    and regexp_matches in place of RLIKE)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+        F.col("text").rlike("spark").cast("int").alias("has_spark"),
+        (F.length(F.regexp_replace("text", "[^ ]", "")) + 1).alias("n_tokens"),
+    )
+
+
+@query(
+    "op-posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+           unnest(toks) AS tok
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents WHERE doc_id < 20)
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream with ordinal position (the input shape
+    for shingling, BPE counting, positional n-grams). explode_outer
+    rather than explode — plain explode triggers Catalyst's
+    InferFiltersFromGenerate, whose size()>0 predicate is pushed below
+    the exchange and re-evaluates the whole split per row (measured ~4x
+    on this shape); text is never null here so outer semantics match."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    return (
+        toks.select("doc_id", F.posexplode_outer("toks").alias("pos", "tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+
+
+@query(
+    "op-array-funcs",
+    oracle="""
+    SELECT doc_id, tok, CAST(rn - 1 AS INT) AS pos
+    FROM (SELECT doc_id, tok,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS rn
+          FROM (SELECT DISTINCT doc_id, unnest(toks) AS tok
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\\s+') AS toks
+                      FROM documents WHERE doc_id < 20)))
+    WHERE rn <= 3
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: split → array_distinct → array_sort →
+    slice → posexplode, entirely row-local (the oracle needs a window +
+    DISTINCT to express the same thing relationally). Row-local array
+    ops are the scale-friendly form: zero shuffles, and the per-row
+    arrays never leave the task that scanned them."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    top3 = d.select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(F.split(F.trim("text"), r"\s+"))), 1, 3).alias(
+            "toks"
+        ),
+    )
+    return (
+        top3.select("doc_id", F.posexplode_outer("toks").alias("pos", "tok"))
+        .filter(F.col("tok").isNotNull())
+        .select("doc_id", "tok", "pos")
+    )
+
+
+# =====================================================================
+# MERGE-style upsert (SCD1)
+# =====================================================================
+
+@query(
+    "op-upsert",
+    oracle="""
+    WITH delta AS (
+        SELECT c_custkey, 'UPDATED_' || CAST(c_custkey AS VARCHAR) AS c_name,
+               round(c_acctbal + 100, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 100 < 10
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+               0.0
+        FROM customer WHERE c_custkey % 100 = 50
+    )
+    SELECT coalesce(d.c_custkey, t.c_custkey)   AS c_custkey,
+           coalesce(d.c_name, t.c_name)         AS c_name,
+           round(coalesce(d.c_acctbal, t.c_acctbal), 2) AS c_acctbal,
+           CASE WHEN d.c_custkey IS NULL THEN 'kept'
+                WHEN t.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END              AS merge_action
+    FROM customer t FULL OUTER JOIN delta d USING (c_custkey)
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style SCD1 upsert as a full-outer join + coalesce — the
+    engine-agnostic core of what Delta/Iceberg MERGE INTO compiles to.
+    The delta here is derived from the snapshot so the query is
+    self-contained and oracle-checkable; [[op-scd2]] covers the
+    history-keeping variant.
+
+    Scale notes: both sides hash-partition on the merge key, so the
+    join is a co-partitioned shuffle; when the delta is small relative
+    to the snapshot (the common case) Spark's AQE converts it to a
+    broadcast join automatically. A real lakehouse MERGE adds
+    file-level pruning on top; the row-level semantics are exactly
+    this plan."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        cust.filter(F.col("c_custkey") % 100 < 10)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("UPDATED_"), F.col("c_custkey").cast("string")).alias("c_name"),
+            F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        )
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % 100 == 50)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    delta = updates.unionByName(inserts)
+    t, d = cust.alias("t"), delta.alias("d")
+    merged = t.join(d, on="c_custkey", how="full_outer").select(
+        F.col("c_custkey"),
+        F.coalesce(F.col("d.c_name"), F.col("t.c_name")).alias("c_name"),
+        F.round(F.coalesce(F.col("d.c_acctbal"), F.col("t.c_acctbal")), 2).alias("c_acctbal"),
+        F.when(F.col("d.c_name").isNull(), F.lit("kept"))
+        .when(F.col("t.c_name").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+    )
+    return merged
