@@ -589,3 +589,28 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sev.run_available_now(
         sev.purchases_after_clicks(clicks, purchases), output_mode="append"
     )
+
+
+@query(
+    "op-stream-foreachbatch",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-foreachbatch: exactly-once sink for non-transactional
+    stores. Each micro-batch lands a partial aggregate in a parquet
+    directory keyed by batch_id (replay → same directory overwritten, no
+    double counting); the read-back re-aggregated across batches equals
+    the batch answer — which is exactly what the oracle computes from the
+    static table. The reference's closest analog is its per-page JSON
+    file sink with filename-based resume (main.py:52-86); this is that
+    idea upgraded to Spark's deterministic-batch replay contract."""
+    from .streaming import events as sev
+
+    stream = sev.read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    back = sev.run_foreach_batch_idempotent(stream, ["event_type"])
+    return back.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.round(F.sum("total"), 2).alias("total")
+    )

@@ -335,3 +335,57 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("merge_action"),
     )
     return merged
+
+
+# =====================================================================
+# Additional source/sink formats (§2.1 breadth beyond parquet/CSV/JSON)
+# =====================================================================
+
+@query(
+    "op-orc-roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: write orders as ORC (the other
+    columnar lake format; same predicate-pushdown + column-pruning
+    contract as parquet in Spark's DSv2 reader), read it back, aggregate.
+    The oracle computes the identical aggregate from the parquet
+    original — equality proves the format round-trip is lossless."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    _t(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "op-ndjson-roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY 1
+    """,
+)
+def q_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON round-trip with an EXPLICIT read schema
+    (schema-on-read: no sampling/inference job over 100 TB of text).
+    Distinct from op-json-scan, which handles the reference's
+    pretty-printed page envelopes (multiLine, corrupt isolation) —
+    NDJSON is the splittable, scale-friendly JSON layout: one record
+    per line means the scan parallelizes by byte range."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="ndjson_rt_")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    cust.write.mode("overwrite").json(out)
+    back = spark.read.schema("c_custkey long, c_mktsegment string, c_acctbal double").json(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal"),
+    )

@@ -175,3 +175,38 @@ def purchases_after_clicks(
         & (F.col("p_ts") > F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}")),
     ).select("click_id", "purchase_id")
+
+
+def run_foreach_batch_idempotent(result: DataFrame, agg_keys: list[str]) -> DataFrame:
+    """Drain a streaming DataFrame through ``foreachBatch`` into a
+    batch_id-partitioned parquet sink, then read the sink back.
+
+    This is the exactly-once-sink pattern for stores without transactional
+    streaming support: each micro-batch writes (mode=overwrite) into a
+    directory KEYED BY ``batch_id``, so a replayed batch after a failure
+    overwrites its own previous partial output instead of double-counting —
+    idempotence from deterministic batch ids + keyed overwrite, the
+    documented Structured Streaming contract for foreachBatch sinks.
+    The per-batch payload is a partial aggregate on ``agg_keys`` (count +
+    sum), so what lands on disk is compact regardless of batch size; the
+    caller re-aggregates the read-back to the global result."""
+    sink = tempfile.mkdtemp(prefix="fb_sink_")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_fb_{uuid.uuid4().hex[:10]}")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.groupBy(*agg_keys)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.read.option("basePath", sink).parquet(os.path.join(sink, "batch_id=*"))
