@@ -251,15 +251,27 @@ def connected_components(
 
     (At true 100 TB scale with huge components, switch to the alternating
     large-star/small-star algorithm; the round structure is the same.)
+
+    Iteration hygiene (the part that actually bites): edges are persisted
+    ONCE up front, and each round's labels are localCheckpoint(eager)ed —
+    persist alone is NOT enough for an iterative plan: it caches data but
+    keeps the whole lineage, so (a) every convergence check replays the
+    upstream pipeline (shingle join, Jaccard verification, ...) and
+    (b) the analyzed plan tree grows per round until merely *printing* it
+    OOMs the driver when a caller composes on the result. localCheckpoint
+    truncates the plan to a LogicalRDD each round, so the loop is
+    O(rounds) and the returned frame composes like a base table.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # candidate labels via neighbors (qualified names — self-join lineage)
@@ -270,6 +282,7 @@ def connected_components(
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node").agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)  # materialize round, truncate plan
         )
         changed = (
             new_labels.alias("n")
@@ -280,6 +293,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

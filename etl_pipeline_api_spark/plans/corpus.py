@@ -1,0 +1,114 @@
+"""LLM training-corpus curation pipeline — the capstone composition of the
+extension operators (SURVEY.md §2.9): language filter → quality filter →
+exact dedup → near-dup cluster dedup → curated corpus.
+
+This is the pipeline a training-data team actually runs at 100 TB, built
+entirely from the already-tested operators:
+
+    documents
+      → langid            (keep target language; row-local, zero shuffle)
+      → quality_score     (keep score >= threshold; row-local)
+      → fingerprint       (exact dedup: one groupBy on the 64-bit-ish
+                           rolling hash — survivors keep min doc_id)
+      → near-dup pairs    (exact n-gram Jaccard, or MinHash LSH on the
+                           scale path — see `scale_path`)
+      → connected_components (A~B, B~C collapse to ONE survivor even when
+                           A~C was never emitted)
+      → representative filter (keep component min)
+
+Shuffle accounting at scale: filters ride the scan; exact dedup is one
+hash-partition on fingerprint; the near-dup stage is the two-shuffle
+Jaccard join (or the banded LSH join on the scale path); component
+labeling is one shuffle per propagation round (near-dup components are
+tiny cliques, so rounds ≈ 2-3). Nothing materializes on the driver.
+
+The stage order is deliberate: cheap row-local filters FIRST (they cut
+the corpus before any shuffle), exact dedup SECOND (collapses identical
+payloads before the quadratic-risk near-dup join), near-dup LAST over the
+smallest possible survivor set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from ..operators.text import fingerprint, langid, quality_score
+from .pipeline import Pipeline, Stage
+
+
+def curate(
+    docs: DataFrame,
+    quality_min: float = 0.8,
+    lang: str = "en",
+    jaccard_threshold: float = 0.5,
+    scale_path: bool = False,
+) -> DataFrame:
+    """Curated survivors of `docs` (all original columns kept).
+
+    `scale_path=False` verifies near-dups with the exact n-gram Jaccard
+    join (oracle-checkable); `scale_path=True` swaps in MinHash LSH —
+    identical downstream semantics, linear candidate volume at 100 TB
+    (unit tests pin LSH recall = 1.0 vs the exact pairs on this corpus).
+    """
+    keep_lang = langid(docs, "doc_id", "text").filter(
+        F.col("lang_guess") == lang
+    )
+    keep_quality = quality_score(docs, "doc_id", "text").filter(
+        F.col("quality") >= quality_min
+    )
+    filtered = docs.join(keep_lang.select("doc_id"), "doc_id", "left_semi").join(
+        keep_quality.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # exact dedup: min doc_id per rolling-hash fingerprint survives
+    fp = fingerprint(filtered, "doc_id", "text")
+    exact_reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    # persisted: feeds the near-dup pair join AND the final representative
+    # anti-join — without it both branches replay the filter + fingerprint
+    # stages (MEMORY_AND_DISK default: spills, never OOMs)
+    exact_survivors = filtered.join(
+        exact_reps.select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+
+    pair_fn = minhash_lsh_pairs if scale_path else ngram_jaccard_pairs
+    pairs = pair_fn(
+        exact_survivors, "doc_id", "text", n=3, threshold=jaccard_threshold
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return exact_survivors.join(losers, "doc_id", "left_anti")
+
+
+def build_corpus_pipeline(
+    sf_dir: str,
+    out_dir: str,
+    quality_min: float = 0.8,
+    lang: str = "en",
+    scale_path: bool = True,
+) -> Pipeline:
+    """The curation flow as a fail-fast Pipeline (op-pipeline-run shape):
+    one stage reading the documents table, curating (scale path by
+    default), and landing the curated corpus as source-partitioned
+    parquet — the same stage contract as the gastos medallion plan."""
+    import os
+
+    def read(spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def transform(df: DataFrame) -> DataFrame:
+        return curate(
+            df, quality_min=quality_min, lang=lang, scale_path=scale_path
+        )
+
+    def write(df: DataFrame) -> None:
+        df.write.mode("overwrite").partitionBy("source").parquet(out_dir)
+
+    return Pipeline(stages=[Stage("curate", read, transform, write=write)])

@@ -389,3 +389,101 @@ def q_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("bal"),
     )
+
+
+# =====================================================================
+# Corpus-curation capstone (composes §2.9 extension operators end-to-end)
+# =====================================================================
+
+@query(
+    "op-corpus-curate",
+    oracle=r"""
+    WITH RECURSIVE tok0 AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS tokens
+      FROM documents),
+    rates AS (
+      SELECT doc_id,
+        len(list_filter(tokens, t -> list_contains(['the','and','of'], t))) * 1.0
+          / greatest(len(tokens), 1) AS r_en,
+        len(list_filter(tokens, t -> list_contains(['el','la','los','de'], t))) * 1.0
+          / greatest(len(tokens), 1) AS r_es,
+        len(list_filter(tokens, t -> list_contains(['le','les','des','une'], t))) * 1.0
+          / greatest(len(tokens), 1) AS r_fr,
+        len(list_filter(tokens, t -> list_contains(['der','die','und','das'], t))) * 1.0
+          / greatest(len(tokens), 1) AS r_de,
+        len(list_filter(tokens, t -> list_contains(['的','是','了'], t))) * 1.0
+          / greatest(len(tokens), 1) AS r_zh
+      FROM tok0),
+    lang_keep AS (
+      SELECT doc_id FROM rates
+      WHERE greatest(r_en, r_es, r_fr, r_de, r_zh) > 0
+        AND r_en = greatest(r_en, r_es, r_fr, r_de, r_zh)),
+    quality_keep AS (
+      SELECT doc_id FROM tok0
+      WHERE round(
+          0.4 * least(length(text) / 200.0, 1.0)
+        + 0.3 * least((len(list_filter(tokens, t -> list_contains(
+              ['the','a','of','to','and','in','is','for','on','with'], t)))
+              * 1.0 / greatest(len(tokens), 1)) / 0.08, 1.0)
+        + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+              * 1.0 / greatest(length(text), 1)), 4) >= 0.8),
+    filtered AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN lang_keep USING (doc_id) JOIN quality_keep USING (doc_id)),
+    fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, length(t)),
+                                i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+      FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM filtered)),
+    exact_survivors AS (
+      SELECT f.doc_id, f.text FROM filtered f
+      WHERE f.doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fingerprint)),
+    tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tokens
+      FROM exact_survivors),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(tokens)-2, 0)),
+                    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+      FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+    losers AS (
+      SELECT node FROM reach GROUP BY node HAVING min(comp) < node)
+    SELECT doc_id FROM exact_survivors
+    WHERE doc_id NOT IN (SELECT node FROM losers)
+    """,
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (plans/corpus.py): language filter →
+    quality filter → exact fingerprint dedup → near-dup cluster dedup,
+    every stage one of the §2.9 operators, oracle-checked as ONE composed
+    query (the DuckDB twin re-derives the whole flow including the
+    recursive-CTE transitive closure). The exact-Jaccard verification
+    path keeps the composition oracle-expressible; `curate(scale_path=
+    True)` swaps the pair stage for MinHash LSH with identical downstream
+    semantics — that variant is pinned by unit tests (LSH recall 1.0 on
+    this corpus) and exercised in tests/test_corpus.py."""
+    from .plans.corpus import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate(docs, quality_min=0.8, lang="en", scale_path=False).select("doc_id")
