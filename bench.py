@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_pipeline_api_spark.queries import BENCH_QUERIES, QUERIES  # noqa: E402
 import etl_pipeline_api_spark.queries_ext  # noqa: E402,F401  (registers extension queries)
 import etl_pipeline_api_spark.queries_rel  # noqa: E402,F401  (registers relational-breadth queries)
+import etl_pipeline_api_spark.queries_rel2  # noqa: E402,F401  (registers second breadth batch)
 from etl_pipeline_api_spark.session import get_spark  # noqa: E402
 
 

@@ -279,18 +279,30 @@ def connected_components(
         neighbor_labels = e.join(
             l, F.col("e.dst") == F.col("l.node")
         ).select(F.col("e.src").alias("node"), F.col("l.component").alias("component"))
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node").agg(F.min("component").alias("component"))
+        # one distributed job per round: the min-label merge CARRIES the
+        # convergence flag (min(component) vs the incumbent own-label, which
+        # rides along as a (node, own) pair) into the checkpoint, so the
+        # `changed` probe afterwards scans the materialized round locally
+        # instead of scheduling a second join job
+        own = labels.select(
+            "node", F.col("component").alias("own"),
+        )
+        merged = (
+            own.select("node", F.col("own").alias("component"), "own")
+            .unionByName(
+                neighbor_labels.withColumn(
+                    "own", F.lit(None).cast(dict(labels.dtypes)["component"])
+                )
+            )
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.max("own").alias("own"),  # the single non-null incumbent
+            )
             .localCheckpoint(eager=True)  # materialize round, truncate plan
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("component") != F.col("own")).limit(1).count()
+        labels = merged.select("node", "component")
         if changed == 0:
             break
     edges.unpersist()

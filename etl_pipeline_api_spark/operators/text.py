@@ -71,6 +71,18 @@ def _punct_ratio(text_col: str) -> Column:
     return punct / F.greatest(F.length(F.col(text_col)), F.lit(1))
 
 
+def quality_col(text_col: str) -> Column:
+    """The quality score as a composable Column expression (row-local, so
+    pipelines like plans/corpus.py compute it inline in ONE projection
+    instead of scan+join per metric)."""
+    length_ok = F.least(F.length(F.col(text_col)) / F.lit(200.0), F.lit(1.0))
+    stop_ok = F.least(_stopword_ratio(text_col) / F.lit(0.08), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_ok + F.lit(0.3) * stop_ok
+        + F.lit(0.3) * (F.lit(1.0) - _punct_ratio(text_col)), 4
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """op-text-quality: cheap heuristic quality in [0,1].
 
@@ -80,13 +92,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from ..session import fan_out
 
-    length_ok = F.least(F.length(F.col(text_col)) / F.lit(200.0), F.lit(1.0))
-    stop_ok = F.least(_stopword_ratio(text_col) / F.lit(0.08), F.lit(1.0))
-    return fan_out(df).select(
-        F.col(id_col),
-        F.round(F.lit(0.4) * length_ok + F.lit(0.3) * stop_ok
-                + F.lit(0.3) * (F.lit(1.0) - _punct_ratio(text_col)), 4).alias("quality"),
-    )
+    return fan_out(df).select(F.col(id_col), quality_col(text_col).alias("quality"))
 
 
 def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -99,7 +105,14 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from ..session import fan_out
 
-    df = fan_out(df)
+    best, best_score = langid_cols(text_col)
+    return fan_out(df).select(F.col(id_col), best.alias("lang_guess"),
+                              F.round(best_score, 4).alias("marker_rate"))
+
+
+def langid_cols(text_col: str) -> tuple[Column, Column]:
+    """(lang_guess, marker_rate) as composable Column expressions — see
+    quality_col for why these exist separately from the df-level op."""
     toks = tokens_expr(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
     scores = [
@@ -112,8 +125,7 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         cond = score > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, score).otherwise(best_score)
-    return df.select(F.col(id_col), best.alias("lang_guess"),
-                     F.round(best_score, 4).alias("marker_rate"))
+    return best, best_score
 
 
 FP_BASE = 131
@@ -129,14 +141,16 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from ..session import fan_out
 
+    return fan_out(df).select(F.col(id_col), fingerprint_col(text_col).alias("fingerprint"))
+
+
+def fingerprint_col(text_col: str) -> Column:
+    """The rolling-hash fingerprint as a composable Column expression."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return fan_out(df).select(
-        F.col(id_col),
-        F.aggregate(
-            # slice to exactly length(norm) chars — split("", …) can emit a
-            # trailing empty element whose ascii()=0 would corrupt the fold
-            F.slice(F.split(norm, ""), 1, F.length(norm)),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
-        ).alias("fingerprint"),
+    return F.aggregate(
+        # slice to exactly length(norm) chars — split("", …) can emit a
+        # trailing empty element whose ascii()=0 would corrupt the fold
+        F.slice(F.split(norm, ""), 1, F.length(norm)),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
     )

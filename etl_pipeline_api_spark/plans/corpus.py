@@ -30,7 +30,7 @@ smallest possible survivor set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -38,7 +38,8 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
-from ..operators.text import fingerprint, langid, quality_score
+from ..operators.text import fingerprint_col, langid_cols, quality_col
+from ..session import fan_out
 from .pipeline import Pipeline, Stage
 
 
@@ -56,25 +57,31 @@ def curate(
     identical downstream semantics, linear candidate volume at 100 TB
     (unit tests pin LSH recall = 1.0 vs the exact pairs on this corpus).
     """
-    keep_lang = langid(docs, "doc_id", "text").filter(
-        F.col("lang_guess") == lang
-    )
-    keep_quality = quality_score(docs, "doc_id", "text").filter(
-        F.col("quality") >= quality_min
-    )
-    filtered = docs.join(keep_lang.select("doc_id"), "doc_id", "left_semi").join(
-        keep_quality.select("doc_id"), "doc_id", "left_semi"
+    # Every pre-pair metric (language, quality, fingerprint) is row-local,
+    # so the whole filter phase is ONE scan-and-project — no per-metric
+    # scan + semi-join (the naive composition of the three df-level ops
+    # cost 3 scans + 3 shuffles and measured ~4x slower at sf0.1).
+    lang_c, _rate = langid_cols("text")
+    ann = (
+        fan_out(docs)
+        .withColumn("__lang", lang_c)
+        .withColumn("__quality", quality_col("text"))
+        .filter((F.col("__lang") == lang) & (F.col("__quality") >= quality_min))
+        .drop("__lang", "__quality")
     )
 
-    # exact dedup: min doc_id per rolling-hash fingerprint survives
-    fp = fingerprint(filtered, "doc_id", "text")
-    exact_reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    # persisted: feeds the near-dup pair join AND the final representative
-    # anti-join — without it both branches replay the filter + fingerprint
-    # stages (MEMORY_AND_DISK default: spills, never OOMs)
-    exact_survivors = filtered.join(
-        exact_reps.select("doc_id"), "doc_id", "left_semi"
-    ).persist()
+    # exact dedup: min doc_id per rolling-hash fingerprint survives — a
+    # single window shuffle on the fingerprint (no groupBy + join-back).
+    # Persisted: feeds the near-dup pair join AND the final representative
+    # anti-join (MEMORY_AND_DISK default: spills, never OOMs).
+    w = Window.partitionBy("__fp")
+    exact_survivors = (
+        ann.withColumn("__fp", fingerprint_col("text"))
+        .withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__fp", "__min_id")
+        .persist()
+    )
 
     pair_fn = minhash_lsh_pairs if scale_path else ngram_jaccard_pairs
     pairs = pair_fn(

@@ -55,6 +55,10 @@ BENCH_QUERIES: list[str] = [
     "op-window-running",
     "op-range-join",
     "op-embed-normalize",
+    "op-tpch-q1",
+    "op-tpch-q6",
+    "op-stats-agg",
+    "op-corpus-curate",
 ]
 
 

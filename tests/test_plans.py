@@ -126,3 +126,48 @@ def test_tpch_q5_single_fact_shuffle(spark):
     # all dims broadcast; SMJ only between the two facts (or none if AQE
     # converts it) — never a dim-side sort-merge
     assert tree.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q1_pushdown_and_single_agg_shuffle(spark):
+    plan = plan_of(spark, "op-tpch-q1")
+    # shipdate predicate reaches the parquet reader (row-group pruning at scale)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate," in plan
+    # column pruning: only the 5 referenced columns are read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double," in plan
+    # 4-group aggregation: exactly one data shuffle
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_tpch_q6_all_filters_pushed(spark):
+    plan = plan_of(spark, "op-tpch-q6")
+    for pushed in ("GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+                   "GreaterThanOrEqual(l_discount,0.02)", "LessThanOrEqual(l_discount,0.04)",
+                   "LessThan(l_quantity,24.0)"):
+        assert pushed in plan, pushed
+    # scalar agg: no hash-partition shuffle at all (single-row final merge)
+    assert "Arguments: hashpartitioning" not in plan
+
+
+def test_posexplode_no_shuffle_no_generate_filter_reeval(spark):
+    plan = plan_of(spark, "op-posexplode")
+    tree = plan.split("\n\n(")[0]
+    # row-local explode: zero exchanges of any kind
+    assert "Exchange" not in tree
+    # explode_outer + isNotNull (not plain explode) — InferFiltersFromGenerate
+    # must not push a size()>0 re-evaluation of the split below the Generate
+    assert "Generate" in tree
+
+
+def test_sample_is_scan_stage_predicate(spark):
+    plan = plan_of(spark, "op-sample-deterministic")
+    # modulo predicate evaluates in the scan stage; the only plan Exchange is
+    # the single-row scalar-agg merge, never a hashpartitioning of data rows
+    assert "Arguments: hashpartitioning" not in plan
+
+
+def test_upsert_is_single_key_shuffle_join(spark):
+    tree = tree_of(spark, "op-upsert")
+    # full-outer merge on the key: snapshot + delta co-partition; no
+    # nested-loop fallback
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
