@@ -487,3 +487,70 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return curate(docs, quality_min=0.8, lang="en", scale_path=False).select("doc_id")
+
+
+# =====================================================================
+# Time-series resample: gap-fill + last-observation-carried-forward
+# =====================================================================
+
+@query(
+    "op-gapfill-locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n, round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT t.event_type, s.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds) s)
+    SELECT sp.event_type, sp.bucket,
+           coalesce(h.n, 0) AS n,
+           last_value(h.v IGNORE NULLS)
+             OVER (PARTITION BY sp.event_type ORDER BY sp.bucket)
+             AS sum_locf
+    FROM spine sp LEFT JOIN hourly h USING (event_type, bucket)
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: dense hourly spine per series + gap-fill with
+    last-observation-carried-forward — the standard shape for sensor /
+    metric pipelines (downstream models need a regular grid).
+
+    Scale shape: the fact table reduces FIRST (hourly pre-aggregation, one
+    shuffle); the spine is generated from a one-row bounds agg (sequence +
+    explode — rows never touch the driver) crossed with the tiny distinct
+    series set, so the left join runs against the already-reduced side.
+    LOCF is a per-series ordered window — partitions are bounded by series
+    cardinality × grid length, never by raw event volume."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        # the carried-forward statistic is the 2dp-quantized SUM, not a
+        # mean: dividing by small counts lands on exact .0005 halves where
+        # engine rounding modes diverge, while a 2dp-rounded sum of 2dp
+        # inputs is order-stable and boundary-free (consumers divide by n
+        # themselves if they want the mean)
+        F.round(F.sum("value"), 2).alias("v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine_hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    spine = ev.select("event_type").distinct().crossJoin(spine_hours)
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return spine.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("v", ignorenulls=True).over(w).alias("sum_locf"),
+    )
