@@ -554,3 +554,72 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.last("v", ignorenulls=True).over(w).alias("sum_locf"),
     )
+
+
+# =====================================================================
+# Cogrouped-map Pandas UDF (applyInPandas over a cogroup)
+# =====================================================================
+
+@query(
+    "op-asof-cogroup",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+    FROM events
+    QUALIFY event_type = 'purchase'
+    """,
+)
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the COGROUPED-map Pandas API — the same semantics as
+    op-asof-join (same oracle), computed by `groupBy(user).cogroup(...)
+    .applyInPandas(merge_asof)` instead of a window. Exists to exercise
+    and pin the cogroup escape hatch: both sides hash-partition on the
+    key, each (purchases, clicks) group pair arrives as two Arrow-backed
+    pandas frames, and state is bounded by the largest single user's
+    rows — the right tool when per-key logic genuinely needs imperative
+    pandas (irregular resampling, curve fitting) and no window/join
+    composition expresses it. The JVM window form (op-asof-join) remains
+    the preferred plan when it does."""
+    import pandas as pd
+
+    from .session import ship_package
+
+    ship_package(spark)
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+
+    def merge(p: "pd.DataFrame", c: "pd.DataFrame") -> "pd.DataFrame":
+        if p.empty:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "ts": [], "last_click_ts": []}
+            ).astype({"event_id": "int64", "user_id": "int64",
+                      "ts": "datetime64[us]", "last_click_ts": "datetime64[us]"})
+        p = p.sort_values("ts")
+        if c.empty:
+            out = p.copy()
+            out["last_click_ts"] = pd.Series(
+                pd.NaT, index=out.index, dtype="datetime64[us]"
+            )
+            return out[["event_id", "user_id", "ts", "last_click_ts"]]
+        c = c.sort_values("c_ts").rename(columns={"c_ts": "last_click_ts"})
+        out = pd.merge_asof(
+            p, c[["last_click_ts"]].assign(_on=c["last_click_ts"]),
+            left_on="ts", right_on="_on",
+            direction="backward", allow_exact_matches=False,
+        )
+        return out[["event_id", "user_id", "ts", "last_click_ts"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("c_user"))
+        .applyInPandas(
+            merge, "event_id long, user_id long, ts timestamp, last_click_ts timestamp"
+        )
+    )
