@@ -623,3 +623,44 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, "event_id long, user_id long, ts timestamp, last_click_ts timestamp"
         )
     )
+
+
+# =====================================================================
+# Ranking-window surface (dense_rank / percent_rank / cume_dist / lead /
+# nth_value — the remaining ANSI window functions not yet pinned)
+# =====================================================================
+
+@query(
+    "op-window-funcs",
+    oracle="""
+    SELECT o_orderkey,
+           dense_rank() OVER w                    AS drank,
+           round(percent_rank() OVER w, 6)        AS prank,
+           round(cume_dist() OVER w, 6)           AS cdist,
+           lead(o_totalprice) OVER w              AS next_price,
+           nth_value(o_totalprice, 2) OVER w      AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface: dense_rank / percent_rank / cume_dist /
+    lead / nth_value in one pass — ONE shuffle on the partition key
+    serves all five functions (Catalyst collapses same-window frames
+    into a single Window node). The ORDER BY is a total order
+    (price, key) so every rank is deterministic; ratio functions round
+    at 6dp (exact halves at that position need power-of-two partition
+    sizes — see op-gapfill-locf for the rounding-boundary discipline)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
