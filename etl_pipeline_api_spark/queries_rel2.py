@@ -664,3 +664,40 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+# =====================================================================
+# Selector / conditional aggregate surface (max_by, min_by, count_if,
+# bool_and, bool_or)
+# =====================================================================
+
+@query(
+    "op-argmax-agg",
+    oracle="""
+    SELECT event_type,
+           arg_max(event_id, value * 10000000 + event_id) AS top_event,
+           arg_min(event_id, value * 10000000 + event_id) AS bottom_event,
+           count(*) FILTER (WHERE value > 400)            AS n_big,
+           bool_or(value > 480)                           AS any_huge,
+           bool_and(value > 0)                            AS all_positive
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector/conditional aggregates: arg-max/arg-min rows, filtered
+    counts, boolean alls/anys — all distributive single-pass aggregates
+    (one shuffle, map-side partials, same scale shape as sum). The
+    max_by ordering key is the composite value*1e7 + event_id: ties on
+    the raw 2dp value would make arg-max nondeterministic across
+    engines/partitionings, and the composite stays exactly representable
+    in a double (< 2^53), so both engines order identically."""
+    ev = _t(spark, sf_dir, "events")
+    ordkey = F.col("value") * 10000000 + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", ordkey).alias("top_event"),
+        F.min_by("event_id", ordkey).alias("bottom_event"),
+        F.count_if(F.col("value") > 400).alias("n_big"),
+        F.bool_or(F.col("value") > 480).alias("any_huge"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+    )
