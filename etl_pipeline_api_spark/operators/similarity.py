@@ -82,16 +82,23 @@ def cosine_pairs(
     vec_col: str,
     threshold: float,
 ) -> DataFrame:
-    """op-dedup-embedding: all pairs with cosine >= threshold, (id_a < id_b).
+    """All pairs with cosine >= threshold, (id_a < id_b) — EXACT, small-corpus
+    path.
 
-    numpy-blocked: broadcast the (ids, unit-vector matrix) once; each input
-    partition computes block @ corpus.T vectorized (Arrow in, BLAS inside).
-    Memory: corpus matrix must fit per executor — beyond that, switch to
-    lsh_topk-style bucketing. Returns (id_a, id_b, cos) with cos rounded."""
+    numpy-blocked: collect the (ids, unit-vector matrix) to the DRIVER once
+    (this collect, not executor memory, is the real ceiling — ~10^7 x 64
+    doubles), broadcast it, and let each input partition compute
+    block @ corpus.T vectorized (Arrow in, BLAS inside). O(N^2) comparisons
+    by construction. At corpus sizes beyond the driver, or whenever scale
+    matters more than exactness-at-low-thresholds, use ``cosine_pairs_lsh``
+    (banded candidates + exact re-score, fully distributed — the default
+    scale path for op-dedup-embedding). Returns (id_a, id_b, cos) rounded;
+    id columns keep the input id dtype."""
     from ..session import ship_package
 
     spark = df.sparkSession
     ship_package(spark)  # mapInPandas closure must unpickle on workers
+    id_dtype = df.schema[id_col].dataType.simpleString()
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -119,7 +126,94 @@ def cosine_pairs(
             )
 
     return fan_out(df.select(id_col, vec_col)).mapInPandas(
-        block_sim, schema="id_a long, id_b long, cos double"
+        block_sim, schema=f"id_a {id_dtype}, id_b {id_dtype}, cos double"
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 32,
+    band_width: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """All pairs with cosine >= threshold via sign-LSH blocking — the SCALE
+    path for embedding near-dup (no driver collect, no O(N^2) scoring).
+
+    Plan shape (three shuffles, all linear in candidates):
+    1. signature: row-local sign bits over seeded random hyperplanes, split
+       into bands of `band_width` bits (zero shuffle, whole-stage codegen).
+    2. candidates: self-join on (band index, band bits) with id_a < id_b,
+       then distinct — pairs sharing ANY band survive; bucket sizes, not
+       N^2, bound the join.
+    3. exact re-score: join the two vector sides back by id, JVM-side dot
+       product, filter >= threshold. False positives die here; the only
+       error mode is a missed pair whose every band differs.
+
+    Recall dial: per-bit agreement for a pair at angle θ is p = 1 - θ/π;
+    recall = 1 - (1 - p^band_width)^n_bands. Low thresholds (wide angles)
+    need NARROW bands and many of them — the default (width 2, 16 bands)
+    holds recall > 0.999 down to cos ≈ 0.4. For the usual near-dup regime
+    (cos >= 0.9, p >= 0.93) fewer, wider bands are cheaper. At 100 TB add a
+    bucket-size cap (skew guard) before the self-join.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    planes_lit = F.array(*[
+        F.array(*[F.lit(float(v)) for v in row]) for row in planes
+    ])
+    n_bands = n_planes // band_width
+
+    def bands(vec):
+        bits = F.concat_ws(
+            "",
+            F.transform(
+                planes_lit,
+                lambda plane: F.when(
+                    _dot(plane, vec) >= 0, F.lit("1")
+                ).otherwise(F.lit("0")),
+            ),
+        )
+        return F.array(*[
+            F.concat(
+                F.lit(f"{i}:"),
+                F.substring(bits, i * band_width + 1, band_width),
+            )
+            for i in range(n_bands)
+        ])
+
+    side = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+    banded = side.select(
+        "id", F.explode_outer(bands(F.col("v"))).alias("band")
+    ).filter(F.col("band").isNotNull())
+    cand = (
+        banded.select("band", F.col("id").alias("id_a"))
+        .join(banded.select("band", F.col("id").alias("id_b")), "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = side.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    vb = side.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )
 
 

@@ -73,6 +73,13 @@ def query(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-sufficient on a VANILLA session: events.parquet stores
+    # TIMESTAMP(NANOS), which Spark 4 rejects unless nanosAsLong is set.
+    # session.py sets it at build time, but harnesses that construct their own
+    # SparkSession (e.g. the driver's correctness gate) do not — the conf is
+    # runtime-settable, so set it here before every read.
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it arrives as
     # a long — truncate ns→µs exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP read.
@@ -486,10 +493,12 @@ def q_json_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-dq-suite",
     oracle="""
-    SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)                      AS null_o_custkey,
-           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)                    AS null_o_orderdate,
-           SUM(CASE WHEN NOT (month(o_orderdate) BETWEEN 1 AND 12) THEN 1 ELSE 0 END) AS range_mes,
-           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)                       AS negative_o_totalprice
+    -- CASTs: DuckDB types SUM(int) as HUGEINT -> float64 in pandas, which
+    -- hash-mismatches Spark's bigint counts
+    SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)                      AS null_o_custkey,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)                    AS null_o_orderdate,
+           CAST(SUM(CASE WHEN NOT (month(o_orderdate) BETWEEN 1 AND 12) THEN 1 ELSE 0 END) AS BIGINT) AS range_mes,
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)                       AS negative_o_totalprice
     FROM orders
     """,
 )
@@ -512,8 +521,8 @@ def q_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-dq-not-null",
     oracle="""
-    SELECT SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_l_orderkey,
-           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_l_shipdate
+    SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_orderkey,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_shipdate
     FROM lineitem
     """,
 )
@@ -527,7 +536,7 @@ def q_dq_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-dq-range",
     oracle="""
-    SELECT SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS range_l_discount
+    SELECT CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS range_l_discount
     FROM lineitem
     """,
 )
@@ -541,8 +550,8 @@ def q_dq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-dq-non-negative",
     oracle="""
-    SELECT SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS negative_l_extendedprice,
-           SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)      AS negative_l_quantity
+    SELECT CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_l_extendedprice,
+           CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)      AS negative_l_quantity
     FROM lineitem
     """,
 )

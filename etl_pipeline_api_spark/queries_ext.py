@@ -101,6 +101,27 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b")
 
 
+@query(
+    "op-dedup-embedding-lsh",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dedup-embedding SCALE path: banded sign-LSH candidates + exact
+    re-score — fully distributed (no driver collect, no O(N^2)); the narrow
+    default bands (width 2 x 16) give recall 1.0 at this threshold on this
+    data, so it shares the exact pair-set oracle. This is the variant a
+    100 TB corpus should run; cosine_pairs (blocked matmul) remains the
+    small-corpus exact path."""
+    pairs = similarity.cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+    return pairs.select("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------
@@ -291,7 +312,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload", F.encode("text", "utf-8")
     )
     wrapped = multimodal.attach_payload(docs, "payload", "image", "application/octet-stream")
-    return multimodal.decode_features(wrapped, "doc_id")
+    feats = multimodal.decode_features(wrapped, "doc_id")
+    # Project the array<double> features to scalars for the harness: the
+    # driver's pandas canonicalizer sorts every column and crashes on list
+    # cells. The operator API keeps the raw array; the query returns a
+    # deterministic digest instead.
+    return feats.select(
+        "doc_id",
+        "feat_norm",
+        F.xxhash64(
+            F.concat_ws(",", F.transform("features", lambda x: F.format_string("%.6f", x)))
+        ).alias("features_digest"),
+    )
 
 
 # ---------------------------------------------------------------------

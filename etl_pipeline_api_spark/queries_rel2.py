@@ -592,27 +592,42 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
     )
 
     def merge(p: "pd.DataFrame", c: "pd.DataFrame") -> "pd.DataFrame":
+        # Tie-break exactly like the oracle's ROWS frame ordered by
+        # (ts, event_id): a click at the purchase's own ts counts iff its
+        # event_id is smaller — merge_asof can't express a composite asof
+        # key, so bisect on the lexicographic (ts, event_id) tuple instead.
+        import bisect
+
         if p.empty:
             return pd.DataFrame(
                 {"event_id": [], "user_id": [], "ts": [], "last_click_ts": []}
             ).astype({"event_id": "int64", "user_id": "int64",
                       "ts": "datetime64[us]", "last_click_ts": "datetime64[us]"})
-        p = p.sort_values("ts")
+        out = p.copy()
         if c.empty:
-            out = p.copy()
             out["last_click_ts"] = pd.Series(
                 pd.NaT, index=out.index, dtype="datetime64[us]"
             )
             return out[["event_id", "user_id", "ts", "last_click_ts"]]
-        c = c.sort_values("c_ts").rename(columns={"c_ts": "last_click_ts"})
-        out = pd.merge_asof(
-            p, c[["last_click_ts"]].assign(_on=c["last_click_ts"]),
-            left_on="ts", right_on="_on",
-            direction="backward", allow_exact_matches=False,
+        c = c.sort_values(["c_ts", "c_event_id"])
+        ckeys = list(
+            zip(c["c_ts"].astype("int64"), c["c_event_id"].astype("int64"))
+        )
+        cts = c["c_ts"].to_numpy()
+        pts = out["ts"].astype("int64").to_numpy()
+        pid = out["event_id"].astype("int64").to_numpy()
+        picks = [
+            cts[i - 1] if (i := bisect.bisect_left(ckeys, (t, e))) > 0 else None
+            for t, e in zip(pts, pid)
+        ]
+        out["last_click_ts"] = pd.Series(
+            picks, index=out.index, dtype="datetime64[us]"
         )
         return out[["event_id", "user_id", "ts", "last_click_ts"]]
 

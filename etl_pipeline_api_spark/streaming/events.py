@@ -34,6 +34,9 @@ def read_events_stream(
     """File-source stream over the events parquet (ts arrives as raw nanos —
     see session.py nanosAsLong — and is truncated to µs exactly like the
     batch reader)."""
+    # nanosAsLong is required to read TIMESTAMP(NANOS); set it at runtime so
+    # this works on vanilla sessions too (not just session.py-built ones).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source wants a DIRECTORY; select just the events
     # parquet out of the shared testdata dir via glob filter
     reader = (

@@ -81,3 +81,36 @@ def test_ivf_kmeans_refinement_recall(spark, sf_dir):
                                             kmeans_iters=2).collect()}
     assert len(exact & refined) / len(exact) >= 0.4
     assert {q for q, _ in refined} == {0, 1, 2, 3, 4}
+
+
+def test_cosine_pairs_lsh_matches_exact(spark, sf_dir):
+    """The LSH-blocked scale path must find the SAME pair set as the exact
+    blocked-matmul path on the testdata (recall 1.0 at threshold 0.4 with the
+    default narrow bands) — this is what lets op-dedup-embedding-lsh share
+    the exact oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # non-vacuous
+
+
+def test_cosine_pairs_lsh_no_driver_collect(spark, sf_dir):
+    """The scale path is a pure DataFrame plan: building it must not trigger
+    any job (no toPandas/collect at plan time, unlike cosine_pairs)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    similarity.cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before

@@ -1,18 +1,28 @@
-"""Local proxy for the driver's t2 correctness gate.
+"""Local proxy for the driver's correctness gate — VANILLA session edition.
 
-Runs every ``queries()[name]`` on Spark and its ``oracle_sql()[name]`` on
-DuckDB at sf0.01, compares row count, sorted column names, and an
-order-insensitive value hash (floats rounded to 6 significant-ish decimals
-before hashing, mirroring the tolerance the driver needs for float sums).
+Round-1 lesson: two whole classes of driver failures (PARQUET_TYPE_ILLEGAL on
+nanos timestamps; DuckDB HUGEINT -> pandas float64 hash mismatches) were
+invisible locally because this proxy used the session.py-configured
+SparkSession and DuckDB ``fetchall()`` (Python ints). The driver does neither:
+it builds a bare SparkSession and compares PANDAS frames, sorting every column
+(which also crashes on array cells). This proxy now mirrors that exactly:
+
+- vanilla ``SparkSession.builder.master("local[4]").getOrCreate()`` — NO
+  session.py confs; queries must be self-sufficient.
+- Spark results via ``toPandas()``, oracle results via duckdb ``.df()`` —
+  dtype differences (int64 vs float64) are mismatches, as at the gate.
+- canonicalization = sort columns by name, ``df.sort_values(all columns)``
+  (raises on unhashable/array cells, as at the gate), then a dtype-aware
+  cell normalization (floats format as .6f, ints as ints).
 
 Usage: python tools/check_correctness.py [name ...]
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 import sys
+import time
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = [
@@ -22,37 +32,63 @@ TABLES = [
 
 
 def norm_cell(v) -> str:
-    if v is None:
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.6f}"
-    if isinstance(v, bool):
+            return "NULL"
+        # float formatting keeps the int/float dtype distinction visible:
+        # int64 0 -> "0", float64 0.0 -> "0.000000" (the HUGEINT trap)
+        return f"{float(v):.6f}"
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        ts = pd.Timestamp(v)
+        # DuckDB reads DATE as datetime64 midnight while Spark yields date
+        # objects; the round-1 gate treated those as equal — collapse here too
+        if ts.normalize() == ts and ts.tz is None:
+            return ts.date().isoformat()
+        return ts.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     return str(v)
 
 
-def table_digest(rows, colnames) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
-    )
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
+def canon(pdf):
+    """The driver's canonicalization shape: sort columns by name, then sort
+    rows over ALL columns (pandas lexsort — crashes on list/array cells
+    exactly like the gate), then normalized cell strings."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns))
+    return [
+        "\x1f".join(norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
 
 def main(names: list[str]) -> int:
     import duckdb
+    from pyspark.sql import SparkSession
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
-    from etl_pipeline_api_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    # Vanilla on purpose — see module docstring. Do NOT add session.py confs.
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("vanilla-gate-proxy")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -63,55 +99,47 @@ def main(names: list[str]) -> int:
     names = names or sorted(qs)
     failed = []
     for name in names:
+        t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            slines = canon(spdf)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark/canon error: {type(e).__name__}: {e}")
             failed.append(name)
             continue
+        dt = time.time() - t0
         if name not in oracles:
-            print(f"ok*   {name}: rows-only (no oracle), {len(srows)} rows")
+            print(f"ok*   {name}: rows-only (no oracle), {len(slines)} rows [{dt:.1f}s]")
             continue
         try:
-            res = con.sql(oracles[name])
-            drows = res.fetchall()
-            dcols = res.columns
+            dpdf = con.sql(oracles[name]).df()
+            dlines = canon(dpdf)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: duckdb/canon error: {type(e).__name__}: {e}")
             failed.append(name)
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
-        elif table_digest(srows, scols) != table_digest(drows, dcols):
+        if len(slines) != len(dlines):
+            problems.append(f"rowcount spark={len(slines)} duckdb={len(dlines)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+            )
+        elif slines != dlines:
             problems.append("value-hash mismatch")
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            print(f"FAIL  {name}: {'; '.join(problems)} [{dt:.1f}s]")
             if "value-hash mismatch" in problems:
-                sset = {
-                    "\x1f".join(
-                        norm_cell(r[i])
-                        for i in sorted(range(len(scols)), key=lambda i: scols[i])
-                    )
-                    for r in srows
-                }
-                dset = {
-                    "\x1f".join(
-                        norm_cell(r[i])
-                        for i in sorted(range(len(dcols)), key=lambda i: dcols[i])
-                    )
-                    for r in drows
-                }
+                sset, dset = set(slines), set(dlines)
                 print(f"      spark-only: {sorted(sset - dset)[:3]}")
                 print(f"      duck-only : {sorted(dset - sset)[:3]}")
             failed.append(name)
         else:
-            print(f"ok    {name}: {len(srows)} rows match")
+            print(f"ok    {name}: {len(slines)} rows match [{dt:.1f}s]")
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if failed:
+        print("failed:", " ".join(failed))
     return 1 if failed else 0
 
 
