@@ -130,6 +130,87 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold with NO driver state — the scale
+    path when the threshold is too low for LSH banding to discriminate
+    (wide angles need near-all-pairs candidates anyway, see
+    ``cosine_pairs_lsh``'s recall math).
+
+    Classic distributed all-pairs: hash every row into one of B blocks, send
+    each row to the B pair-groups (i, j), i <= j, it participates in, and let
+    one Arrow-batched applyInPandas per group BLAS-multiply its two blocks.
+    Every unordered row pair meets in EXACTLY one group, so no distinct is
+    needed. Costs: shuffle = N x B rows (vs the driver collect + full-matrix
+    broadcast of ``cosine_pairs``); per-task memory = 2N/B x dim doubles —
+    pick B ~ N·dim·8 / executor-budget; total compute O(N^2·dim) spread over
+    B(B+1)/2 independent tasks. The O(N^2) is inherent to EXACT all-pairs;
+    what scales is that no single machine ever holds the corpus."""
+    from ..session import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    id_dtype = df.schema[id_col].dataType.simpleString()
+
+    src = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)))
+    # pair-group list for block b: {(min(b,k), max(b,k)) : k in 0..B-1}
+    pair_lit = F.array_distinct(
+        F.array(*[
+            F.struct(
+                F.least(F.col("blk"), F.lit(k)).alias("pi"),
+                F.greatest(F.col("blk"), F.lit(k)).alias("pj"),
+            )
+            for k in range(n_blocks)
+        ])
+    )
+    exploded = (
+        src.withColumn("pg", F.explode_outer(pair_lit))
+        .filter(F.col("pg").isNotNull())
+        .select("id", "v", "blk", F.col("pg.pi").alias("pi"), F.col("pg.pj").alias("pj"))
+    )
+
+    def pairs_in_group(keys, pdf):
+        import pandas as pd
+
+        pi, pj = int(keys[0]), int(keys[1])
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids = pdf["id"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        if pi == pj:
+            a_idx = b_idx = np.arange(len(ids))
+        else:
+            a_idx = np.where(blk == pi)[0]
+            b_idx = np.where(blk == pj)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        sims = mat[a_idx] @ mat[b_idx].T
+        rows_i, cols_j = np.where(sims >= threshold)
+        ida, idb = ids[a_idx[rows_i]], ids[b_idx[cols_j]]
+        cos = np.round(sims[rows_i, cols_j], 4)
+        if pi == pj:
+            # same-block group sees both (x,y) and (y,x): keep one orientation
+            keep = ida < idb
+            ida, idb, cos = ida[keep], idb[keep], cos[keep]
+        else:
+            # cross-block pairs appear exactly once — ORIENT, don't filter
+            # (dropping ida > idb would lose pairs whose pi-side id is larger)
+            ida, idb = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": ida, "id_b": idb, "cos": cos})
+
+    return exploded.groupBy("pi", "pj").applyInPandas(
+        pairs_in_group, schema=f"id_a {id_dtype}, id_b {id_dtype}, cos double"
+    )
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     id_col: str,

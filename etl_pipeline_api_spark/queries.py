@@ -47,6 +47,7 @@ BENCH_QUERIES: list[str] = [
     "op-dedup-fuzzy",
     "op-dedup-minhash",
     "op-dedup-embedding",
+    "op-dedup-embedding-blocked",
     "op-sim-search",
     "op-text-analysis",
     "op-text-fingerprint",

@@ -110,13 +110,35 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-dedup-embedding SCALE path: banded sign-LSH candidates + exact
-    re-score — fully distributed (no driver collect, no O(N^2)); the narrow
-    default bands (width 2 x 16) give recall 1.0 at this threshold on this
-    data, so it shares the exact pair-set oracle. This is the variant a
-    100 TB corpus should run; cosine_pairs (blocked matmul) remains the
-    small-corpus exact path."""
+    """op-dedup-embedding via banded sign-LSH candidates + exact re-score —
+    fully distributed, no driver collect. NOTE the regime: at this corpus's
+    low pair threshold (0.4 ~ 66° angles) recall-1.0 needs width-2 bands,
+    whose 4-value buckets make the candidate join near-quadratic — LSH earns
+    its keep at thresholds >= ~0.8 where wide bands discriminate. For exact
+    low-threshold pairs at scale, op-dedup-embedding-blocked is the right
+    plan; this query exists to pin the LSH machinery's exactness on this
+    data (recall 1.0, same oracle)."""
     pairs = similarity.cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+    return pairs.select("id_a", "id_b")
+
+
+@query(
+    "op-dedup-embedding-blocked",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+)
+def q_dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dedup-embedding SCALE path: exact all-pairs via block-pair matmul
+    (applyInPandas per block pair). No driver collect, no full-corpus
+    broadcast — per-task memory is 2N/B x dim, every unordered pair meets in
+    exactly one group. The variant a 1000-executor cluster should run for
+    exact low-threshold near-dup; same pair-set oracle as op-dedup-embedding."""
+    pairs = similarity.cosine_pairs_blocked(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
     )
     return pairs.select("id_a", "id_b")

@@ -114,3 +114,25 @@ def test_cosine_pairs_lsh_no_driver_collect(spark, sf_dir):
     similarity.cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_cosine_pairs_blocked_matches_exact(spark, sf_dir):
+    """The block-pair matmul scale path is EXACT by construction: pair set
+    AND scores must equal the broadcast path, at several block counts
+    (including B > distinct blocks occupied and B = 1 degenerate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in similarity.cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    for nb in (1, 4, 16):
+        blocked = {
+            (r.id_a, r.id_b, r.cos)
+            for r in similarity.cosine_pairs_blocked(
+                emb, "vec_id", "embedding", threshold=0.4, n_blocks=nb
+            ).collect()
+        }
+        assert blocked == exact, f"n_blocks={nb}"
+    assert len(exact) > 0

@@ -1,0 +1,46 @@
+"""Regression guard for the round-1 failure class: queries must work on a
+VANILLA SparkSession (the driver's correctness harness sets none of
+session.py's confs) and survive the driver's pandas canonicalizer.
+
+Runs tools/check_correctness.py in a SUBPROCESS (a fresh, unconfigured JVM —
+in-process the tests' session confs would leak) over one representative per
+bug class found in round 1:
+
+- nanos timestamps  (op-count-distinct reads events.parquet)   -> PARQUET_TYPE_ILLEGAL class
+- DuckDB HUGEINT    (op-dq-suite SUM(CASE) counts)             -> dtype hash-mismatch class
+- array columns     (op-multimodal-decode features)            -> unsortable-cell class
+- streaming source  (op-stream-window-agg reads events stream)
+- date vs timestamp (op-date-funcs DATE canonicalization)
+
+The FULL sweep (all ~100 queries, ~3 min) is the pre-commit step documented
+in .claude/skills/verify/SKILL.md; this test keeps the bug classes from
+regressing at pytest cost (~1 min).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+SUBSET = [
+    "op-count-distinct",
+    "op-dq-suite",
+    "op-multimodal-decode",
+    "op-stream-window-agg",
+    "op-date-funcs",
+]
+
+
+def test_vanilla_session_gate_subset():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "check_correctness.py"), *SUBSET],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"vanilla-session gate proxy failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert f"{len(SUBSET)}/{len(SUBSET)} passed" in proc.stdout
