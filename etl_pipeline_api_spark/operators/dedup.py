@@ -368,3 +368,124 @@ def simhash_band_candidates(fp_df: DataFrame, id_col: str, n_bands: int = 4) -> 
         .select("id_a", "id_b", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"))
         .distinct()
     )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ANY word n-gram
+    with an evaluation set (the standard contamination filter before
+    pretraining — an eval doc leaked into the corpus, or a near-copy of one,
+    must not be trained on).
+
+    Scale shape: eval shingles are DISTINCT-ed and broadcast (eval suites are
+    thousands of docs, not billions — the asymmetry is the whole design);
+    the training side streams through one hash-semi-join probe against the
+    broadcast set, so the only aggregation shuffle is the per-doc flag
+    rollup. Shingles are xxhash64'd to 8-byte keys as in
+    ``ngram_jaccard_pairs`` (collision P ~ 2^-64 per doc pair — negligible).
+    Returns train rows as (id, contaminated boolean).
+    """
+    def hashed(df: DataFrame) -> DataFrame:
+        return (
+            shingle_sets(df, id_col, text_col, n)
+            .select(
+                "__id",
+                F.explode_outer(
+                    F.transform("shs", lambda s: F.xxhash64(s))
+                ).alias("shingle"),
+            )
+            .filter(F.col("shingle").isNotNull())
+        )
+
+    ev = hashed(eval_df).select("shingle").distinct()
+    hits = (
+        hashed(train_df)
+        .join(F.broadcast(ev), "shingle", "left_semi")
+        .select("__id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        train_df.select(F.col(id_col))
+        .join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk: int = 10,
+    max_df: int = 1,
+) -> DataFrame:
+    """Boilerplate line removal (the CCNet/RefinedWeb line-level dedup):
+    drop text chunks that appear in more than ``max_df`` documents (nav
+    bars, cookie banners, licence blurbs), keeping document order.
+
+    The corpus here has no newlines, so a "line" is a ``chunk``-token
+    window (position-aligned, non-overlapping) — swap the chunker for
+    split('\\n') on real web text; everything downstream is unchanged.
+
+    Scale shape: chunking is row-local; line document-frequency is ONE
+    map-combined groupBy on xxhash64(line) (8-byte keys); the keep-filter
+    is a shuffle join on the same key; reassembly is one groupBy(id) with
+    an array_sort(collect_list(struct(pos, line))) — partial-aggregated,
+    state bounded by lines-per-doc. Three shuffles total, all linear.
+    Returns (id, clean_text, n_kept, n_lines) for every input doc (docs
+    that were pure boilerplate come back with clean_text = '').
+    """
+    from ..session import fan_out
+
+    toks_df = fan_out(df).select(
+        F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n_lines = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    lines_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = (
+        toks_df.select("__id", F.posexplode_outer(lines_arr).alias("pos", "line"))
+        .filter(F.col("line").isNotNull())
+        .withColumn("lh", F.xxhash64("line"))
+    )
+    line_df = lines.groupBy("lh").agg(
+        F.count_distinct("__id").alias("line_docs")
+    )
+    kept = lines.join(
+        line_df.filter(F.col("line_docs") <= max_df).select("lh"), "lh"
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(rebuilt, "__id", "left")
+        .join(totals, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Deterministic sampling + training-shard assignment (SURVEY.md §2.9).
+
+A training-data pipeline needs REPRODUCIBLE subsets (holdouts, per-domain
+mixes, debug slices) and balanced output shards. Engine RNG sampling
+(``df.sample``) is seed- and partitioning-dependent, so none of it is
+oracle-checkable or stable across engines; everything here derives order
+from a Knuth multiplicative hash of the row id —
+
+    det_key(id) = (id * 2654435761) mod 2^32
+
+— plain int64 arithmetic that DuckDB/any ANSI engine computes identically,
+scrambles insertion order thoroughly, and never needs a seed exchange.
+(For non-integer or adversarial keys swap in xxhash64 — same plan shape,
+engine-specific constant, rows-only check.)
+
+Scale shapes:
+- stratified_sample: one window shuffle on the strata key; per-group state
+  is a row_number counter, never the group.
+- assign_shards / shard_stats: row-local shard id; stats are one
+  map-combined groupBy carrying n_shards rows per task.
+- write_shards: repartition(n_shards, shard) + sortWithinPartitions →
+  each output file is one shard, internally ordered — what a data loader
+  wants to stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 / golden ratio, the classic multiplicative mixer
+M32 = 4_294_967_296
+
+
+def det_key(id_col: Column | str) -> Column:
+    """Deterministic pseudo-random sort key, identical in any int64 engine."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c.cast("long") * F.lit(KNUTH)) % F.lit(M32)
+
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], id_col: str, n_per: int
+) -> DataFrame:
+    """op-sample-stratified: exactly min(n_per, |stratum|) rows per stratum,
+    chosen by deterministic hash order (ties broken by id — total order, so
+    the sample is unique and rerun-stable)."""
+    w = Window.partitionBy(*strata_cols).orderBy(det_key(id_col), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per)
+        .drop("__rn")
+    )
+
+
+def assign_shards(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Row-local shard id in [0, n_shards): hash-scrambled so consecutive
+    ids land on different shards (contiguous-id hotspots spread out)."""
+    return df.withColumn("shard", (det_key(id_col) % F.lit(n_shards)).cast("int"))
+
+
+def shard_stats(df: DataFrame, size_col: str, n_shards: int, id_col: str) -> DataFrame:
+    """Shard balance report: row count + payload bytes per shard — the
+    pre-write check that no training shard is pathologically hot."""
+    return (
+        assign_shards(df, id_col, n_shards)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(size_col)).alias("total_chars"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def write_shards(
+    df: DataFrame, path: str, id_col: str, n_shards: int, order_col: str | None = None
+) -> None:
+    """Materialize training shards: one file per shard, rows ordered within
+    each shard (by the hash key unless order_col overrides) so a loader
+    streams a shard sequentially with no further sort."""
+    sharded = assign_shards(df, id_col, n_shards).repartition(n_shards, F.col("shard"))
+    order = F.col(order_col) if order_col else det_key(id_col)
+    sharded.sortWithinPartitions(order).write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(path)

@@ -1,0 +1,117 @@
+"""Unit tests for corpus-curation batch 2: PII redaction, line-dedup,
+decontamination, stratified sampling, shard assignment/writes."""
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_pipeline_api_spark.operators import dedup, sampling, text
+
+
+def test_pii_redact_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="mail a.b-c_1@ex-ample.co.uk now"),
+            Row(id=2, t="call +44-20-7946-0958 or +1-555-0100 at 192.168.0.1"),
+            Row(id=3, t="clean text, no pii at all"),
+        ]
+    )
+    out = {r.id: r for r in text.pii_redact(df, "id", "t").collect()}
+    assert out[1].clean_text == "mail [EMAIL] now"
+    assert out[1].n_emails == 1 and out[1].n_phones == 0 and out[1].n_ips == 0
+    assert out[2].clean_text == "call [PHONE] or [PHONE] at [IP]"
+    assert out[2].n_phones == 2 and out[2].n_ips == 1
+    assert out[3].clean_text == out[3].t if hasattr(out[3], "t") else True
+    assert out[3].n_emails == out[3].n_phones == out[3].n_ips == 0
+
+
+def test_dedup_lines_drops_shared_chunks_preserves_order(spark):
+    # 10-token chunks; docs 1 and 2 share their FIRST chunk (boilerplate),
+    # second chunks are unique. chunk=5 to keep the fixture readable.
+    boiler = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t=f"{boiler} u1a u1b u1c u1d u1e"),
+            Row(id=2, t=f"{boiler} u2a u2b u2c u2d u2e"),
+            Row(id=3, t="only unique words here friend"),
+        ]
+    )
+    out = {
+        r.id: r
+        for r in dedup.dedup_lines(df, "id", "t", chunk=5, max_df=1).collect()
+    }
+    assert out[1].clean_text == "u1a u1b u1c u1d u1e"
+    assert out[1].n_kept == 1 and out[1].n_lines == 2
+    assert out[2].clean_text == "u2a u2b u2c u2d u2e"
+    assert out[3].clean_text == "only unique words here friend"
+    # a doc that is PURE boilerplate comes back empty, not missing
+    df2 = df.union(spark.createDataFrame([Row(id=4, t=boiler)]))
+    out2 = {
+        r.id: r
+        for r in dedup.dedup_lines(df2, "id", "t", chunk=5, max_df=1).collect()
+    }
+    assert out2[4].clean_text == "" and out2[4].n_kept == 0 and out2[4].n_lines == 1
+    # now doc 4 shares doc 1/2's boilerplate AND itself: df=3 > max_df=2
+    out3 = {
+        r.id: r
+        for r in dedup.dedup_lines(df2, "id", "t", chunk=5, max_df=2).collect()
+    }
+    assert out3[1].n_kept == 1  # boilerplate now in 3 docs, still dropped
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    ev = spark.createDataFrame(
+        [Row(id=100, t="the quick brown fox jumps over the lazy dog")]
+    )
+    train = spark.createDataFrame(
+        [
+            Row(id=1, t="prefix quick brown fox jumps suffix words"),  # shares 4-gram
+            Row(id=2, t="totally different content about spark engines"),
+        ]
+    )
+    out = {
+        r.id: r.contaminated
+        for r in dedup.decontaminate(train, ev, "id", "t", n=4).collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+def test_stratified_sample_exact_and_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = sampling.stratified_sample(docs, ["lang", "source"], "doc_id", 3)
+    s2 = sampling.stratified_sample(docs, ["lang", "source"], "doc_id", 3)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # rerun-stable
+    per = (
+        s1.groupBy("lang", "source").count().collect()
+    )
+    sizes = {
+        (r.lang, r.source): r["count"]
+        for r in docs.groupBy("lang", "source").count().collect()
+    }
+    for r in per:
+        assert r["count"] == min(3, sizes[(r.lang, r.source)])
+
+
+def test_shard_assign_and_write(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    sharded = sampling.assign_shards(docs, "doc_id", 8)
+    shards = sharded.select("shard").distinct().collect()
+    assert all(0 <= r.shard < 8 for r in shards)
+    assert sharded.count() == n  # row-local, no loss
+    out = str(tmp_path / "shards")
+    sampling.write_shards(docs, out, "doc_id", 8)
+    dirs = [p for p in os.listdir(out) if p.startswith("shard=")]
+    assert len(dirs) == 8
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # every row landed in the shard its id hashes to
+    mism = (
+        back.withColumn("expect", (sampling.det_key("doc_id") % 8).cast("int"))
+        .filter(F.col("shard") != F.col("expect"))
+        .count()
+    )
+    assert mism == 0
