@@ -24,6 +24,7 @@ from etl_pipeline_api_spark.queries import BENCH_QUERIES, QUERIES  # noqa: E402
 import etl_pipeline_api_spark.queries_ext  # noqa: E402,F401  (registers extension queries)
 import etl_pipeline_api_spark.queries_rel  # noqa: E402,F401  (registers relational-breadth queries)
 import etl_pipeline_api_spark.queries_rel2  # noqa: E402,F401  (registers second breadth batch)
+import etl_pipeline_api_spark.queries_corpus  # noqa: E402,F401  (registers corpus-curation batch 2)
 from etl_pipeline_api_spark.session import get_spark  # noqa: E402
 
 

@@ -434,13 +434,17 @@ def dedup_lines(
     window (position-aligned, non-overlapping) — swap the chunker for
     split('\\n') on real web text; everything downstream is unchanged.
 
-    Scale shape: chunking is row-local; line document-frequency is ONE
-    map-combined groupBy on xxhash64(line) (8-byte keys); the keep-filter
-    is a shuffle join on the same key; reassembly is one groupBy(id) with
-    an array_sort(collect_list(struct(pos, line))) — partial-aggregated,
-    state bounded by lines-per-doc. Three shuffles total, all linear.
-    Returns (id, clean_text, n_kept, n_lines) for every input doc (docs
-    that were pure boilerplate come back with clean_text = '').
+    Scale shape: the chunk/explode subtree is evaluated ONCE (the line set
+    feeds frequency, filtering, and totals off the same frame — an earlier
+    three-subtree draft cost 10 exchanges vs 6 here); line document-
+    frequency is one map-combined groupBy on xxhash64(line) (8-byte keys);
+    only the HOT lines (df > max_df — the boilerplate set, small relative
+    to the corpus by definition) come back as a join marker, so AQE
+    broadcasts it at real scale; reassembly is one groupBy(id) whose
+    collect_list drops the null-marked hot lines for free (collect_list
+    skips nulls). State is bounded by lines-per-doc. Returns
+    (id, clean_text, n_kept, n_lines) for every input doc (pure-boilerplate
+    docs come back with clean_text = '').
     """
     from ..session import fan_out
 
@@ -461,27 +465,27 @@ def dedup_lines(
         .filter(F.col("line").isNotNull())
         .withColumn("lh", F.xxhash64("line"))
     )
-    line_df = lines.groupBy("lh").agg(
-        F.count_distinct("__id").alias("line_docs")
+    hot = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("__id").alias("line_docs"))
+        .filter(F.col("line_docs") > max_df)
+        .select("lh", F.lit(True).alias("__hot"))
     )
-    kept = lines.join(
-        line_df.filter(F.col("line_docs") <= max_df).select("lh"), "lh"
-    )
-    rebuilt = kept.groupBy("__id").agg(
+    marked = lines.join(hot, "lh", "left")
+    keep_struct = F.when(F.col("__hot").isNull(), F.struct("pos", "line"))
+    rebuilt = marked.groupBy("__id").agg(
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
+                F.array_sort(F.collect_list(keep_struct)), lambda s: s["line"]
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.count(keep_struct).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
-    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
         df.select(F.col(id_col).alias("__id"))
         .join(rebuilt, "__id", "left")
-        .join(totals, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -163,6 +163,15 @@ PII_PHONE = r"\+\d[\d-]{7,}\d"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def pii_clean_col(text_col: str) -> Column:
+    """The redacted text as a composable Column expression (see quality_col
+    for the *_col pattern rationale — pipelines fold this into an existing
+    projection instead of paying a separate pass)."""
+    clean = F.regexp_replace(F.col(text_col), PII_EMAIL, "[EMAIL]")
+    clean = F.regexp_replace(clean, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(clean, PII_IPV4, "[IP]")
+
+
 def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """op-pii-redact: scrub emails / phone numbers / IPv4 addresses from a
     text column, counting what was removed — the standard pre-training
@@ -178,12 +187,9 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from ..session import fan_out
 
     t = F.col(text_col)
-    clean = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
-    clean = F.regexp_replace(clean, PII_PHONE, "[PHONE]")
-    clean = F.regexp_replace(clean, PII_IPV4, "[IP]")
     return fan_out(df).select(
         F.col(id_col),
-        clean.alias("clean_text"),
+        pii_clean_col(text_col).alias("clean_text"),
         F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
         F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
         F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ips"),

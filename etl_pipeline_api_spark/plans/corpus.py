@@ -35,10 +35,17 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     connected_components,
+    decontaminate,
+    dedup_lines,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
-from ..operators.text import fingerprint_col, langid_cols, quality_col
+from ..operators.text import (
+    fingerprint_col,
+    langid_cols,
+    pii_clean_col,
+    quality_col,
+)
 from ..session import fan_out
 from .pipeline import Pipeline, Stage
 
@@ -49,6 +56,10 @@ def curate(
     lang: str = "en",
     jaccard_threshold: float = 0.5,
     scale_path: bool = False,
+    redact_pii: bool = False,
+    line_max_df: int | None = None,
+    decontam_eval: DataFrame | None = None,
+    decontam_n: int = 4,
 ) -> DataFrame:
     """Curated survivors of `docs` (all original columns kept).
 
@@ -56,19 +67,39 @@ def curate(
     join (oracle-checkable); `scale_path=True` swaps in MinHash LSH —
     identical downstream semantics, linear candidate volume at 100 TB
     (unit tests pin LSH recall = 1.0 vs the exact pairs on this corpus).
+
+    Optional full-curation stages (each oracle-checked standalone):
+    - `redact_pii`: fold PII scrubbing into the filter projection — FREE
+      (row-local, same single pass).
+    - `line_max_df`: boilerplate line removal BEFORE any dedup (shared
+      chunks would otherwise glue unrelated docs into near-dup pairs);
+      costs dedup_lines' three shuffles + one join-back on doc_id.
+    - `decontam_eval`: drop docs sharing any `decontam_n`-gram with the
+      eval frame — LAST, over the smallest survivor set (broadcast probe).
     """
-    # Every pre-pair metric (language, quality, fingerprint) is row-local,
-    # so the whole filter phase is ONE scan-and-project — no per-metric
-    # scan + semi-join (the naive composition of the three df-level ops
-    # cost 3 scans + 3 shuffles and measured ~4x slower at sf0.1).
+    # Every pre-pair metric (language, quality, fingerprint, PII scrub) is
+    # row-local, so the whole filter phase is ONE scan-and-project — no
+    # per-metric scan + semi-join (the naive composition of the df-level
+    # ops cost 3 scans + 3 shuffles and measured ~4x slower at sf0.1).
     lang_c, _rate = langid_cols("text")
+    src = fan_out(docs)
+    if redact_pii:
+        src = src.withColumn("text", pii_clean_col("text"))
     ann = (
-        fan_out(docs)
+        src
         .withColumn("__lang", lang_c)
         .withColumn("__quality", quality_col("text"))
         .filter((F.col("__lang") == lang) & (F.col("__quality") >= quality_min))
         .drop("__lang", "__quality")
     )
+
+    if line_max_df is not None:
+        cleaned = dedup_lines(
+            ann, "doc_id", "text", max_df=line_max_df
+        ).select("doc_id", F.col("clean_text").alias("text"))
+        # join-back keeps the non-text columns (source, lang, ...) without
+        # widening dedup_lines' shuffles with every payload column
+        ann = ann.drop("text").join(cleaned, "doc_id")
 
     # exact dedup: min doc_id per rolling-hash fingerprint survives — a
     # single window shuffle on the fingerprint (no groupBy + join-back).
@@ -91,7 +122,16 @@ def curate(
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    return exact_survivors.join(losers, "doc_id", "left_anti")
+    out = exact_survivors.join(losers, "doc_id", "left_anti")
+
+    if decontam_eval is not None:
+        flags = decontaminate(out, decontam_eval, "doc_id", "text", n=decontam_n)
+        out = out.join(
+            flags.filter(F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    return out
 
 
 def build_corpus_pipeline(

