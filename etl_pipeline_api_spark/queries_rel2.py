@@ -129,27 +129,29 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-ntile",
     oracle="""
-    SELECT bucket, count(*) AS n, round(sum(value), 2) AS total
-    FROM (SELECT ntile(4) OVER (ORDER BY value, event_id) AS bucket, value
+    SELECT event_type, bucket, count(*) AS n, round(sum(value), 2) AS total
+    FROM (SELECT event_type,
+                 ntile(4) OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS bucket, value
           FROM events)
-    GROUP BY bucket
+    GROUP BY event_type, bucket
     """,
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile quartile bucketing → per-bucket rollup. The ORDER BY is a
-    total order (value, event_id) so bucket assignment is deterministic.
-
-    Scale caveat (by design, documented): an unpartitioned ntile is a
-    global sort into ONE window partition — fine here, wrong at 100 TB.
-    The scale path is op-histogram / op-percentile: derive cutpoints via
-    percentile_approx and assign buckets with a comparison, which stays
-    embarrassingly parallel. This query exists to pin the exact-SQL
-    semantics that that approximation is judged against."""
+    """ntile quartile bucketing per event_type → per-bucket rollup. The
+    ORDER BY is a total order (value, event_id) so bucket assignment is
+    deterministic, and the window is PARTITIONED — each group sorts
+    independently in its own task, so the plan scales with the key
+    cardinality instead of funneling the table into one task (the
+    unpartitioned form is exactly the global-sort trap). For GLOBAL
+    quantile cuts at 100 TB, op-histogram / op-percentile derive cutpoints
+    via percentile_approx and assign buckets with a comparison, which
+    stays embarrassingly parallel."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
-        ev.select(F.ntile(4).over(w).alias("bucket"), "value")
-        .groupBy("bucket")
+        ev.select("event_type", F.ntile(4).over(w).alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
 

@@ -171,3 +171,51 @@ def test_upsert_is_single_key_shuffle_join(spark):
     # nested-loop fallback
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast — the train side streams through
+    a broadcast semi-join probe, never a shuffled join against eval."""
+    plan = plan_of(spark, "op-decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_blocked_pairs_is_pure_dataframe_plan(spark):
+    """cosine_pairs_blocked must not collect at plan-build time (unlike
+    cosine_pairs, whose toPandas() runs jobs before any action) and must
+    run the matmul inside FlatMapGroupsInPandas."""
+    from etl_pipeline_api_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = similarity.cosine_pairs_blocked(emb, "vec_id", "embedding", 0.4)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # no driver-side job while building the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_pii_redact_single_projection_no_shuffle(spark):
+    """PII scrub is row-local: the only allowed exchange is fan_out's
+    deliberate small-input round-robin (a no-op at real scale) — never a
+    hash or range shuffle."""
+    plan = plan_of(spark, "op-pii-redact")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_stratified_sample_single_window_shuffle(spark):
+    """One hash-partition exchange on the strata key feeds the row_number
+    window (with Spark's WindowGroupLimit top-k pushdown); no global sort."""
+    tree = tree_of(spark, "op-sample-stratified")
+    assert tree.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan_of(spark, "op-sample-stratified")
+    assert "rangepartitioning" not in tree.lower()
+
+
+def test_ntile_is_partitioned_window(spark):
+    """op-ntile must hash-partition on event_type — an empty partitionBy
+    would funnel the table into a single task (the global-sort trap)."""
+    plan = plan_of(spark, "op-ntile")
+    assert "SinglePartition" not in plan
