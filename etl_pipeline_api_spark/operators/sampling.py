@@ -84,3 +84,28 @@ def write_shards(
     sharded.sortWithinPartitions(order).write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(path)
+
+
+def weighted_mix(
+    df: DataFrame, domain_col: str, id_col: str, quotas: dict[str, int]
+) -> DataFrame:
+    """op-domain-mix: compose a training mixture by per-domain quota —
+    take exactly min(quota[d], |d|) rows from each domain in deterministic
+    hash order, drop domains with no quota. This is the "20% code, 5%
+    books" mixing step; rerun-stable so a re-export ships byte-identical
+    shards.
+
+    Same single window shuffle as stratified_sample; the variable per-group
+    limit is a when-chain literal (quotas are small driver-side config, not
+    data). Domains absent from `quotas` are filtered BEFORE the shuffle.
+    """
+    limit = F.lit(None).cast("int")
+    for dom, n in quotas.items():
+        limit = F.when(F.col(domain_col) == dom, F.lit(n)).otherwise(limit)
+    w = Window.partitionBy(domain_col).orderBy(det_key(id_col), F.col(id_col))
+    return (
+        df.filter(F.col(domain_col).isin(*quotas.keys()))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= limit)
+        .drop("__rn")
+    )

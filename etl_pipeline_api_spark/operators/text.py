@@ -194,3 +194,66 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
         F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ips"),
     )
+
+
+def repetition_cols(toks: Column, n: int = 3) -> tuple[Column, Column]:
+    """(dup_ngram_ratio, top_token_ratio) as composable Columns — the
+    Gopher-style repetition signals: the fraction of word n-grams that are
+    repeats of an earlier n-gram in the SAME doc, and the frequency share
+    of the single most common token. Both entirely row-local (array ops in
+    whole-stage codegen): zero shuffle at any scale. The O(distinct·len)
+    per-row token count is bounded by document length, not corpus size.
+
+    Takes a MATERIALIZED token-array column, not a text column: these
+    expressions reference the array inside nested lambdas, and an inline
+    split() expression would be copied per element (the expression-tree
+    duplication trap — O(len²) re-tokenization).
+
+    Returns exact INTEGER counts (n_tokens, n_grams, n_dup_grams,
+    top_token_count) rather than rounded ratios: count/count divisions land
+    on exact half-digits (1/32 = .03125) where Spark and DuckDB round
+    differently — callers derive ratios at whatever precision they need."""
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    n_dup = n_grams - F.size(F.array_distinct(grams))
+    top_token = F.when(
+        F.size(toks) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return F.size(toks), n_grams, n_dup, top_token
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """op-text-repetition: per-doc repetition quality signals (see
+    repetition_cols). High dup_ngram_ratio or top_token_ratio marks
+    template/spam text the quality filter should drop. Two projections:
+    tokens materialize first (see repetition_cols), then the row-local
+    counts + derived ratios — still zero shuffle."""
+    from ..session import fan_out
+
+    toks_df = fan_out(df).select(
+        F.col(id_col), tokens_expr(text_col).alias("__toks")
+    )
+    n_toks, n_grams, n_dup, top_token = repetition_cols(F.col("__toks"), n)
+    return toks_df.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        top_token.alias("top_token_count"),
+        (n_dup / F.greatest(n_grams, F.lit(1))).alias("dup_ngram_ratio"),
+        (top_token / F.greatest(n_toks, F.lit(1))).alias("top_token_ratio"),
+    )
+
+

@@ -219,3 +219,64 @@ def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontam_eval=ev,
     )
     return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------
+# Repetition quality signals (Gopher-style) + domain mixture
+# ---------------------------------------------------------------------
+
+@query(
+    "op-text-repetition",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS grams
+      FROM tok)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS INT) AS n_dup_grams,
+           CAST(coalesce(list_max(list_transform(list_distinct(toks),
+             t -> len(list_filter(toks, x -> x = t)))), 0) AS INT) AS top_token_count
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-text-repetition: Gopher-style repetition signals — duplicate
+    3-gram count and most-common-token count per doc, entirely row-local
+    (operators/text.py repetition_cols). The query returns the exact
+    integer counts; ratios are derived downstream (count/count divisions
+    round differently across engines at half-digits)."""
+    out = text.repetition_metrics(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_grams", "n_dup_grams", "top_token_count"
+    )
+
+
+@query(
+    "op-domain-mix",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE lang IN ('en', 'es', 'fr', 'de')
+    QUALIFY row_number() OVER (
+      PARTITION BY lang
+      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+      <= CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 12
+                   WHEN 'fr' THEN 9  WHEN 'de' THEN 7 END
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-domain-mix: compose a training mixture by per-domain quota (here
+    per-language: 40 en / 12 es / 9 fr / 7 de, zh excluded) in
+    deterministic hash order — rerun-stable mixture export, one window
+    shuffle (operators/sampling.py weighted_mix)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.weighted_mix(
+        docs, "lang", "doc_id", {"en": 40, "es": 12, "fr": 9, "de": 7}
+    )

@@ -3,6 +3,7 @@ decontamination, stratified sampling, shard assignment/writes."""
 
 import os
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -144,3 +145,39 @@ def test_curate_full_composition(spark, sf_dir):
     # all original non-text columns survived the line-dedup join-back
     assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(out.columns)
     out.unpersist()
+
+
+def test_repetition_metrics_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="a b c a b c a b c"),      # 9 toks, grams heavily repeated
+            Row(id=2, t="all distinct words here"),
+            Row(id=3, t="x y"),                    # shorter than n=3: no grams
+        ]
+    )
+    out = {r.id: r for r in text.repetition_metrics(df, "id", "t", n=3).collect()}
+    # doc1: 7 grams, distinct = {abc, bca, cab} = 3 -> 4 dups; 'a' occurs 3x
+    assert out[1].n_grams == 7 and out[1].n_dup_grams == 4
+    assert out[1].top_token_count == 3 and out[1].n_tokens == 9
+    assert out[2].n_dup_grams == 0 and out[2].top_token_count == 1
+    assert out[3].n_grams == 0 and out[3].n_dup_grams == 0
+    assert out[1].dup_ngram_ratio == pytest.approx(4 / 7)
+
+
+def test_weighted_mix_quotas_and_exclusion(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quotas = {"en": 10, "zh": 2}
+    out = sampling.weighted_mix(docs, "lang", "doc_id", quotas)
+    per = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert set(per) <= set(quotas)  # unlisted domains are gone
+    for d, q in quotas.items():
+        assert per.get(d, 0) == min(q, totals.get(d, 0))
+    # deterministic: same ids both runs
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in sampling.weighted_mix(docs, "lang", "doc_id", quotas)
+        .select("doc_id").collect()
+    }
+    assert ids1 == ids2

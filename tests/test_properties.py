@@ -75,3 +75,47 @@ def test_dq_violation_counts_match_python(spark, rows):
     expect_val = sum(1 for _, v in rows if v < 0)
     assert got["range_mes"] == expect_mes
     assert got["negative_valor"] == expect_val
+
+
+def brute_line_dedup(texts: list[str], chunk: int, max_df: int):
+    """Python reference for dedup_lines: chunk normalized tokens, drop
+    chunks whose document frequency exceeds max_df, rejoin in order."""
+    docs = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.strip().lower().split() if w]
+        docs[i] = [
+            " ".join(toks[j : j + chunk]) for j in range(0, len(toks), chunk)
+        ]
+    from collections import Counter
+
+    dfreq = Counter()
+    for lines in docs.values():
+        for line in set(lines):
+            dfreq[line] += 1
+    return {
+        i: (
+            " ".join(ln for ln in lines if dfreq[ln] <= max_df),
+            sum(1 for ln in lines if dfreq[ln] <= max_df),
+            len(lines),
+        )
+        for i, lines in docs.items()
+    }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(doc_strategy.filter(bool), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=2),
+)
+def test_dedup_lines_matches_bruteforce(spark, texts, chunk, max_df):
+    from etl_pipeline_api_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    got = {
+        r.id: (r.clean_text, r.n_kept, r.n_lines)
+        for r in dedup_lines(df, "id", "t", chunk=chunk, max_df=max_df).collect()
+    }
+    assert got == brute_line_dedup(texts, chunk, max_df)
