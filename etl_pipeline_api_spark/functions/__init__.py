@@ -12,7 +12,17 @@ from pyspark.sql import functions as F
 
 from ..operators.cleaning import numeric_coerce_fillna_expr
 from ..operators.dedup import tokens_expr
-from ..operators.text import BPE_ISH, FP_BASE, FP_MOD
+from ..operators.sampling import det_key
+from ..operators.text import (
+    BPE_ISH,
+    FP_BASE,
+    FP_MOD,
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    pii_clean_col,
+    repetition_cols,
+)
 
 
 def upper_trim_expr(col) -> "F.Column":
@@ -32,6 +42,12 @@ def try_date_expr(col, fmt: str = "yyyy-MM-dd") -> "F.Column":
 
 __all__ = [
     "numeric_coerce_fillna_expr",
+    "det_key",
+    "pii_clean_col",
+    "repetition_cols",
+    "PII_EMAIL",
+    "PII_PHONE",
+    "PII_IPV4",
     "tokens_expr",
     "upper_trim_expr",
     "try_int_expr",

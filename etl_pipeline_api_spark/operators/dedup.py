@@ -38,38 +38,47 @@ def tokens_expr(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+def ngrams_expr(toks, n: int):
+    """Word n-grams as zip_with over n shifted slices of the token array.
+
+    WHY this shape: the obvious `transform(sequence(...), i ->
+    concat_ws(element_at(toks, i), element_at(toks, i+1), ...))` references
+    the token array PER ELEMENT, and Catalyst's project collapsing inlines
+    whatever expression produced `toks` into every one of those references
+    — when `toks` is a split() (or sits on a PII-regex chain), that is
+    O(len²) re-tokenization per row. Measured on shingle_sets at sf0.1:
+    15.9s -> 0.9s from this rewrite. zip_with references the array exactly
+    n times (once per slice), so even a fully-inlined plan evaluates the
+    producing expression a CONSTANT number of times per row.
+
+    Docs with < n tokens yield an empty array (DuckDB generate_series
+    semantics — also dodges Spark's descending sequence(1, 0) surprise).
+    """
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, j + 1, m) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Per-document distinct word n-gram shingle SET: (__id, shs array, n_sh).
 
     Dedup happens row-locally via array_distinct — NO shuffle at all; the
     set size rides along with the row, so downstream Jaccard math never
     needs a separate sizes aggregation (one fewer shuffle + two fewer joins
-    than the naive explode→distinct→groupBy-count shape)."""
-    # Materialize the token array as a real column FIRST: referencing the
-    # split() expression inside the n-gram lambda would embed a copy of it
-    # per element_at — O(len²) re-tokenization per document (measured 4x
-    # end-to-end slowdown at sf0.1 before this split into two projections).
+    than the naive explode→distinct→groupBy-count shape). n-grams are the
+    constant-reference zip_with form (see ngrams_expr)."""
     from ..session import fan_out
 
     toks_df = fan_out(df).select(
         F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks")
     )
-    toks = F.col("__toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    # Docs with < n tokens: sequence(1, size-(n-1)) would DESCEND (Spark
-    # generates [1, 0] for sequence(1,0)) and element_at would go out of
-    # bounds — emit an empty shingle set instead (DuckDB's generate_series
-    # is empty there, so this is also the oracle's semantics).
-    grams = F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
     return toks_df.select(
-        "__id", F.array_distinct(grams).alias("shs")
+        "__id", F.array_distinct(ngrams_expr(F.col("__toks"), n)).alias("shs")
     ).withColumn("n_sh", F.size("shs"))
 
 
@@ -185,19 +194,35 @@ def minhash_lsh_pairs(
     exact on surviving pairs; the _approx name reflects candidate recall.
     """
     n_bands = num_hashes // band_rows
-    sets = shingle_sets(df, id_col, text_col, n).filter(F.size("shs") > 0)
-    # Persisted once: feeds the signature/band branch AND both sides of the
-    # verification join. MEMORY_AND_DISK spills rather than OOMs at scale.
-    sets = sets.persist()
+    # Shingle strings are xxhash64'd to int64 ONCE, inside the frame that
+    # gets checkpointed: the K per-seed signature passes below then mix
+    # 8-byte longs instead of re-hashing ~20-byte strings K times (same
+    # trick as ngram_jaccard_pairs' join keys; collision analysis there).
+    # The exact-Jaccard verification intersects the int64 arrays too —
+    # smaller shuffle payload, long compares instead of string compares.
+    sets = shingle_sets(df, id_col, text_col, n).filter(F.size("shs") > 0).select(
+        "__id",
+        F.transform("shs", lambda s: F.xxhash64(s)).alias("hshs"),
+        "n_sh",
+    )
+    # Checkpointed once (NOT persist): feeds the signature/band branch AND
+    # both sides of the verification join. localCheckpoint truncates the
+    # shingle-transform plan so the CacheManager never canonicalizes it on
+    # later actions (see plans/corpus.py exact_survivors for the measured
+    # session-degradation this avoids); disk-backed blocks spill like
+    # MEMORY_AND_DISK. It is ALSO the evaluate-once barrier that lets the
+    # K signature expressions below reference `hshs` without Catalyst
+    # inlining the hash transform into every reference.
+    sets = sets.localCheckpoint(eager=False)
     # NB: the transform lambda must take ONE arg — pyspark passes the array
     # index to a second parameter, which would make hashes position-dependent
     # (breaking set semantics: 0/64 signature agreement on a 0.99-Jaccard
     # pair when this was `lambda s, i=i: ...`).
     def _hash_fn(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda h: F.xxhash64(h, F.lit(seed))
 
     sig = F.array(*[
-        F.array_min(F.transform(F.col("shs"), _hash_fn(i)))
+        F.array_min(F.transform(F.col("hshs"), _hash_fn(i)))
         for i in range(num_hashes)
     ])
     bands = (
@@ -225,8 +250,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    sa = sets.select(F.col("__id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("na"))
-    sb = sets.select(F.col("__id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("nb"))
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("hshs").alias("shs_a"), F.col("n_sh").alias("na"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("hshs").alias("shs_b"), F.col("n_sh").alias("nb"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -262,11 +287,16 @@ def connected_components(
     truncates the plan to a LogicalRDD each round, so the loop is
     O(rounds) and the returned frame composes like a base table.
     """
+    # localCheckpoint, not persist: the incoming `pairs` plan can be a full
+    # MinHash/Jaccard pipeline — persisting would park that tree in the
+    # CacheManager and tax every subsequent action's plan lookup (and each
+    # CC round is an action). The checkpoint also means the per-round joins
+    # below build on a LogicalRDD, not the pair pipeline.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
@@ -305,7 +335,6 @@ def connected_components(
         labels = merged.select("node", "component")
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 

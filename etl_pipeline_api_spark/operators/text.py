@@ -213,13 +213,9 @@ def repetition_cols(toks: Column, n: int = 3) -> tuple[Column, Column]:
     top_token_count) rather than rounded ratios: count/count divisions land
     on exact half-digits (1/32 = .03125) where Spark and DuckDB round
     differently — callers derive ratios at whatever precision they need."""
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from .dedup import ngrams_expr
+
+    grams = ngrams_expr(toks, n)
     n_grams = F.size(grams)
     n_dup = n_grams - F.size(F.array_distinct(grams))
     top_token = F.when(

@@ -92,26 +92,46 @@ def curate(
         .filter((F.col("__lang") == lang) & (F.col("__quality") >= quality_min))
         .drop("__lang", "__quality")
     )
+    if redact_pii or line_max_df is not None:
+        # Phase barrier: CollapseProject inlines the PII regex chain into
+        # every lambda of the langid/quality/chunking expressions stacked on
+        # top, producing a projection too large for whole-stage codegen
+        # (measured: the filter phase alone went 11s -> 1s at sf0.1 behind
+        # this barrier). Lazy checkpoint = one materialization of the
+        # filtered corpus, which downstream dedup phases were going to
+        # force anyway.
+        ann = ann.localCheckpoint(eager=False)
 
     if line_max_df is not None:
         cleaned = dedup_lines(
             ann, "doc_id", "text", max_df=line_max_df
         ).select("doc_id", F.col("clean_text").alias("text"))
         # join-back keeps the non-text columns (source, lang, ...) without
-        # widening dedup_lines' shuffles with every payload column
-        ann = ann.drop("text").join(cleaned, "doc_id")
+        # widening dedup_lines' shuffles with every payload column.
+        # Checkpoint the result: the line-dedup tree (chunk transform +
+        # collect_list reassembly) composed under the fingerprint fold and
+        # 64-seed MinHash transforms pushes Catalyst ANALYSIS into the tens
+        # of seconds on the driver, re-paid at every downstream action
+        # (measured: 33-40s build for the full capstone, exec 1s). The
+        # truncation makes downstream plans build on a LogicalRDD.
+        ann = ann.drop("text").join(cleaned, "doc_id").localCheckpoint(eager=False)
 
     # exact dedup: min doc_id per rolling-hash fingerprint survives — a
     # single window shuffle on the fingerprint (no groupBy + join-back).
-    # Persisted: feeds the near-dup pair join AND the final representative
-    # anti-join (MEMORY_AND_DISK default: spills, never OOMs).
+    # localCheckpoint, NOT persist: this frame feeds the near-dup join AND
+    # the final anti-join, and its analyzed plan (filters + PII + line-dedup
+    # + fingerprint fold) is enormous — a persist would park that whole tree
+    # in the CacheManager, where every later action pays plan-canonicalization
+    # against it (measured: repeated curate()/curate-full() calls in one
+    # session degraded 2s -> 28s). Checkpointing truncates the cached entry
+    # to a LogicalRDD; blocks free when the frame is GC'd.
     w = Window.partitionBy("__fp")
     exact_survivors = (
         ann.withColumn("__fp", fingerprint_col("text"))
         .withColumn("__min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("__min_id"))
         .drop("__fp", "__min_id")
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     pair_fn = minhash_lsh_pairs if scale_path else ngram_jaccard_pairs

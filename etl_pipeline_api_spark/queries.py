@@ -62,6 +62,7 @@ BENCH_QUERIES: list[str] = [
     "op-line-dedup",
     "op-decontaminate",
     "op-corpus-curate",
+    "op-corpus-curate-full",
 ]
 
 
