@@ -20,7 +20,7 @@ single scan-and-project over the documents table, no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import tokens_expr
@@ -228,6 +228,39 @@ def repetition_cols(toks: Column, n: int = 3) -> tuple[Column, Column]:
         ),
     ).otherwise(F.lit(0))
     return F.size(toks), n_grams, n_dup, top_token
+
+
+def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """op-tfidf: top-k characteristic keywords per document, ranked by
+    term frequency descending with document frequency ascending as the
+    rarity tie-break (the integer-exact core of tf-idf: idf is monotone
+    in df, and keeping the raw integers makes the op oracle-checkable —
+    float idf ordering flips ties across engines' libm).
+
+    Returns (id, token, tf, df_docs, rnk), rnk 1..k per doc.
+
+    Scale shape: explode is linear in corpus token count; both groupBys
+    are map-side combined; the df join keys on the token (sort-merge,
+    linear — vocabulary is data-sized, never broadcast); final per-doc
+    ranking windows on the doc id. No step is quadratic, nothing is
+    collected.
+    """
+    from ..session import fan_out
+
+    toks_df = fan_out(df).select(
+        F.col(id_col), F.explode_outer(tokens_expr(text_col)).alias("token")
+    ).filter(F.col("token").isNotNull())
+    tf = toks_df.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df_docs, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "df_docs", "rnk")
+    )
 
 
 def repetition_metrics(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
