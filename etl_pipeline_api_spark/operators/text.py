@@ -112,20 +112,34 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def langid_cols(text_col: str) -> tuple[Column, Column]:
     """(lang_guess, marker_rate) as composable Column expressions — see
-    quality_col for why these exist separately from the df-level op."""
+    quality_col for why these exist separately from the df-level op.
+
+    Selection is ONE lexicographic array_max over (score, priority)
+    structs, NOT a chained when(cond, score).otherwise(prev) fold: the
+    fold embeds the previous best-score tree ~3x per language (cond +
+    otherwise), so 5 languages copied every token-filter lambda ~3^5
+    times and Catalyst ANALYSIS of any plan containing the expression
+    cost ~13 s on the driver before a single row moved (the curate()
+    filter-phase build). The struct form is linear in languages; the
+    priority field (+1 for the unknown sentinel, -index per language)
+    reproduces the fold's exact tie semantics: a language displaces only
+    on a strictly greater score, earlier languages win ties, and a
+    corpus with no marker hits stays 'unknown'."""
     toks = tokens_expr(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
-    scores = [
-        (lang, F.size(F.filter(toks, lambda t: t.isin(*markers))) / n)
-        for lang, markers in LANG_MARKERS.items()
+    entries = [
+        F.struct(
+            (F.size(F.filter(toks, lambda t: t.isin(*markers))) / n).alias("score"),
+            F.lit(-idx).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for idx, (lang, markers) in enumerate(LANG_MARKERS.items())
     ]
-    best = F.lit("unknown")
-    best_score = F.lit(0.0)
-    for lang, score in scores:  # first language wins ties via strict >
-        cond = score > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, score).otherwise(best_score)
-    return best, best_score
+    sentinel = F.struct(
+        F.lit(0.0).alias("score"), F.lit(1).alias("prio"), F.lit("unknown").alias("lang")
+    )
+    best = F.array_max(F.array(sentinel, *entries))
+    return best.getField("lang"), best.getField("score")
 
 
 FP_BASE = 131
