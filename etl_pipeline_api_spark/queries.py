@@ -58,6 +58,10 @@ BENCH_QUERIES: list[str] = [
     "op-embed-normalize",
     "op-tpch-q1",
     "op-tpch-q6",
+    "op-tpch-q7",
+    "op-tpch-q8",
+    "op-tpch-q13",
+    "op-tpch-q18",
     "op-stats-agg",
     "op-line-dedup",
     "op-decontaminate",

@@ -219,3 +219,57 @@ def test_ntile_is_partitioned_window(spark):
     would funnel the table into a single task (the global-sort trap)."""
     plan = plan_of(spark, "op-ntile")
     assert "SinglePartition" not in plan
+
+
+def test_tpch_q7_dual_nation_role_all_broadcast(spark):
+    """Q7: nation under two roles plus supplier and customer all broadcast;
+    the symmetric pair disjunction must not force a sort-merge strategy."""
+    tree = tree_of(spark, "op-tpch-q7")
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in tree
+
+
+def test_tpch_q8_star_all_broadcast_single_agg_shuffle(spark):
+    """Q8's eight-table star: every dimension broadcasts; the only hash
+    exchange is the per-year aggregation."""
+    tree = tree_of(spark, "op-tpch-q8")
+    assert tree.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in tree
+    assert plan_of(spark, "op-tpch-q8").count("Arguments: hashpartitioning") == 1
+
+
+def test_tpch_q13_left_join_survives(spark):
+    """Q13 loses its meaning if the outer join degrades to inner (the
+    zero-order bucket vanishes): the plan must keep a LeftOuter build."""
+    tree = tree_of(spark, "op-tpch-q13")
+    assert "LeftOuter" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_tpch_q17_correlated_avg_is_one_window_shuffle(spark):
+    """Q17's correlated per-part average must compile to a single Window
+    over one l_partkey hash exchange — not a rescan-per-row subquery and
+    not a self-join of lineitem against a re-aggregated copy."""
+    plan = plan_of(spark, "op-tpch-q17")
+    tree = tree_of(spark, "op-tpch-q17")
+    assert tree.count("Window") == 1
+    assert plan.count("Arguments: hashpartitioning") == 1
+    # lineitem is scanned once: the dim join broadcasts, no self-join
+    assert tree.count("Scan parquet") == 2
+
+
+def test_tpch_q18_having_keys_broadcast_back(spark):
+    """Q18: the qualifying-order keys from the HAVING pass broadcast onto
+    lineitem — a sort-merge semi join here would shuffle the whole fact."""
+    tree = tree_of(spark, "op-tpch-q18")
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in tree
+
+
+def test_tpch_q22_anti_join_broadcast(spark):
+    """Q22: the recent-orders anti join and the scalar threshold both
+    attach by broadcast; no shuffle on the customer side before the final
+    cntrycode aggregation."""
+    tree = tree_of(spark, "op-tpch-q22")
+    assert "LeftAnti" in tree
+    assert "SortMergeJoin" not in tree
