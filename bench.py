@@ -28,6 +28,7 @@ import etl_pipeline_api_spark.queries_corpus  # noqa: E402,F401  (registers corp
 import etl_pipeline_api_spark.queries_corpus2  # noqa: E402,F401  (registers corpus-layout batch 3)
 import etl_pipeline_api_spark.queries_rel3  # noqa: E402,F401  (registers relational batch 3)
 import etl_pipeline_api_spark.queries_rel4  # noqa: E402,F401  (registers relational batch 4)
+import etl_pipeline_api_spark.queries_layout  # noqa: E402,F401  (registers physical-layout queries)
 from etl_pipeline_api_spark.session import get_spark  # noqa: E402
 
 
