@@ -273,3 +273,47 @@ def test_tpch_q22_anti_join_broadcast(spark):
     tree = tree_of(spark, "op-tpch-q22")
     assert "LeftAnti" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_tpch_q4_exists_is_semi_join_with_pushdown(spark):
+    """Q4: the EXISTS subquery must stay a LEFT SEMI join (orders keeps its
+    cardinality — no fan-out then distinct), and the return-flag filter
+    must reach the lineitem scan."""
+    tree = tree_of(spark, "op-tpch-q4")
+    plan = plan_of(spark, "op-tpch-q4")
+    assert "LeftSemi" in tree
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_tpch_q9_dims_broadcast_single_agg_shuffle(spark):
+    """Q9: part (name-filtered), supplier, and nation broadcast; the final
+    nation×year rollup is the only hash aggregation exchange."""
+    tree = tree_of(spark, "op-tpch-q9")
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in tree
+
+
+def test_tpch_q12_single_pass_conditional_counts(spark):
+    """Q12: both priority-class counts ride one join and ONE aggregation
+    (no per-class re-scan); class and date filters push to the scan."""
+    tree = tree_of(spark, "op-tpch-q12")
+    plan = plan_of(spark, "op-tpch-q12")
+    assert tree.count("HashAggregate") == 2  # partial + final, once
+    assert "In(l_returnflag, [A,R])" in plan
+
+
+def test_tpch_q15_no_global_sort(spark):
+    """Q15: the max-revenue supplier comes from a scalar-max broadcast
+    filter, never a global sort/rank of the revenue view."""
+    tree = tree_of(spark, "op-tpch-q15")
+    assert "rangepartitioning" not in tree.lower()
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree
+
+
+def test_tpch_q21_one_perorder_agg_no_rescan(spark):
+    """Q21's two correlated subqueries must collapse into ONE per-order
+    aggregation: lineitem is scanned twice (late lines + counts), never
+    three times as a literal EXISTS/NOT-EXISTS pair would."""
+    tree = tree_of(spark, "op-tpch-q21")
+    assert tree.count("Scan parquet") <= 5  # li x2 + orders/supplier/nation
+    assert "LeftSemi" in tree
