@@ -317,3 +317,40 @@ def test_tpch_q21_one_perorder_agg_no_rescan(spark):
     tree = tree_of(spark, "op-tpch-q21")
     assert tree.count("Scan parquet") <= 5  # li x2 + orders/supplier/nation
     assert "LeftSemi" in tree
+
+
+def test_lm_score_vocab_broadcast_two_shuffles(spark):
+    """op-lm-score: the trained vocabulary and the corpus total attach by
+    broadcast; the only hash exchanges are the token-count aggregation and
+    the final per-doc mean."""
+    tree = tree_of(spark, "op-lm-score")
+    plan = plan_of(spark, "op-lm-score")
+    assert tree.count("BroadcastHashJoin") >= 1
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "SortMergeJoin" not in tree
+
+
+def test_quality_classifier_single_shuffle_no_python(spark):
+    """op-quality-classifier: hashed weights are JVM expressions — no
+    Python evaluator anywhere — and the per-doc sum is the only shuffle."""
+    tree = tree_of(spark, "op-quality-classifier")
+    plan = plan_of(spark, "op-quality-classifier")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Python" not in tree and "FlatMap" not in tree
+
+
+def test_url_parse_zero_shuffle(spark):
+    """op-url-parse is a pure projection + filter: no exchange of any
+    kind may appear (fan_out is not used here)."""
+    tree = tree_of(spark, "op-url-parse")
+    assert "Exchange" not in tree
+
+
+def test_sample_pergroup_window_group_limit(spark):
+    """op-sample-pergroup: one hash exchange on source; the k<=5 cap must
+    push into the sort as WindowGroupLimit (no full per-group sort)."""
+    plan = plan_of(spark, "op-sample-pergroup")
+    tree = tree_of(spark, "op-sample-pergroup")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in tree.lower()
