@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -125,3 +126,51 @@ def compact(
     n = max(1, math.ceil(input_bytes / target_file_bytes))
     spark_df.repartition(n).write.mode("overwrite").parquet(path)
     return n
+
+
+def global_row_index(
+    df: DataFrame, order_col: str, n_parts: int = 32, idx_col: str = "idx"
+) -> DataFrame:
+    """Contiguous 0-based global row index in `order_col` order — the
+    distributed zipWithIndex.
+
+    The naive `row_number() OVER (ORDER BY ...)` funnels the whole table
+    through ONE task (empty partitionBy = SinglePartition sort) — the
+    classic scale killer. This does it in two balanced exchanges and no
+    single-task stage:
+
+    1. range-partition on the order key (sampling-based bounds, balanced),
+       sort within partitions — global order across partition ids;
+    2. count rows per partition (tiny agg), running-sum the counts into
+       per-partition OFFSETS (a k-row window on one task — k = n_parts,
+       not N), broadcast them back;
+    3. index = offset + (row_number within partition) − 1, where the
+       within-partition window re-uses the range exchange (partitionBy
+       spark_partition_id over already-partitioned data).
+
+    Ties in `order_col` get an arbitrary-but-deterministic order only if
+    the key is unique — pass a unique key (or add a tiebreaker column).
+    """
+    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    w = W.partitionBy("_pid").orderBy(order_col)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(idx_col, F.row_number().over(w) + F.col("_offset") - 1)
+        .drop("_pid", "_offset")
+    )

@@ -593,3 +593,71 @@ def kmeans(
         return assigned.select(id_col, "cluster"), cents
     finally:
         data.unpersist()
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    k: int = 8,
+    max_iter: int = 3,
+) -> DataFrame:
+    """Semantic dedup, SemDeDup shape (Abbas et al. 2023): cluster the
+    embedding space with k-means, then search for near-duplicate pairs
+    ONLY within each cluster and greedily drop the non-canonical side.
+
+    Why clustering first: exact all-pairs is O(N²); LSH banding loses
+    discrimination at moderate thresholds (see ``cosine_pairs_lsh``'s
+    recall math). K-means blocking bounds the candidate join by the
+    cluster sizes (~N²/k comparisons for balanced clusters) while
+    near-duplicates — by definition close in embedding space — land in
+    the same cluster with high probability. The approximation error mode
+    is a near-dup pair straddling a cluster boundary; raising k trades
+    recall for speed, k=1 degrades to exact all-pairs (the unit tests
+    pin that equivalence).
+
+    All JVM: assignment rides ``kmeans`` (row-local argmin), the
+    within-cluster candidate join is an equi-join on cluster id with
+    id_a < id_b, cosine is zip_with/aggregate. Returns
+    (id, cluster, keep) — keep=false iff some same-cluster neighbor with
+    a SMALLER id is within the threshold (min-id canonical, the same
+    greedy rule the paper uses with cluster-centroid distance).
+    """
+    assigned, _ = kmeans(df, id_col, vec_col, k=k, max_iter=max_iter)
+    vecs = df.select(
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    sides = (
+        assigned.join(vecs, F.col(id_col) == F.col("_sid"))
+        .select(id_col, "cluster", "_v")
+        .withColumn("_n", _norm(F.col("_v")))
+    )
+    a = sides.select(
+        F.col(id_col).alias("id_a"), F.col("cluster").alias("ca"),
+        F.col("_v").alias("va"), F.col("_n").alias("na"),
+    )
+    b = sides.select(
+        F.col(id_col).alias("id_b"), F.col("cluster").alias("cb"),
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+    )
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("_drop_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, F.col(id_col) == F.col("_drop_id"), "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.col("_drop_id").isNull().alias("keep"),
+        )
+    )

@@ -67,6 +67,10 @@ BENCH_QUERIES: list[str] = [
     "op-decontaminate",
     "op-corpus-curate",
     "op-corpus-curate-full",
+    "op-tpch-q9",
+    "op-tpch-q21",
+    "op-lm-score",
+    "op-quality-classifier",
 ]
 
 

@@ -1,0 +1,165 @@
+"""Corpus batch 5: global row indexing, BPE pair counting, SemDeDup,
+HTML boilerplate stripping.
+
+- op-row-index: contiguous global row ids in key order — the distributed
+  zipWithIndex every packing/sharding step needs. The SCALE point: a bare
+  `row_number() OVER (ORDER BY …)` is a single-task global sort;
+  `layout.global_row_index` does range-partition → per-partition counts →
+  broadcast offsets instead, so no stage ever sees the whole table. The
+  oracle IS the naive single-task form — same result, different plan.
+- op-bpe-pairs: adjacent-token-pair frequencies (the counting kernel of a
+  BPE merge round, and of any bigram LM). One explode of zip_with'd
+  shifted slices, one count shuffle, per-partition top-k.
+- op-semdedup: semantic near-dup removal, SemDeDup shape — k-means blocks
+  the embedding space, near-dup search runs within clusters only
+  (~N²/k), min-id canonical survives. Rows-only (k-means is iterative,
+  not SQL); unit tests pin k=1 ≡ exact all-pairs.
+- op-html-strip: crawl-to-text boilerplate strip — tag removal +
+  whitespace normalization + tag census, pure JVM regex, zero shuffle.
+  HTML is synthesized deterministically from the row (testdata has no
+  markup column); the strip/count plumbing is the operator.
+
+Reference parity: none of these exist in the reference (334-line pandas
+`main.py`); they extend SURVEY §2.9's training-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+
+_TOKS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+# ---------------------------------------------------------------------
+# op-row-index: distributed zipWithIndex
+# ---------------------------------------------------------------------
+
+@query(
+    "op-row-index",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+    FROM documents
+    """,
+)
+def q_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global index in doc_id order via
+    `layout.global_row_index`: range exchange → tiny per-partition count
+    agg → broadcast offsets → within-partition row_number. Every stage is
+    balanced; the only single-task step is the k-row offset cumsum
+    (k = number of partitions). The oracle computes the same index with
+    the single-task window — identical values, scale-hostile plan."""
+    from .operators.layout import global_row_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = global_row_index(docs, "doc_id", n_parts=16)
+    return out.select("doc_id", "source", F.col("idx").cast("long"))
+
+
+# ---------------------------------------------------------------------
+# op-bpe-pairs: adjacent-pair counting (one BPE merge round's kernel)
+# ---------------------------------------------------------------------
+
+@query(
+    "op-bpe-pairs",
+    oracle=f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    pairs AS (
+        SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM toks
+    )
+    SELECT w1 || ' ' || w2 AS pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent token pairs — the argmax-search kernel of a BPE
+    merge round (and the count table of a bigram LM). Pairs come from
+    `dedup.ngrams_expr(toks, 2)` (zip_with over shifted slices — constant
+    re-evaluations of the token array, see its docstring), then ONE
+    count shuffle and TakeOrderedAndProject (per-partition top-k, no
+    global sort). The DuckDB twin zips two shifted list slices through
+    paired unnest."""
+    from .operators.dedup import ngrams_expr, tokens_expr
+    from .session import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.explode_outer(ngrams_expr(tokens_expr("text"), 2)).alias("pair")
+        )
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------
+# op-semdedup: k-means-blocked semantic near-dup removal
+# ---------------------------------------------------------------------
+
+@query("op-semdedup")  # rows-only: k-means blocking is iterative, not SQL
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table at cos >= 0.4 with k=4 blocks:
+    returns (vec_id, cluster, keep). Unit tests pin the k=1 case equal to
+    the exact all-pairs drop set and the blocked candidate pairs to a
+    subset of the exact pairs (`tests/test_corpus4.py`)."""
+    from .operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, "vec_id", "embedding", threshold=0.4, k=4).orderBy(
+        "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------
+# op-html-strip: crawl boilerplate removal
+# ---------------------------------------------------------------------
+
+@query(
+    "op-html-strip",
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id,
+               '<div class="doc"><h1>' || source || '</h1><p>' || text
+                 || '</p><footer>(c) ' || source || '</footer></div>' AS html
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS clean,
+           CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags
+    FROM pages
+    """,
+)
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip: drop every tag, collapse whitespace, census the
+    tags removed. Row-local JVM regex — zero shuffle, no Python. The
+    markup is synthesized from the row itself (no HTML column in
+    testdata); a real crawl swaps the synthesis for the raw page bytes
+    and keeps the identical strip pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="doc"><h1>'), F.col("source"), F.lit("</h1><p>"),
+        F.col("text"), F.lit("</p><footer>(c) "), F.col("source"),
+        F.lit("</footer></div>"),
+    )
+    return (
+        docs.select("doc_id", html.alias("html"))
+        .select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace("html", "<[^>]+>", " "), r"\s+", " "
+                )
+            ).alias("clean"),
+            F.regexp_count("html", F.lit("<[^>]+>")).cast("long").alias("n_tags"),
+        )
+    )
