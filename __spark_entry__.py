@@ -31,6 +31,7 @@ import etl_pipeline_api_spark.queries_layout  # noqa: E402,F401  (registers phys
 import etl_pipeline_api_spark.queries_rel5  # noqa: E402,F401  (registers relational batch 5)
 import etl_pipeline_api_spark.queries_corpus3  # noqa: E402,F401  (registers corpus-quality batch 4)
 import etl_pipeline_api_spark.queries_corpus4  # noqa: E402,F401  (registers corpus batch 5)
+import etl_pipeline_api_spark.queries_rel6  # noqa: E402,F401  (registers relational batch 6)
 
 
 def entry(spark: SparkSession) -> DataFrame:

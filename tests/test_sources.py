@@ -71,3 +71,43 @@ def test_http_source_pagination_retry_resume(tmp_path):
     written2 = src.fetch()
     assert written2 == []
     assert src.downloaded_pages() == {1, 2}
+
+
+def test_page_datasource_partitions_and_corrupt_isolation(spark, tmp_path):
+    """Custom page_json DataSource: one input partition per page file,
+    corrupt pages isolate as _corrupt_path rows, both envelope shapes
+    parse."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from etl_pipeline_api_spark.session import ship_package
+    from etl_pipeline_api_spark.sources.page_datasource import (
+        CORRUPT_PATH_COL,
+        PageFileDataSource,
+        with_corrupt_col,
+    )
+
+    ship_package(spark)
+    spark.dataSource.register(PageFileDataSource)
+    d = tmp_path / "pages"
+    d.mkdir()
+    (d / "page_1.json").write_text(json.dumps([{"a": 1}, {"a": 2}]))
+    (d / "page_2.json").write_text(
+        json.dumps({"count": 1, "next": None, "previous": None,
+                    "results": [{"a": 3}]})
+    )
+    (d / "page_3.json").write_text("{nope")
+    schema = with_corrupt_col(T.StructType([T.StructField("a", T.LongType())]))
+    df = (
+        spark.read.format("page_json")
+        .schema(schema)
+        .option("path", str(d))
+        .load()
+    )
+    rows = df.collect()
+    good = sorted(r.a for r in rows if r[CORRUPT_PATH_COL] is None)
+    bad = [r for r in rows if r[CORRUPT_PATH_COL] is not None]
+    assert good == [1, 2, 3]
+    assert len(bad) == 1 and bad[0][CORRUPT_PATH_COL].endswith("page_3.json")
+    assert df.rdd.getNumPartitions() == 3  # one partition per page
