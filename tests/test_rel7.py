@@ -1,0 +1,26 @@
+"""Batch 7 semantics: hidden _metadata lineage over a sharded write."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_metadata_lineage_multi_file(spark, tmp_path):
+    """Rows written across N files must attribute back to exactly those N
+    files through _metadata.file_name, with per-file counts summing to
+    the table total."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    out = str(tmp_path / "sharded")
+    docs.repartition(4).write.parquet(out)
+    back = spark.read.parquet(out)
+    per_file = (
+        back.groupBy(F.col("_metadata.file_name").alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(per_file) == 4
+    assert sum(r.n for r in per_file) == docs.count()
+    assert all(r.f.endswith(".parquet") for r in per_file)
