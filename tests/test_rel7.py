@@ -24,3 +24,20 @@ def test_metadata_lineage_multi_file(spark, tmp_path):
     assert len(per_file) == 4
     assert sum(r.n for r in per_file) == docs.count()
     assert all(r.f.endswith(".parquet") for r in per_file)
+
+
+def test_cli_list_inventory():
+    """`python -m etl_pipeline_api_spark list` enumerates every registered
+    query with its check tag — no Spark session needed."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_pipeline_api_spark.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["list"]) == 0
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert len(lines) >= 140
+    assert any(l.startswith("op-groupby-sum\toracle") for l in lines)
+    assert any(l.endswith("rows-only") for l in lines)
