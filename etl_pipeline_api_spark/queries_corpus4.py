@@ -163,3 +163,66 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_count("html", F.lit("<[^>]+>")).cast("long").alias("n_tags"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# op-corpus-datasheet: one-pass per-source corpus profile
+# ---------------------------------------------------------------------
+
+@query(
+    "op-corpus-datasheet",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, lang, text,
+             string_split_regex(lower(trim(text)), '\s+') AS tokens
+      FROM documents),
+    q AS (
+      SELECT source, lang, len(tokens) AS n_tokens,
+             round(
+               0.4 * least(length(text) / 200.0, 1.0)
+             + 0.3 * least((len(list_filter(tokens, t -> list_contains(
+                   ['the','a','of','to','and','in','is','for','on','with'], t)))
+                   * 1.0 / greatest(len(tokens), 1)) / 0.08, 1.0)
+             + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                   * 1.0 / greatest(length(text), 1)), 4) AS quality
+      FROM tok)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_quality_q4,
+           CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS p50_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM q GROUP BY source
+    """,
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus datasheet ("data card" numbers): doc and
+    token volume, summed 4dp-quantized quality, median doc length, and
+    language spread — ALL in one projection + one groupBy shuffle (the
+    *_col builders keep every metric in the same row-local pass; see the
+    curate() filter-phase lesson in operators/text.py). Exactness: the
+    per-doc quality double is oracle-identical (op-text-quality pins
+    it), so round(q*10000) is the same bigint in both engines and group
+    sums stay integer-exact regardless of summation order;
+    percentile_approx at accuracy 10000 is exact (returns a data
+    element, = DuckDB quantile_disc) at any per-source n below the
+    accuracy."""
+    from .operators.dedup import tokens_expr
+    from .operators.text import quality_col
+    from .session import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(tokens_expr("text")).alias("n_tokens"),
+        F.round(quality_col("text") * 10000).cast("long").alias("q4"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("q4").alias("sum_quality_q4"),
+        F.percentile_approx("n_tokens", 0.5, 10000).cast("long").alias("p50_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
