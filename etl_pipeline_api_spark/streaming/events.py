@@ -213,3 +213,71 @@ def run_foreach_batch_idempotent(result: DataFrame, agg_keys: list[str]) -> Data
     q.awaitTermination()
     spark = result.sparkSession
     return spark.read.option("basePath", sink).parquet(os.path.join(sink, "batch_id=*"))
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — Spark
+    4's successor to applyInPandasWithState (``user_running_totals`` pins
+    the older API with the same semantics): explicit typed ValueState per
+    key, Arrow-batched row iterators, RocksDB state store (required by
+    the API; set at runtime so vanilla sessions work).
+
+    ENVIRONMENT GATE: the transformWithState protocol speaks protobuf
+    between the JVM and the Python state server; containers without
+    ``google.protobuf`` cannot run it (this one — see
+    tests/test_streaming.py::test_transform_with_state_totals, which
+    importorskips). The operator is kept importable (no protobuf needed
+    until execution) as the documented Spark-4 shape; totals accumulate
+    in integer cents so the result is exact under any micro-batch split.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", T.StructType([
+                    T.StructField("n", T.LongType()),
+                    T.StructField("cents", T.LongType()),
+                ])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (0, 0)
+            if self._state.exists():
+                n, cents = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = events.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ])
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -110,3 +110,40 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     }
     assert {r.event_type: (r.n, r.total) for r in got} == want
     assert len(os.listdir(sink)) > n_batches_first  # second run added batches
+
+
+def test_transform_with_state_totals(spark):
+    """transformWithStateInPandas twin of user_running_totals: final state
+    per user equals the batch groupBy. SKIPS where google.protobuf is
+    absent (the transformWithState JVM<->Python protocol needs it; not
+    shipped in this container)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_api_spark.streaming import events as sev
+
+    stream = sev.read_events_stream(spark, "/root/testdata/sf0.001")
+    out = sev.run_available_now(
+        sev.user_running_totals_tws(stream), output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r.user_id: (r.n_events, r.cents)
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert final == want
