@@ -354,3 +354,24 @@ def test_sample_pergroup_window_group_limit(spark):
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "WindowGroupLimit" in plan
     assert "rangepartitioning" not in tree.lower()
+
+
+def test_unpivot_is_expand_single_scan(spark):
+    """op-unpivot must melt via ONE scan + Expand — not a UNION of
+    per-column re-scans (the oracle's shape)."""
+    tree = tree_of(spark, "op-unpivot")
+    assert "Expand" in tree
+    assert tree.count("Scan parquet") == 1
+    assert "Union" not in tree
+
+
+def test_variant_json_zero_shuffle(spark):
+    """op-variant-json is a pure row-local projection: parse_json +
+    variant_get never exchange."""
+    tree = tree_of(spark, "op-variant-json")
+    assert "Exchange" not in tree
+
+
+def test_html_strip_zero_shuffle(spark):
+    tree = tree_of(spark, "op-html-strip")
+    assert "Exchange" not in tree
