@@ -56,25 +56,32 @@ def main() -> None:
     # One warmup run + one measured run per query: the measured number is
     # steady-state engine throughput (codegen compiled, Python workers up,
     # file index cached) — the regime a long-running cluster operates in.
+    # Failure-isolated: one broken query reports {"err": ...} for itself and
+    # the run continues — a single analysis error must never zero out the
+    # whole round's perf evidence (the r3 lesson).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        force(fn(spark, sf_dir))
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            force(fn(spark, sf_dir))
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -96,13 +96,18 @@ def range_join_count(
     different relations, e.g. events vs. a promotions table.)
     """
     width = lookback_s * 1_000_000  # microseconds
+    # cast("timestamp") accepts TIMESTAMP and TIMESTAMP_NTZ alike
+    # (unix_micros alone rejects NTZ); any session-tz offset the cast adds
+    # is IDENTICAL on both sides, so bucket adjacency and the range
+    # predicate — which only compare differences — are unaffected.
     lt = left.select(
         F.col(id_col).alias("__id"),
         F.col(key_col).alias("__k"),
-        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
     ).withColumn("__b", F.expr(f"__t div {width}"))  # integer div: exact bucketing
     rt = right.select(
-        F.col(key_col).alias("__k"), F.unix_micros(F.col(ts_col)).alias("__t2")
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t2"),
     ).withColumn(
         "__b",
         F.explode(

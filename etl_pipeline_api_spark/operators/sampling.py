@@ -33,9 +33,17 @@ M32 = 4_294_967_296
 
 
 def det_key(id_col: Column | str) -> Column:
-    """Deterministic pseudo-random sort key, identical in any int64 engine."""
+    """Deterministic pseudo-random sort key, identical in any int64 engine.
+
+    The multiply is done in decimal: a bigint ``id * KNUTH`` overflows int64
+    for ids ≥ ~3.47e9 (ARITHMETIC_OVERFLOW under ANSI mode — exactly the id
+    regime of a 100 TB corpus). decimal(20,0) * decimal(10,0) → decimal(31,0)
+    holds the product for every int64 id, matching DuckDB's silent
+    int128/HUGEINT promotion bit-for-bit, so the oracle SQL stays the plain
+    ``(id * 2654435761) % 4294967296``."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c.cast("long") * F.lit(KNUTH)) % F.lit(M32)
+    wide = c.cast("decimal(20,0)") * F.lit(KNUTH).cast("decimal(10,0)")
+    return (wide % F.lit(M32).cast("decimal(11,0)")).cast("long")
 
 
 def stratified_sample(

@@ -40,6 +40,18 @@ def _norm(a):
     )
 
 
+def _checked_vec(vec, dim: int, op: str):
+    """Row-level dimensionality guard for LSH paths: a vector whose length
+    differs from the hyperplane dim would zip_with-truncate to a null dot,
+    all-zero sign bits, and a silent O(N^2) candidate blowup — raise instead."""
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(F.lit(f"{op}: vector dim "), F.size(vec).cast("string"),
+                     F.lit(f" != hyperplane dim {dim}"))
+        )
+    )
+
+
 def with_norm(df: DataFrame, vec_col: str, out: str = "nrm") -> DataFrame:
     return df.withColumn(out, _norm(F.col(vec_col).cast("array<double>")))
 
@@ -219,7 +231,7 @@ def cosine_pairs_lsh(
     n_planes: int = 32,
     band_width: int = 2,
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold via sign-LSH blocking — the SCALE
     path for embedding near-dup (no driver collect, no O(N^2) scoring).
@@ -240,7 +252,17 @@ def cosine_pairs_lsh(
     holds recall > 0.999 down to cos ≈ 0.4. For the usual near-dup regime
     (cos >= 0.9, p >= 0.93) fewer, wider bands are cheaper. At 100 TB add a
     bucket-size cap (skew guard) before the self-join.
+
+    `dim` (hyperplane dimensionality) is inferred from the first row when
+    not given; every row is then ASSERTED to match it (a wrong dim would
+    zip_with-truncate the dot to null, all-zero band bits, and a silent
+    O(N^2) candidate explosion — fail loudly instead).
     """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cosine_pairs_lsh: empty input, cannot infer dim")
+        dim = int(first["d"])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     planes_lit = F.array(*[
@@ -268,7 +290,7 @@ def cosine_pairs_lsh(
 
     side = fan_out(df).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+        _checked_vec(F.col(vec_col).cast("array<double>"), dim, "cosine_pairs_lsh").alias("v"),
     ).withColumn("n", _norm(F.col("v")))
     banded = side.select(
         "id", F.explode_outer(bands(F.col("v"))).alias("band")
@@ -396,7 +418,7 @@ def lsh_topk(
     n_planes: int = 12,
     n_bands: int = 4,
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucket join + exact re-score.
 
@@ -410,7 +432,16 @@ def lsh_topk(
     when neighbors sit at moderate angles (cos ~0.4); wide bands only pay
     off for tight clusters. At 100 TB, also cap bucket sizes (skew guard)
     and multi-probe the adjacent buckets instead of adding bands.
+
+    `dim` is inferred from the corpus when not given; rows (corpus AND
+    query side) that don't match it raise rather than degrade — see
+    _checked_vec.
     """
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("lsh_topk: empty corpus, cannot infer dim")
+        dim = int(first["d"])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     planes_lit = F.array(*[
@@ -435,11 +466,11 @@ def lsh_topk(
 
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+        _checked_vec(F.col(vec_col).cast("array<double>"), dim, "lsh_topk").alias("cv"),
     ).withColumn("band", F.explode(bands(F.col("cv")))).withColumn("cn", _norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+        _checked_vec(F.col(vec_col).cast("array<double>"), dim, "lsh_topk").alias("qv"),
     ).withColumn("band", F.explode(bands(F.col("qv")))).withColumn("qn", _norm(F.col("qv")))
     cand = (
         c.join(F.broadcast(q), "band")

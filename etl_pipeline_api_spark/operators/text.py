@@ -188,15 +188,23 @@ def pii_clean_col(text_col: str) -> Column:
 
 def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """op-pii-redact: scrub emails / phone numbers / IPv4 addresses from a
-    text column, counting what was removed — the standard pre-training
-    privacy pass.
+    text column — the standard pre-training privacy pass.
+
+    COUNT SEMANTICS: n_emails / n_phones / n_ips are pattern occurrences on
+    the RAW input text, each pattern counted independently. They are NOT
+    "replacements performed": the replaces are chained (email → phone → IP),
+    so a substring matched by more than one pattern (an IPv4 inside an email
+    local-part, digits of a redacted email that also parse as a phone) is
+    redacted once but contributes to every count it matches. The counts
+    answer "how much PII did the scanner see", which is the audit number a
+    privacy pass reports; the DuckDB oracle computes the identical raw-text
+    counts.
 
     Row-local: three regexp_counts + three chained regexp_replaces in ONE
     projection (JVM regex, whole-stage codegen, zero shuffle — at 100 TB
-    this runs at scan speed). Email is redacted before IP so an address
-    inside a hostname is counted once as email. The patterns are the cheap
-    high-precision core; production adds locale-specific recalls behind the
-    same columns. Returns (id, clean_text, n_emails, n_phones, n_ips).
+    this runs at scan speed). The patterns are the cheap high-precision
+    core; production adds locale-specific recalls behind the same columns.
+    Returns (id, clean_text, n_emails, n_phones, n_ips).
     """
     from ..session import fan_out
 

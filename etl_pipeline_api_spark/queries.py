@@ -85,16 +85,16 @@ def query(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Self-sufficient on a VANILLA session: events.parquet stores
-    # TIMESTAMP(NANOS), which Spark 4 rejects unless nanosAsLong is set.
-    # session.py sets it at build time, but harnesses that construct their own
-    # SparkSession (e.g. the driver's correctness gate) do not — the conf is
-    # runtime-settable, so set it here before every read.
+    # events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds 1-2)
+    # and timestamp[us]/TIMESTAMP_NTZ (round 3+). Handling is TYPE-DRIVEN:
+    # nanosAsLong is a read-compat flag (no-op on µs data) that keeps legacy
+    # NANOS files readable on a VANILLA session (the driver's gate builds its
+    # own unconfigured SparkSession); if ts then arrives as a long it is
+    # truncated ns→µs exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP read.
+    # tests/test_ts_canary.py locks both encodings.
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it arrives as
-    # a long — truncate ns→µs exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP read.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div (not /1000 via double — int64 ns exceeds double mantissa)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

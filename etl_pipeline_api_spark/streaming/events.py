@@ -22,31 +22,48 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Type-driven ts normalization shared by the batch and stream readers.
+
+    The events source has shipped in two encodings: parquet timestamp[us]
+    (arrives as TIMESTAMP_NTZ — passes through untouched) and legacy
+    TIMESTAMP(NANOS) (readable only with nanosAsLong, which session.py sets;
+    arrives as bigint and is truncated ns→µs exactly like DuckDB's
+    TIMESTAMP_NS→TIMESTAMP read). Branching on the ACTUAL column type means
+    a change of source encoding can never silently rescale timestamps.
+
+    Streaming requires plain TIMESTAMP for event time (watermarks reject
+    TIMESTAMP_NTZ: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so NTZ is cast —
+    value-identical under the engine's UTC session timezone (session.py)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        # integer div (not /1000 via double — int64 ns exceeds double mantissa)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as raw nanos —
-    see session.py nanosAsLong — and is truncated to µs exactly like the
-    batch reader)."""
-    # nanosAsLong is required to read TIMESTAMP(NANOS); set it at runtime so
-    # this works on vanilla sessions too (not just session.py-built ones).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet. The stream schema is
+    inferred from a batch read of the same files, so whatever ts encoding
+    the batch reader handles, the stream handles identically (no hardcoded
+    schema to go stale when the source encoding changes)."""
     # the file stream source wants a DIRECTORY; select just the events
     # parquet out of the shared testdata dir via glob filter
+    batch_schema = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_agg(events: DataFrame, window: str = "1 hour",
@@ -237,11 +254,18 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
+    # transformWithState REQUIRES the RocksDB state-store provider, and the
+    # provider must be active when the query *starts* — which happens after
+    # this builder returns (run_available_now) — so a set-and-restore inside
+    # the builder cannot work. This is therefore a deliberate, documented,
+    # idempotent session-level set: the one conf mutation in this module.
+    # Per-query state isolation still holds (each run uses a fresh
+    # checkpoint dir), and other streaming operators here are
+    # provider-agnostic.
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     spark = events.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    if spark.conf.get("spark.sql.streaming.stateStore.providerClass", "") != rocksdb:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -96,6 +96,25 @@ def test_stratified_sample_exact_and_deterministic(spark, sf_dir):
         assert r["count"] == min(3, sizes[(r.lang, r.source)])
 
 
+def test_det_key_big_ids_no_ansi_overflow(spark):
+    """ids ≥ ~3.47e9 (the 100 TB-corpus regime) overflow a plain bigint
+    id*KNUTH under ANSI mode; det_key's decimal widening must compute the
+    exact (id * 2654435761) % 2^32 — verified against Python bigints, and
+    the ops built on det_key must run without ARITHMETIC_OVERFLOW."""
+    ids = [5_000_000_000, 3_470_000_000, 2**62, 2**63 - 1, 0, 1, 123]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.k
+        for r in df.withColumn("k", sampling.det_key("doc_id")).collect()
+    }
+    assert got == {i: (i * sampling.KNUTH) % sampling.M32 for i in ids}
+    # the consumers of det_key survive big ids end-to-end
+    sharded = sampling.assign_shards(df, "doc_id", 4)
+    assert sharded.count() == len(ids)
+    df2 = df.withColumn("lang", F.lit("en"))
+    assert sampling.stratified_sample(df2, ["lang"], "doc_id", 3).count() == 3
+
+
 def test_shard_assign_and_write(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()

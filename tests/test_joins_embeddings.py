@@ -106,14 +106,56 @@ def test_cosine_pairs_lsh_matches_exact(spark, sf_dir):
 
 
 def test_cosine_pairs_lsh_no_driver_collect(spark, sf_dir):
-    """The scale path is a pure DataFrame plan: building it must not trigger
-    any job (no toPandas/collect at plan time, unlike cosine_pairs)."""
+    """With dim given explicitly, the scale path is a pure DataFrame plan:
+    building it must not trigger any job (no toPandas/collect at plan time,
+    unlike cosine_pairs). (Omitting dim costs exactly one first()-row
+    lookup to infer it — the documented trade.)"""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None) or [])
-    similarity.cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4)
+    similarity.cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4, dim=64)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_cosine_pairs_lsh_nondefault_dim(spark):
+    """Round-2 ADVICE regression: hyperplane dim must come from the DATA.
+    With 16-dim vectors the old dim=64 hardcode zip_with-truncated every
+    plane dot to null -> all-zero band signatures -> silent all-pairs
+    candidates. Now dim is inferred (if it weren't, the per-row guard
+    would raise), and the LSH pair set still equals the exact pair set."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(80, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(df, "vec_id", "embedding", threshold=0.6).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_lsh(df, "vec_id", "embedding", threshold=0.6).collect()
+    }
+    assert lsh == exact
+
+
+def test_cosine_pairs_lsh_mixed_dim_raises(spark):
+    """A vector whose length disagrees with the hyperplane dim must fail
+    loudly (the silent degradation mode is the bug)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [1.0] * 16), (3, [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        similarity.cosine_pairs_lsh(df, "vec_id", "embedding", threshold=0.5).collect()
 
 
 def test_cosine_pairs_blocked_matches_exact(spark, sf_dir):

@@ -9,7 +9,7 @@ SF = "/root/testdata/sf0.001"
 
 def _batch_events(spark):
     df = spark.read.parquet(f"{SF}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sev.normalize_event_ts(df)
 
 
 def test_stream_batch_parity_windowed_agg(spark):
