@@ -34,6 +34,7 @@ import etl_pipeline_api_spark.queries_corpus4  # noqa: E402,F401  (registers cor
 import etl_pipeline_api_spark.queries_rel6  # noqa: E402,F401  (registers relational batch 6)
 import etl_pipeline_api_spark.queries_rel7  # noqa: E402,F401  (registers relational batch 7)
 import etl_pipeline_api_spark.queries_rel8  # noqa: E402,F401  (registers relational batch 8)
+import etl_pipeline_api_spark.queries_rel9  # noqa: E402,F401  (registers relational batch 9)
 
 
 def entry(spark: SparkSession) -> DataFrame:

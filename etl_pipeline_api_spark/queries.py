@@ -71,6 +71,8 @@ BENCH_QUERIES: list[str] = [
     "op-tpch-q21",
     "op-lm-score",
     "op-quality-classifier",
+    "op-approx-distinct",
+    "op-skew-report",
 ]
 
 

@@ -1,0 +1,205 @@
+"""Relational batch 9 — approximation sketches, skew diagnostics, ORC
+format breadth, sliding-window streaming (SURVEY.md §2.9).
+
+What a 100 TB deployment runs that small engines skip:
+
+- op-approx-distinct: HyperLogLog++ cardinality (approx_count_distinct)
+  next to the exact count — at scale the exact count is a full shuffle of
+  every distinct value, the sketch is a fixed few-KB state per group that
+  merges map-side. The oracle pins the exact counts AND a tolerance flag
+  (the sketch must land within 5% — the rsd contract), so the approximate
+  operator is still correctness-gated.
+- op-approx-quantile: percentile_approx (Greenwald-Khanna style sketch)
+  against the exact interpolated percentile, same tolerance-flag pattern.
+- op-skew-report: the pre-join key-distribution probe that decides
+  broadcast vs salt vs plain shuffle (operators/diagnostics.py).
+- op-orc-roundtrip: ORC partitioned sink + distributed scan — the last
+  mainstream columnar format the engine hadn't round-tripped
+  (sources/orc_source.py).
+- op-stream-sliding-window: hopping-window streaming aggregation (1 h
+  window, 30 min hop) executed AS A STREAM to completion; the DuckDB twin
+  expands each event into its two containing windows via unnest.
+
+The reference implements none of these (its whole engine is
+proj-eng-dados/main.py — single-process pandas); they are the §2.9
+extension surface, each with a full value-level oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _SCRATCH, _t, query
+
+
+# ---------------------------------------------------------------------
+# op-approx-distinct: HLL cardinality with a tolerance-flag oracle
+# ---------------------------------------------------------------------
+
+@query(
+    "op-approx-distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           true AS within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-approx-distinct: per-type distinct users, exact and HLL-sketched
+    in ONE aggregation. The sketch (rsd 2%) must land within 5% of exact —
+    that flag is what the oracle checks, making an approximate operator
+    deterministic enough to gate. At 100 TB you drop the exact branch and
+    keep the sketch: constant memory per group, map-side mergeable (this
+    is also the shape of incremental/streaming cardinality)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_tol"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# op-approx-quantile: GK-sketch percentiles with a tolerance-flag oracle
+# ---------------------------------------------------------------------
+
+@query(
+    "op-approx-quantile",
+    oracle="""
+    SELECT round(quantile_cont(value, 0.5), 2)  AS p50,
+           round(quantile_cont(value, 0.9), 2)  AS p90,
+           round(quantile_cont(value, 0.99), 2) AS p99,
+           true AS ok50, true AS ok90, true AS ok99
+    FROM events
+    """,
+)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-approx-quantile: exact interpolated percentiles (the oracle
+    values) plus percentile_approx sketches asserted within 5% relative
+    error. The exact percentile is a full sort at scale; the sketch is a
+    bounded-size mergeable summary — the only viable form at 100 TB, and
+    the flags keep it under the correctness gate."""
+    ev = _t(spark, sf_dir, "events")
+    exact = [F.expr(f"percentile(value, {q})").alias(f"e{int(q * 100)}")
+             for q in (0.5, 0.9, 0.99)]
+    approx = [F.percentile_approx("value", q, 10000).alias(f"a{int(q * 100)}")
+              for q in (0.5, 0.9, 0.99)]
+    agg = ev.agg(*exact, *approx)
+    flag = lambda p: (  # noqa: E731
+        F.abs(F.col(f"a{p}") - F.col(f"e{p}"))
+        <= 0.05 * F.greatest(F.abs(F.col(f"e{p}")), F.lit(1.0))
+    ).alias(f"ok{p}")
+    return agg.select(
+        F.round("e50", 2).alias("p50"),
+        F.round("e90", 2).alias("p90"),
+        F.round("e99", 2).alias("p99"),
+        flag(50), flag(90), flag(99),
+    )
+
+
+# ---------------------------------------------------------------------
+# op-skew-report: join-key distribution probe
+# ---------------------------------------------------------------------
+
+@query(
+    "op-skew-report",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+    SELECT count(*) AS n_keys,
+           max(n) AS max_n,
+           min(n) AS min_n,
+           round(avg(n), 2) AS avg_n,
+           (SELECT user_id FROM c ORDER BY n DESC, user_id LIMIT 1) AS heavy_key,
+           round(max(n) / avg(n), 2) AS skew_ratio
+    FROM c
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-skew-report: one-row key-skew summary for events.user_id — the
+    measurement that picks broadcast vs salted vs plain shuffle join
+    (operators/diagnostics.py skew_report; two map-combined aggs, nothing
+    driver-side)."""
+    from .operators.diagnostics import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id")
+
+
+# ---------------------------------------------------------------------
+# op-orc-roundtrip: ORC partitioned sink + distributed scan
+# ---------------------------------------------------------------------
+
+@query(
+    "op-orc-roundtrip",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip: events projected, written as an event_type-
+    partitioned ORC layout (sources/orc_source.py), scanned back
+    distributed, aggregated — values must survive the format exactly.
+    Partitioning by the group key means the read-side agg enjoys
+    partition pruning exactly like the hive-parquet sink."""
+    from .sources.orc_source import read_orc, write_orc
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = os.path.join(_SCRATCH, "orc_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    write_orc(ev, out, partition_by=["event_type"])
+    back = read_orc(spark, out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------
+# op-stream-sliding-window: hopping-window streaming aggregation
+# ---------------------------------------------------------------------
+
+@query(
+    "op-stream-sliding-window",
+    oracle="""
+    SELECT window_start, event_type, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+                    ]) AS window_start,
+             event_type, value
+      FROM events) t
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-sliding-window: 1 h windows hopping every 30 min, executed
+    AS A STREAMING QUERY (watermarked state, Trigger.AvailableNow) — every
+    event lands in exactly 2 windows; the DuckDB twin unnests each row into
+    its two epoch-aligned window starts. Spark's window() and DuckDB's
+    time_bucket both align hops to the epoch, so window_start matches
+    value-for-value."""
+    from .streaming import events as sev
+
+    stream = sev.read_events_stream(spark, sf_dir)
+    return sev.run_available_now(
+        sev.windowed_agg(stream, window="1 hour", slide="30 minutes")
+    )

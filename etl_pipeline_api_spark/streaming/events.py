@@ -67,16 +67,22 @@ def read_events_stream(
 
 
 def windowed_agg(events: DataFrame, window: str = "1 hour",
-                 watermark: str = "30 minutes") -> DataFrame:
-    """Tumbling-window counts/sums per event_type. In streaming mode the
-    watermark bounds state and admits late data up to 30 min; in batch mode
-    the same expression computes the identical result (oracle twin:
-    date_trunc)."""
+                 watermark: str = "30 minutes",
+                 slide: str | None = None) -> DataFrame:
+    """Tumbling (or, with ``slide``, sliding/hopping) window counts/sums per
+    event_type. In streaming mode the watermark bounds state and admits late
+    data up to 30 min; in batch mode the same expression computes the
+    identical result (oracle twin: date_trunc / time_bucket-unnest).
+
+    Sliding windows multiply state by window/slide overlapping windows per
+    event — at 100 TB keep the ratio small (2-4) or pre-aggregate into
+    slide-sized tumbling panes and roll up (the two-level pane trick)."""
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        src.groupBy(F.window("ts", window), "event_type")
+        src.groupBy(win, "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(
             F.col("window.start").alias("window_start"),
