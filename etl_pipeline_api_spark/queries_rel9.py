@@ -173,6 +173,49 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# op-hll-merge: persisted sketch rollup (incremental cardinality)
+# ---------------------------------------------------------------------
+
+@query(
+    "op-hll-merge",
+    oracle="""
+    SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           count(DISTINCT user_id) AS n_exact,
+           true AS within_tol
+    FROM events
+    """,
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-hll-merge: per-DAY Datasketches-HLL sketches (hll_sketch_agg)
+    union-merged into a global distinct-user estimate (hll_union_agg →
+    hll_sketch_estimate), tolerance-gated against the exact count.
+
+    This is the INCREMENTAL form of count-distinct at 100 TB: each day's
+    binary sketch is a few KB that a nightly job materializes once; any
+    date-range cardinality is then a sketch union over the range — no
+    rescan of the raw events, and the union is associative so it
+    parallelizes/merges map-side. (op-approx-distinct demonstrates the
+    one-shot estimate; this demonstrates sketch REUSE across partitions,
+    which is why warehouses persist sketch columns.)"""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return merged.crossJoin(exact).select(
+        "n_days",
+        "n_exact",
+        (F.abs(F.col("n_est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")).alias(
+            "within_tol"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
 # op-stream-sliding-window: hopping-window streaming aggregation
 # ---------------------------------------------------------------------
 

@@ -174,14 +174,27 @@ def deduped(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
 
 
 def purchases_after_clicks(
-    clicks: DataFrame, purchases: DataFrame, within: str = "10 minutes"
+    clicks: DataFrame, purchases: DataFrame, within: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: purchases attributed to a same-user click
-    in the preceding `within` interval. Both sides are watermarked, and the
+    """Stream-stream join: purchases attributed to a same-user click in the
+    preceding `within` interval. Both sides are watermarked, and the
     time-range join condition lets Spark expire buffered rows — state stays
     bounded by (watermark + interval), the canonical stream-stream join
     contract. In batch mode the identical expression computes the oracle
-    twin."""
+    twin.
+
+    ``how="left_outer"`` additionally emits unconverted clicks with a null
+    purchase_id — in streaming, an unmatched click emits only once the
+    watermark proves no matching purchase can still arrive. Two operational
+    caveats (pinned by tests/test_streaming.py): the global watermark is
+    the MIN across both sides' watermark nodes, so an IDLE side holds every
+    pending outer row (at 100 TB, feed heartbeats or set
+    multipleWatermarkPolicy=max deliberately); and a batch's watermark
+    takes effect one batch later, so null-emits trail the advancing data
+    by one micro-batch."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("purchases_after_clicks supports inner/left_outer")
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -200,6 +213,7 @@ def purchases_after_clicks(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") > F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select("click_id", "purchase_id")
 
 

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import functions as F
 
 from etl_pipeline_api_spark.streaming import events as sev
@@ -110,6 +112,143 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     }
     assert {r.event_type: (r.n, r.total) for r in got} == want
     assert len(os.listdir(sink)) > n_batches_first  # second run added batches
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data contract: a row older than (max event time - watermark)
+    arriving in a later micro-batch is DROPPED from the windowed aggregate
+    — asserted via the state operator's numRowsDroppedByWatermark metric,
+    which is the bounded-state guarantee that lets the 100 TB stream keep
+    finite window state instead of growing forever."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = sev.windowed_agg(stream, window="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in json.loads(p.json).get("stateOperators", [])
+        )
+
+    # batch 1: on-time rows spanning 2 h -> watermark persists at 1:30
+    write_rows([
+        (i, base + dt.timedelta(minutes=10 * i), 1, "click", 1.0)
+        for i in range(13)
+    ])
+    assert drain() == 0
+    # batch 2: one row in the long-closed 0:00 window + one fresh row
+    write_rows([
+        (100, base, 1, "click", 1.0),                          # late -> dropped
+        (101, base + dt.timedelta(hours=2, minutes=30), 1, "click", 1.0),
+    ])
+    assert drain() == 1
+
+
+def test_stream_stream_left_outer_emits_on_watermark(spark, tmp_path):
+    """Left-outer stream-stream join contract: an unconverted click emits
+    (purchase_id NULL) only once the watermark proves no matching purchase
+    can still arrive. Batch 1's unmatched click must NOT appear after
+    batch 1 (watermark hasn't passed it) and MUST appear after batch 2
+    advances the watermark."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        joined = sev.purchases_after_clicks(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            how="left_outer",
+        )
+        # file sink: append-mode and checkpoint-recoverable across drains
+        # (the memory sink cannot resume from a checkpoint)
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.click_id, r.purchase_id)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # batch 1: click 1 converts, click 2 does not
+    write_rows([
+        (1, base, 7, "click", 1.0),
+        (10, base + dt.timedelta(minutes=5), 7, "purchase", 9.0),
+        (2, base + dt.timedelta(minutes=20), 7, "click", 1.0),
+    ])
+    out1 = drain()
+    assert (1, 10) in out1
+    assert (2, None) not in out1  # watermark hasn't closed click 2 yet
+    # Two contract details this pins: (a) the GLOBAL watermark is the MIN
+    # over both sides' watermark nodes, so BOTH streams need advancing
+    # events or an idle side holds every outer row hostage; (b) a batch's
+    # watermark only takes EFFECT in the following batch, so the null-emit
+    # lands one drain after the advancing data.
+    write_rows([
+        (99, base + dt.timedelta(hours=3), 8, "click", 1.0),
+        (98, base + dt.timedelta(hours=3), 9, "purchase", 2.0),
+    ])
+    drain()
+    write_rows([
+        (100, base + dt.timedelta(hours=4), 8, "click", 1.0),
+        (101, base + dt.timedelta(hours=4), 9, "purchase", 2.0),
+    ])
+    out3 = drain()
+    assert (2, None) in out3
 
 
 def test_transform_with_state_totals(spark):
