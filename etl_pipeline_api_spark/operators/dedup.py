@@ -169,6 +169,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 32,
     band_rows: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """op-dedup-fuzzy (scale path): MinHash + banded LSH candidate pairs,
     verified with EXACT Jaccard on the shingle sets. Pure DataFrame ops —
@@ -192,6 +193,17 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard_approx) with id_a < id_b — the jaccard is
     exact on surviving pairs; the _approx name reflects candidate recall.
+
+    ``max_bucket`` is the SKEW GUARD for the banded self-join: a band value
+    shared by B docs yields B^2/2 candidate pairs, so one degenerate bucket
+    (empty-ish docs, boilerplate) can reintroduce the quadratic blowup the
+    banding exists to avoid. Buckets larger than the cap are dropped before
+    the join (one extra count-aggregate on the SAME key as the join — it
+    co-partitions, no extra shuffle pattern). The trade is explicit: pairs
+    whose every shared band is oversized are lost, which for dedup means
+    "a >max_bucket-sized near-identical cluster" — exactly the boilerplate
+    case handled by line_dedup/exact dedup upstream. Default None keeps
+    exact parity with the uncapped oracle.
     """
     n_bands = num_hashes // band_rows
     # Shingle strings are xxhash64'd to int64 ONCE, inside the frame that
@@ -243,6 +255,14 @@ def minhash_lsh_pairs(
         )
         .select("__id", "bv.band", "bv.bh")
     )
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band", "bh")
+        )
+        bands = bands.join(ok, ["band", "bh"])
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bh"])

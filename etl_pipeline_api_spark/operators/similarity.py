@@ -232,6 +232,7 @@ def cosine_pairs_lsh(
     band_width: int = 2,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold via sign-LSH blocking — the SCALE
     path for embedding near-dup (no driver collect, no O(N^2) scoring).
@@ -250,8 +251,16 @@ def cosine_pairs_lsh(
     recall = 1 - (1 - p^band_width)^n_bands. Low thresholds (wide angles)
     need NARROW bands and many of them — the default (width 2, 16 bands)
     holds recall > 0.999 down to cos ≈ 0.4. For the usual near-dup regime
-    (cos >= 0.9, p >= 0.93) fewer, wider bands are cheaper. At 100 TB add a
-    bucket-size cap (skew guard) before the self-join.
+    (cos >= 0.9, p >= 0.93) fewer, wider bands are cheaper.
+
+    ``max_bucket`` is the 100 TB skew guard: a band bucket of B vectors
+    yields B^2/2 candidates, so one degenerate bucket (a dense cluster of
+    near-identical embeddings) reintroduces the quadratic cost the banding
+    avoids. Oversized buckets are dropped before the self-join via a
+    count-aggregate on the SAME key (co-partitions with the join). Lost
+    recall is exactly "clusters bigger than the cap", which semantic dedup
+    handles upstream (semdedup/kmeans); default None = uncapped, oracle-
+    exact.
 
     `dim` (hyperplane dimensionality) is inferred from the first row when
     not given; every row is then ASSERTED to match it (a wrong dim would
@@ -295,6 +304,14 @@ def cosine_pairs_lsh(
     banded = side.select(
         "id", F.explode_outer(bands(F.col("v"))).alias("band")
     ).filter(F.col("band").isNotNull())
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band")
+        )
+        banded = banded.join(ok, "band")
     cand = (
         banded.select("band", F.col("id").alias("id_a"))
         .join(banded.select("band", F.col("id").alias("id_b")), "band")

@@ -60,6 +60,7 @@ def curate(
     line_max_df: int | None = None,
     decontam_eval: DataFrame | None = None,
     decontam_n: int = 4,
+    near_dup_max_bucket: int | None = None,
 ) -> DataFrame:
     """Curated survivors of `docs` (all original columns kept).
 
@@ -76,6 +77,11 @@ def curate(
       costs dedup_lines' three shuffles + one join-back on doc_id.
     - `decontam_eval`: drop docs sharing any `decontam_n`-gram with the
       eval frame — LAST, over the smallest survivor set (broadcast probe).
+    - `near_dup_max_bucket` (scale_path only): LSH bucket-size cap — the
+      skew guard against a degenerate band bucket going quadratic. Exact
+      dedup runs FIRST here, so oversized buckets mean near-identical-but-
+      not-equal boilerplate; at 100 TB set this (e.g. 1000) and let
+      line-dedup own that text instead.
     """
     # Every pre-pair metric (language, quality, fingerprint, PII scrub) is
     # row-local, so the whole filter phase is ONE scan-and-project — no
@@ -134,10 +140,15 @@ def curate(
         .localCheckpoint(eager=False)
     )
 
-    pair_fn = minhash_lsh_pairs if scale_path else ngram_jaccard_pairs
-    pairs = pair_fn(
-        exact_survivors, "doc_id", "text", n=3, threshold=jaccard_threshold
-    )
+    if scale_path:
+        pairs = minhash_lsh_pairs(
+            exact_survivors, "doc_id", "text", n=3,
+            threshold=jaccard_threshold, max_bucket=near_dup_max_bucket,
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            exact_survivors, "doc_id", "text", n=3, threshold=jaccard_threshold
+        )
     comps = connected_components(pairs, "id_a", "id_b")
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

@@ -52,6 +52,44 @@ def test_minhash_recovers_exact_pairs(spark, sf_dir):
     assert recall >= 0.9, f"MinHash recall {recall} too low ({exact - approx})"
 
 
+def test_minhash_bucket_cap_skew_guard(spark):
+    """max_bucket drops degenerate band buckets: 40 identical docs form one
+    hot bucket per band (40^2/2 candidates each); with the cap those pairs
+    vanish while pairs in small buckets survive untouched."""
+    rows = [Row(doc_id=i, text="the same boilerplate line repeated here") for i in range(40)]
+    rows += [Row(doc_id=100, text="alpha beta gamma delta epsilon zeta eta"),
+             Row(doc_id=101, text="alpha beta gamma delta epsilon zeta theta")]
+    df = spark.createDataFrame(rows)
+    uncapped = {(r.id_a, r.id_b)
+                for r in dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    capped = {(r.id_a, r.id_b)
+              for r in dedup.minhash_lsh_pairs(
+                  df, "doc_id", "text", threshold=0.5, max_bucket=10).collect()}
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert any(a < 40 and b < 40 for a, b in uncapped)   # hot cluster found uncapped
+    assert not any(a < 40 and b < 40 for a, b in capped)  # and dropped under the cap
+    assert capped <= uncapped
+
+
+def test_cosine_lsh_bucket_cap_skew_guard(spark):
+    import numpy as np
+
+    from etl_pipeline_api_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    hot = [1.0] * 16
+    vecs = [(i, hot) for i in range(30)]  # identical cluster -> hot buckets
+    vecs += [(100 + i, [float(x) for x in rng.randn(16)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_lsh(
+            df, "vec_id", "embedding", threshold=0.9, max_bucket=10
+        ).collect()
+    }
+    assert not any(a < 30 and b < 30 for a, b in capped)
+
+
 def test_connected_components_transitive(spark):
     # A~B, B~C, (A~C never emitted) must still collapse into one cluster
     pairs = spark.createDataFrame(
