@@ -1,0 +1,111 @@
+"""Physical-plan audit for the headline queries.
+
+Prints, per query, the scale-relevant plan facts Catalyst chose at
+$SPARK_GRAFT_SF_DIR (default sf0.1):
+
+- exchanges (shuffles) and broadcast exchanges,
+- whole-stage-codegen coverage (spans vs total operators),
+- parquet scans with PushedFilters / ReadSchema (pushdown + pruning
+  evidence: a scan reading all columns for a 2-column projection is a bug),
+- joins by strategy (broadcast-hash / sort-merge / shuffled-hash),
+- red flags: CartesianProduct / BroadcastNestedLoopJoin outside the
+  deliberate small-side cross joins.
+
+Usage: python tools/plan_audit.py [name ...]   (default: BENCH_QUERIES)
+Output is markdown (PLANS_r{N}.md is a committed snapshot).
+
+NB: counts come from the POST-EXECUTION adaptive plan's string rendering,
+which re-prints reused exchanges/stages — so shuffle/broadcast numbers are
+comparable round-over-round upper bounds, not exact exchange counts. The
+flags and the pushdown/pruning lines are exact.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_pipeline_api_spark.queries import BENCH_QUERIES, QUERIES  # noqa: E402
+import __spark_entry__  # noqa: E402,F401  (registers every query batch)
+from etl_pipeline_api_spark.session import get_spark  # noqa: E402
+
+
+def audit(plan: str) -> dict[str, object]:
+    count = lambda pat: len(re.findall(pat, plan))  # noqa: E731
+    return {
+        "shuffles": count(r"Exchange hashpartitioning|Exchange rangepartitioning"),
+        "broadcasts": count(r"BroadcastExchange"),
+        # executedPlan().toString() marks codegen as "*(N) Op"; distinct N
+        # = number of fused codegen spans
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "bhj": count(r"BroadcastHashJoin"),
+        "smj": count(r"SortMergeJoin"),
+        "shj": count(r"ShuffledHashJoin"),
+        "cartesian": count(r"CartesianProduct"),
+        "bnlj": count(r"BroadcastNestedLoopJoin"),
+        "scans": re.findall(
+            r"Scan parquet[^\n]*\n(?:.*\n)*?.*ReadSchema: (\S+)", plan
+        )[:4],
+        "pushed": re.findall(r"PushedFilters: (\[[^\]]*\])", plan)[:4],
+    }
+
+
+# Deliberate plan "smells" — flagged queries whose nested-loop joins are
+# intentional small-side broadcasts, with the reason the plan is right.
+TRIAGE = {
+    "op-sim-search": "BNLJ = crossJoin(broadcast(query vectors)) — bounded "
+                     "query set against the distributed corpus, the exact "
+                     "top-k search shape (similarity.cosine_topk).",
+    "op-lm-score": "BNLJ = join(broadcast(1-row corpus total)) — scalar "
+                   "normalization constant attached to every row; a shuffle "
+                   "join on a literal key would be strictly worse.",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:] or BENCH_QUERIES
+    spark = get_spark("plan_audit")
+    print(f"# Plan audit @ {sf_dir}\n")
+    for name in names:
+        fn = QUERIES.get(name)
+        if fn is None:
+            print(f"## {name}\nUNKNOWN QUERY\n")
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            # Execute first: under AQE the FINAL plan (stage re-plans,
+            # codegen markers, runtime join strategy switches) only exists
+            # after the query runs; the pre-execution plan is provisional.
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — audit must cover every query
+            print(f"## {name}\nERROR: {type(e).__name__}: {str(e)[:200]}\n")
+            continue
+        a = audit(plan)
+        flags = []
+        if a["cartesian"]:
+            flags.append(f"CARTESIAN x{a['cartesian']}")
+        if a["bnlj"]:
+            flags.append(f"BNLJ x{a['bnlj']}")
+        joins = ", ".join(
+            f"{k}={a[k]}" for k in ("bhj", "smj", "shj") if a[k]
+        ) or "none"
+        print(f"## {name}")
+        print(
+            f"- shuffles={a['shuffles']} broadcasts={a['broadcasts']} "
+            f"codegen_spans={a['codegen_spans']} joins: {joins}"
+            + (f"  **FLAGS: {'; '.join(flags)}**" if flags else "")
+        )
+        if flags and name in TRIAGE:
+            print(f"- triage: {TRIAGE[name]}")
+        for schema, pushed in zip(a["scans"], a["pushed"] + ["[]"] * 4):
+            print(f"- scan {schema[:110]} pushed={pushed[:80]}")
+        print()
+
+
+if __name__ == "__main__":
+    main()
