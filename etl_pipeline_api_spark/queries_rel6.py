@@ -49,14 +49,14 @@ def q_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture setup (.collect() of 500 docs to write the pages) is
     driver-side test scaffolding, not the operator path — the scan
     itself never routes rows through the driver."""
-    import json as _json
-
     from .session import ship_package
     from .sources.page_datasource import (
         CORRUPT_PATH_COL,
         PageFileDataSource,
         with_corrupt_col,
     )
+
+    from .sources.page_datasource import write_page_fixture
 
     ship_package(spark)  # executors import the datasource module by name
     spark.dataSource.register(PageFileDataSource)
@@ -68,18 +68,8 @@ def q_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     out = os.path.join(_SCRATCH, "datasource_pages")
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    half = len(docs) // 2
-    with open(os.path.join(out, "page_1.json"), "w") as f:
-        _json.dump(docs[:half], f)  # bare-array envelope
-    with open(os.path.join(out, "page_2.json"), "w") as f:
-        _json.dump(
-            {"count": len(docs), "next": None, "previous": None,
-             "results": docs[half:]}, f,
-        )  # API envelope
-    with open(os.path.join(out, "page_3.json"), "w") as f:
-        f.write("{corrupt!!")  # must isolate, not fail
+    # bare-array + API envelopes + one corrupt page (must isolate, not fail)
+    write_page_fixture(docs, out)
 
     record = T.StructType([
         T.StructField("doc_id", T.LongType()),

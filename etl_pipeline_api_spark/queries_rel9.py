@@ -216,6 +216,59 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# op-stream-datasource-pages: custom Python DataSource as a STREAM source
+# ---------------------------------------------------------------------
+
+@query(
+    "op-stream-datasource-pages",
+    oracle="SELECT doc_id, lang, source FROM documents",
+)
+def q_stream_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The page_json plugin source consumed as a STREAM
+    (sources/page_datasource.py PageStreamReader): new page files become
+    micro-batches, the offset is the last processed filename (monotonic
+    page names — the reference's sequential downloader contract), and a
+    corrupt page isolates as a filtered _corrupt_path row instead of
+    killing the stream. Drained to completion with AvailableNow; result
+    must equal the batch scan of the same pages (the op-datasource-pages /
+    op-json-scan oracle)."""
+    from pyspark.sql import types as T
+
+    from .session import ship_package
+    from .sources.page_datasource import (
+        CORRUPT_PATH_COL,
+        PageFileDataSource,
+        with_corrupt_col,
+        write_page_fixture,
+    )
+    from .streaming.events import run_available_now
+
+    ship_package(spark)
+    spark.dataSource.register(PageFileDataSource)
+    docs = [
+        r.asDict()
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source")
+        .collect()
+    ]
+    out = os.path.join(_SCRATCH, "datasource_pages_stream")
+    write_page_fixture(docs, out)
+    record = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    raw = (
+        spark.readStream.format("page_json")
+        .schema(with_corrupt_col(record))
+        .option("path", out)
+        .load()
+    )
+    clean = raw.filter(F.col(CORRUPT_PATH_COL).isNull()).drop(CORRUPT_PATH_COL)
+    return run_available_now(clean, output_mode="append")
+
+
+# ---------------------------------------------------------------------
 # op-stream-sliding-window: hopping-window streaming aggregation
 # ---------------------------------------------------------------------
 

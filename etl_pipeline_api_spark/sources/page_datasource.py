@@ -29,7 +29,12 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql import types as T
 
 CORRUPT_PATH_COL = "_corrupt_path"
@@ -66,8 +71,58 @@ class PageFileReader(DataSourceReader):
             yield tuple(rec.get(n) for n in names) + (None,)
 
 
+class PageStreamReader(DataSourceStreamReader):
+    """Streaming twin of PageFileReader: the reference's poll-loop
+    (proj-eng-dados/main.py:84-99 — "fetch pages until none are new") as a
+    real incremental micro-batch source with replayable offsets.
+
+    OFFSET CONTRACT: page files are named monotonically (page_00001.json …),
+    which is exactly what the reference's sequential downloader produces; the
+    offset is the LAST FILENAME processed, so a restart resumes after it and
+    a replayed batch re-reads precisely its own (start, end] file range —
+    deterministic batches, the foundation foreachBatch idempotence builds on.
+    Each new file is one InputPartition: parsing fans out across executors,
+    nothing routes through the driver (latestOffset lists the directory —
+    driver-side metadata only, same as any FileIndex)."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema = schema
+        self.options = options
+
+    def _files(self) -> list[str]:
+        root = self.options["path"]
+        pattern = self.options.get("pattern", "*.json")
+        return sorted(glob.glob(os.path.join(root, pattern)))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        return {"last": os.path.basename(files[-1]) if files else ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        batch = [
+            p for p in self._files() if lo < os.path.basename(p) <= hi
+        ]
+        # zero-partition batches are rejected by the engine; emit an empty
+        # marker partition instead (read() yields nothing for it)
+        return [PagePartition(p) for p in batch] or [PagePartition("")]
+
+    def read(self, partition: PagePartition):
+        if not partition.path:
+            return
+        yield from PageFileReader(self.schema, self.options).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class PageFileDataSource(DataSource):
-    """``spark.read.format("page_json").schema(s).option("path", d).load()``."""
+    """``spark.read.format("page_json").schema(s).option("path", d).load()``
+    for batch; ``spark.readStream`` with the same format/schema/options for
+    the incremental stream (new page files become micro-batches)."""
 
     @classmethod
     def name(cls) -> str:
@@ -82,9 +137,33 @@ class PageFileDataSource(DataSource):
     def reader(self, schema: T.StructType) -> PageFileReader:
         return PageFileReader(schema, self.options)
 
+    def streamReader(self, schema: T.StructType) -> PageStreamReader:
+        return PageStreamReader(schema, self.options)
+
 
 def with_corrupt_col(record: T.StructType) -> T.StructType:
     """The schema to pass to ``.schema(...)``: record fields + corrupt-path."""
     return T.StructType(
         list(record.fields) + [T.StructField(CORRUPT_PATH_COL, T.StringType(), True)]
     )
+
+
+def write_page_fixture(records: list[dict], out_dir: str, corrupt: bool = True) -> None:
+    """Test/oracle scaffolding: lay `records` out as the reference's raw page
+    layer — page_1 bare-array envelope, page_2 API envelope, and (optionally)
+    a corrupt page_3 that the scan must isolate rather than fail on."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    half = len(records) // 2
+    with open(os.path.join(out_dir, "page_1.json"), "w") as f:
+        json.dump(records[:half], f)
+    with open(os.path.join(out_dir, "page_2.json"), "w") as f:
+        json.dump(
+            {"count": len(records), "next": None, "previous": None,
+             "results": records[half:]}, f,
+        )
+    if corrupt:
+        with open(os.path.join(out_dir, "page_3.json"), "w") as f:
+            f.write("{corrupt!!")
