@@ -173,6 +173,77 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# op-lateral-topk: correlated LATERAL subquery (per-row top-N)
+# ---------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+"""
+
+
+@query("op-lateral-topk", oracle=_LATERAL_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-lateral-topk: top-2 customers per nation via a correlated
+    LATERAL subquery — the SQL-surface twin of the window row_number
+    top-k (op-window-topk). Catalyst decorrelates the lateral into a
+    ranked join (no per-row re-execution); the SAME SQL text runs on
+    DuckDB, so the query is its own oracle."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------
+# op-map-funcs: MapType construction / merge / filter / explode
+# ---------------------------------------------------------------------
+
+@query(
+    "op-map-funcs",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, event_type, n,
+           CAST(n >= 10 AS BOOLEAN) AS hot
+    FROM per
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-map-funcs: per-user event-type histogram carried as a MapType
+    column — map_from_entries(collect_list(struct)) builds it in one agg,
+    transform_values derives a flag map, map_filter/map_concat compose,
+    and explode(map) flattens back to rows for the oracle (DuckDB has no
+    comparable MAP aggregation surface, so the canonical form is the
+    exploded one; the map is the engine-side artifact a feature store
+    would keep)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("hist")
+    )
+    flagged = maps.withColumn(
+        "hot_map", F.transform_values("hist", lambda k, v: v >= 10)
+    )
+    return flagged.select(
+        "user_id",
+        F.explode(
+            F.map_zip_with(
+                "hist", "hot_map", lambda k, n, hot: F.struct(n.alias("n"), hot.alias("hot"))
+            )
+        ).alias("event_type", "nh"),
+    ).select(
+        "user_id", "event_type", F.col("nh.n").alias("n"), F.col("nh.hot").alias("hot")
+    )
+
+
+# ---------------------------------------------------------------------
 # op-hll-merge: persisted sketch rollup (incremental cardinality)
 # ---------------------------------------------------------------------
 

@@ -79,6 +79,39 @@ def test_stream_windowed_agg_both_encodings(spark, events_dir):
     assert rows == want
 
 
+def test_embedding_dtype_canary(spark, tmp_path):
+    """Same regression class as events.ts, for embeddings: the driver's
+    embedding column could ship as array<float> (today) or array<double>.
+    The similarity ops cast to array<double> internally — identical pair
+    sets must come out of either encoding."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_api_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 8)
+    results = {}
+    for unit, patype in (("f32", pa.float32()), ("f64", pa.float64())):
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs], pa.list_(patype)
+            ),
+        })
+        path = tmp_path / f"emb_{unit}.parquet"
+        pq.write_table(tbl, path)
+        df = spark.read.parquet(str(path))
+        results[unit] = {
+            (r.id_a, r.id_b)
+            for r in similarity.cosine_pairs_lsh(
+                df, "vec_id", "embedding", threshold=0.6
+            ).collect()
+        }
+    assert results["f32"] == results["f64"]
+
+
 def test_range_join_both_encodings(spark, events_dir):
     ev = sev.normalize_event_ts(spark.read.parquet(f"{events_dir}/events.parquet"))
     out = range_join_count(
