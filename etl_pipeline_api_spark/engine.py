@@ -85,3 +85,74 @@ class Engine:
     # -- orchestration --------------------------------------------------
     def run_pipeline(self, pipeline) -> dict[str, DataFrame]:
         return pipeline.run(self.spark)
+
+    # -- formats beyond parquet/JSON ------------------------------------
+    def read_orc(self, path: str) -> DataFrame:
+        from .sources.orc_source import read_orc
+
+        return read_orc(self.spark, path)
+
+    def write_orc(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        from .sources.orc_source import write_orc
+
+        write_orc(df, path, partition_by=partition_by)
+
+    # -- dedup / similarity (LLM corpus toolkit, §2.9) -------------------
+    def dedup_exact(
+        self, df: DataFrame, key_cols: list[str], id_col: str
+    ) -> DataFrame:
+        """Keep the min-id row per duplicate key group (one window shuffle)."""
+        from .operators.dedup import exact_dedup
+
+        return exact_dedup(df, key_cols, id_col)
+
+    def dedup_minhash(
+        self, df: DataFrame, id_col: str, text_col: str,
+        threshold: float = 0.5, max_bucket: int | None = None,
+    ) -> DataFrame:
+        """Near-dup candidate pairs at scale (MinHash LSH band join +
+        exact-Jaccard verify; max_bucket = hot-bucket skew guard)."""
+        from .operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            df, id_col, text_col, threshold=threshold, max_bucket=max_bucket
+        )
+
+    def similar_topk(
+        self, corpus: DataFrame, queries: DataFrame,
+        id_col: str, vec_col: str, k: int = 5,
+    ) -> DataFrame:
+        from .operators.similarity import cosine_topk
+
+        return cosine_topk(corpus, queries, id_col, vec_col, k=k)
+
+    def curate(self, docs: DataFrame, **kwargs) -> DataFrame:
+        """Full corpus curation (lang → quality → dedup chain); see
+        plans.corpus.curate for every knob."""
+        from .plans.corpus import curate
+
+        return curate(docs, **kwargs)
+
+    # -- sampling / sharding ---------------------------------------------
+    def stratified_sample(
+        self, df: DataFrame, strata_cols: list[str], id_col: str, n_per: int
+    ) -> DataFrame:
+        from .operators.sampling import stratified_sample
+
+        return stratified_sample(df, strata_cols, id_col, n_per)
+
+    def write_shards(
+        self, df: DataFrame, path: str, id_col: str, n_shards: int
+    ) -> None:
+        from .operators.sampling import write_shards
+
+        write_shards(df, path, id_col, n_shards)
+
+    # -- diagnostics -----------------------------------------------------
+    def skew_report(self, df: DataFrame, key_col: str) -> DataFrame:
+        """Pre-join key-distribution probe (broadcast vs salt vs shuffle)."""
+        from .operators.diagnostics import skew_report
+
+        return skew_report(df, key_col)

@@ -31,8 +31,10 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
 
     ``skew_ratio`` = max/avg per-key count — ~1 means uniform, >> 1 means
     a hot key will dominate a reducer (rule of thumb: salt or broadcast
-    past ~8-16). ``heavy_key`` is the argmax (ties broken toward the
-    smallest key, so the report is deterministic). Cost: two map-combined
+    past ~8-16). ``heavy_key`` is the argmax, deterministic for ANY
+    orderable key type: ties break toward the LARGEST key via a single
+    struct max (max(struct(n, key)) compares n first, then key — no
+    numeric negation, so string keys work). Cost: two map-combined
     aggregations; safe to run on the full 100 TB input.
     """
     counts = key_histogram(df, key_col)
@@ -41,10 +43,8 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
         F.max("n").alias("max_n"),
         F.min("n").alias("min_n"),
         F.round(F.avg("n"), 2).alias("avg_n"),
-        # argmax with deterministic tie-break: max over (n, -key) pairs
-        F.max_by(
-            key_col,
-            F.struct(F.col("n").alias("a"), (-F.col(key_col)).alias("b")),
-        ).alias("heavy_key"),
+        F.max(
+            F.struct(F.col("n").alias("n"), F.col(key_col).alias("k"))
+        )["k"].alias("heavy_key"),
         F.round(F.max("n") / F.avg("n"), 2).alias("skew_ratio"),
     )

@@ -124,7 +124,7 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(n) AS max_n,
            min(n) AS min_n,
            round(avg(n), 2) AS avg_n,
-           (SELECT user_id FROM c ORDER BY n DESC, user_id LIMIT 1) AS heavy_key,
+           (SELECT user_id FROM c ORDER BY n DESC, user_id DESC LIMIT 1) AS heavy_key,
            round(max(n) / avg(n), 2) AS skew_ratio
     FROM c
     """,

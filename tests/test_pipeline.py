@@ -87,3 +87,38 @@ def test_engine_facade(spark, tmp_path):
 
     with _pytest.raises(DataQualityError):
         eng.dq_gate(back, [non_negative_check("valor")])
+
+
+def test_engine_facade_operator_surface(spark, tmp_path):
+    """The round-4 facade methods are thin delegations — one smoke each."""
+    from pyspark.sql import Row
+
+    from etl_pipeline_api_spark.engine import Engine
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta", lang="en"),
+        Row(doc_id=2, text="alpha beta gamma delta", lang="en"),
+        Row(doc_id=3, text="something else entirely here", lang="en"),
+    ])
+    # dedup: 1 and 2 are exact dups -> min id survives
+    kept = {r.doc_id for r in eng.dedup_exact(docs, ["text"], "doc_id").collect()}
+    assert kept == {1, 3}
+    pairs = {(r.id_a, r.id_b) for r in eng.dedup_minhash(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    # orc round trip
+    out = str(tmp_path / "orc")
+    eng.write_orc(docs, out)
+    assert eng.read_orc(out).count() == 3
+    # sampling + diagnostics
+    assert eng.stratified_sample(docs, ["lang"], "doc_id", 2).count() == 2
+    rep = eng.skew_report(docs, "lang").collect()[0]
+    assert rep.n_keys == 1 and rep.max_n == 3
+    # similarity
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    topk = eng.similar_topk(emb, emb.limit(1), "vec_id", "embedding", k=2)
+    assert topk.count() == 2
+    # curation capstone delegation
+    assert eng.curate(docs, quality_min=0.0).count() <= 3

@@ -24,9 +24,12 @@ def test_skew_report_values(spark):
 
 
 def test_skew_report_heavy_key_tiebreak(spark):
-    # two keys tie at max count -> smallest key wins deterministically
+    # two keys tie at max count -> LARGEST key wins deterministically
+    # (struct-max tiebreak: works for string keys too, no numeric negation)
     df = spark.createDataFrame([(9,), (9,), (4,), (4,), (7,)], "user_id long")
-    assert skew_report(df, "user_id").collect()[0].heavy_key == 4
+    assert skew_report(df, "user_id").collect()[0].heavy_key == 9
+    sdf = spark.createDataFrame([("b",), ("b",), ("a",), ("a",)], "k string")
+    assert skew_report(sdf, "k").collect()[0].heavy_key == "b"
 
 
 def test_key_histogram_no_driver_state(spark):
