@@ -1,0 +1,56 @@
+"""Empty-input robustness: a production pipeline meets empty partitions
+(fresh day, filtered-out tenant, empty backfill window) constantly. Every
+core query must PLAN AND EXECUTE on zero-row tables — no first()-crash, no
+div-by-zero, no window over nothing blowing up. (Ops documented to need
+data — e.g. cosine_pairs_lsh's dim inference — are excluded and raise a
+clear error by contract instead.)"""
+
+from __future__ import annotations
+
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# batch queries only: the file-stream source needs its events.parquet as a
+# flat file (driver layout), which the schema-preserving empty rewrite
+# can't reproduce (Spark writes directories)
+SUBSET = [
+    "op-groupby-sum", "op-count", "op-count-distinct", "op-eda-report",
+    "op-dedup-exact", "op-dedup-fuzzy", "op-tpch-q1", "op-tpch-q5",
+    "op-tpch-q21", "op-text-analysis", "op-text-quality",
+    "op-sample-stratified", "op-shard-assign", "op-seq-pack",
+    "op-window-funcs", "op-window-topk", "op-asof-join", "op-range-join",
+    "op-pii-redact", "op-skew-report", "op-map-funcs", "op-lateral-topk",
+    "op-grouped-zscore", "op-gapfill-locf", "op-scd2", "op-upsert",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        (
+            spark.read.parquet(f"{SRC}/{t}.parquet")
+            .limit(0)
+            .coalesce(1)
+            .write.parquet(str(d / f"{t}.parquet"))
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_survives_empty_tables(spark, empty_sf_dir, name):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __spark_entry__ as m
+
+    rows = m.queries()[name](spark, empty_sf_dir).collect()
+    # global aggregates legitimately return one all-zero/null row;
+    # everything else returns no rows — either way, no exception.
+    assert isinstance(rows, list)

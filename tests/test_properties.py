@@ -119,3 +119,59 @@ def test_dedup_lines_matches_bruteforce(spark, texts, chunk, max_df):
         for r in dedup_lines(df, "id", "t", chunk=chunk, max_df=max_df).collect()
     }
     assert got == brute_line_dedup(texts, chunk, max_df)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=12,
+        unique=True,
+    )
+)
+def test_det_key_matches_python_model(spark, ids):
+    """det_key must equal the Python-bigint (id * KNUTH) % 2^32 for ANY
+    int64 id — including the >= 3.47e9 regime where a bigint multiply
+    overflows under ANSI (the decimal-widening contract)."""
+    from etl_pipeline_api_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r.id: r.k for r in df.withColumn("k", sampling.det_key("id")).collect()}
+    assert got == {i: (i * sampling.KNUTH) % sampling.M32 for i in ids}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=4),
+)
+def test_pack_sequences_is_exact_partition(spark, lens, seq_len, n_shards):
+    """Packing invariants for any doc-length multiset / seq_len / shard
+    count: offsets tile the token stream exactly (no gap, no overlap, in
+    deterministic hash order), and every derived column is consistent."""
+    from etl_pipeline_api_spark.operators import chunking, sampling
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tok long"
+    )
+    rows = chunking.pack_sequences(
+        df, "doc_id", "n_tok", seq_len=seq_len, n_shards=n_shards
+    ).collect()
+    # deterministic global order = (shard, det_key, id)
+    order = sorted(
+        range(len(lens)),
+        key=lambda i: (
+            ((i * sampling.KNUTH) % sampling.M32) % n_shards,
+            (i * sampling.KNUTH) % sampling.M32,
+            i,
+        ),
+    )
+    expect_off, off = {}, 0
+    for i in order:
+        expect_off[i] = off
+        off += lens[i]
+    assert {r.doc_id: r.offset for r in rows} == expect_off
+    for r in rows:
+        assert r.seq_first == r.offset // seq_len
+        assert r.seq_last == (r.offset + r.n_tokens - 1) // seq_len
+        assert r.pos_in_seq == r.offset % seq_len
