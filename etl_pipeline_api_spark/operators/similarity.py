@@ -40,6 +40,16 @@ def _norm(a):
     )
 
 
+def _empty_result(df: DataFrame, schema_fmt: str, id_cols: list[str]) -> DataFrame:
+    """Schema-correct zero-row result for empty-corpus short-circuits: an
+    empty partition/day is a daily production case, not an error. The id
+    dtype is taken from the input so downstream joins keep typing."""
+    id_dtype = df.schema[id_cols[0]].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        [], schema_fmt.format(id=id_dtype)
+    )
+
+
 def _checked_vec(vec, dim: int, op: str):
     """Row-level dimensionality guard for LSH paths: a vector whose length
     differs from the hyperplane dim would zip_with-truncate to a null dot,
@@ -112,6 +122,8 @@ def cosine_pairs(
     ship_package(spark)  # mapInPandas closure must unpickle on workers
     id_dtype = df.schema[id_col].dataType.simpleString()
     pdf = df.select(id_col, vec_col).toPandas()
+    if pdf.empty:
+        return _empty_result(df, "id_a {id}, id_b {id}, cos double", [id_col])
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -270,7 +282,8 @@ def cosine_pairs_lsh(
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
-            raise ValueError("cosine_pairs_lsh: empty input, cannot infer dim")
+            # empty corpus -> no pairs (schema-correct), not an error
+            return _empty_result(df, "id_a {id}, id_b {id}, cos double", [id_col])
         dim = int(first["d"])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
@@ -377,6 +390,11 @@ def ivf_topk(
                 .collect()
             )
         ]
+    if not cent_vecs:
+        # empty corpus -> no cells, no neighbors (schema-correct)
+        return _empty_result(
+            corpus, "query_id {id}, neighbor_id {id}, rank int", [id_col]
+        )
     cent_lit = F.array(*[
         F.struct(
             F.lit(i).alias("cid"),
@@ -457,7 +475,10 @@ def lsh_topk(
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
-            raise ValueError("lsh_topk: empty corpus, cannot infer dim")
+            # empty corpus -> no neighbors (schema-correct), not an error
+            return _empty_result(
+                corpus, "query_id {id}, neighbor_id {id}, rank int", [id_col]
+            )
         dim = int(first["d"])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
@@ -584,12 +605,16 @@ def kmeans(
             )
         )
 
-    first = (
+    seed_rows = (
         data.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(1)
-        .collect()[0]
+        .collect()
     )
-    cents: list[list[float]] = [list(first.v)]
+    if not seed_rows:
+        # empty corpus -> no clusters, no assignments (schema-correct)
+        data.unpersist()
+        return _empty_result(df, id_col + " {id}, cluster int", [id_col]), []
+    cents: list[list[float]] = [list(seed_rows[0].v)]
     while len(cents) < k:
         far = (
             data.withColumn("__d2", _min_d2(cents))

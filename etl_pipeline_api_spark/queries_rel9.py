@@ -165,7 +165,8 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_SCRATCH, "orc_roundtrip")
     shutil.rmtree(out, ignore_errors=True)
     write_orc(ev, out, partition_by=["event_type"])
-    back = read_orc(spark, out)
+    # schema declared so a zero-row write still reads back (see read_orc)
+    back = read_orc(spark, out, schema=ev.schema)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total"),

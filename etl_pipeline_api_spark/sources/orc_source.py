@@ -30,6 +30,15 @@ def write_orc(
     writer.orc(path)
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed ORC scan (stripe-splittable; pushdown/pruning apply)."""
-    return spark.read.orc(path)
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Distributed ORC scan (stripe-splittable; pushdown/pruning apply).
+
+    Pass ``schema`` when the layout may be EMPTY: a zero-row partitioned
+    write produces no data files, so schema inference has nothing to read
+    (UNABLE_TO_INFER_SCHEMA) — with the schema declared, an empty day reads
+    back as a valid zero-row frame, which is what an idempotent nightly
+    job needs."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

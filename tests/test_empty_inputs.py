@@ -26,6 +26,11 @@ SUBSET = [
     "op-window-funcs", "op-window-topk", "op-asof-join", "op-range-join",
     "op-pii-redact", "op-skew-report", "op-map-funcs", "op-lateral-topk",
     "op-grouped-zscore", "op-gapfill-locf", "op-scd2", "op-upsert",
+    # embedding ops: empty corpus short-circuits to schema-correct zero rows
+    "op-dedup-embedding", "op-dedup-embedding-lsh", "op-sim-search-lsh",
+    "op-sim-search-ivf", "op-kmeans", "op-semdedup",
+    # zero-row partitioned ORC write reads back via declared schema
+    "op-orc-roundtrip",
 ]
 
 
