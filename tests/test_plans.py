@@ -375,3 +375,44 @@ def test_variant_json_zero_shuffle(spark):
 def test_html_strip_zero_shuffle(spark):
     tree = tree_of(spark, "op-html-strip")
     assert "Exchange" not in tree
+
+
+def test_aqe_coalesces_small_shuffle_at_runtime(spark):
+    """The engine leans on AQE instead of hand-tuning partition counts:
+    a 32-partition shuffle over tiny data must coalesce at RUNTIME
+    (AQEShuffleRead coalesced) — the property that makes the same plans
+    portable from local[32] to a 1000-executor cluster."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).groupBy((F.col("id") % 10).alias("k")).count()
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final and "coalesced" in final
+
+
+def test_aqe_switches_sortmerge_to_broadcast_at_runtime(spark):
+    """Runtime re-plan: with static broadcast OFF (unknown/too-big estimate
+    — the 100 TB default for derived frames), a join whose build side turns
+    out tiny at runtime must still end as a BroadcastHashJoin via AQE's
+    adaptive threshold. This is why derived-dimension joins don't need
+    hand-placed broadcast() hints at scale."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old_static = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_adaptive = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+        big = spark.range(100_000).withColumn("v", F.col("id") % 7)
+        small = spark.range(100_000).filter(F.col("id") % 9973 == 0)
+        joined = big.join(small, "id")
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        if old_adaptive is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_adaptive)
