@@ -174,6 +174,31 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# op-parquet-corrupt-isolation: lenient bronze-layer scan
+# ---------------------------------------------------------------------
+
+@query(
+    "op-parquet-corrupt-isolation",
+    oracle="SELECT doc_id, lang, source FROM documents",
+)
+def q_parquet_corrupt_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-parquet-corrupt-isolation: a truncated parquet object among good
+    files must be SKIPPED (ignoreCorruptFiles), not fail the scan — rows
+    from every intact file survive. Fixture: the documents table rewritten
+    as parquet + one garbage '.parquet' file; the oracle is the intact
+    content (sources/parquet_source.py scan_parquet_lenient)."""
+    from .sources.parquet_source import scan_parquet_lenient
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = os.path.join(_SCRATCH, "corrupt_parquet")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.coalesce(2).write.parquet(out)
+    with open(os.path.join(out, "part-junk.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+    return scan_parquet_lenient(spark, out, schema=docs.schema)
+
+
+# ---------------------------------------------------------------------
 # op-lateral-topk: correlated LATERAL subquery (per-row top-N)
 # ---------------------------------------------------------------------
 

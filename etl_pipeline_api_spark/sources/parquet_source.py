@@ -21,6 +21,23 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def scan_parquet_lenient(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Corruption-isolating parquet scan: ``ignoreCorruptFiles`` skips files
+    whose footer/pages fail to parse instead of failing the job — the
+    parquet twin of the JSON layer's corrupt-record isolation.
+
+    At 100 TB a handful of truncated files (killed writer, partial upload)
+    are a WHEN, not an IF; one bad object must not fail a million-file scan.
+    Lenient reads belong in the BRONZE layer only — losses are silent at
+    read time, so pair with a file-count/row-count DQ reconciliation
+    (op-dq-suite) before promoting to silver. ``schema`` skips inference
+    (required when the FIRST listed file might be the corrupt one)."""
+    reader = spark.read.option("ignoreCorruptFiles", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
