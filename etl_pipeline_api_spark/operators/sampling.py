@@ -94,6 +94,47 @@ def write_shards(
     ).parquet(path)
 
 
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    temperature: float = 0.7,
+    target_rows: int = 1000,
+) -> DataFrame:
+    """op-domain-temperature: temperature-scaled domain mixture — the
+    multilingual/multi-domain rebalancing rule (share_d^T, T<1 upsamples
+    the tail) used to compose pretraining mixes, made DETERMINISTIC.
+
+    Per-domain keep count k_d = round(target_rows * share_d^T / Σ share^T)
+    (capped at |d| — no replacement), rows chosen in Knuth-hash order:
+    integer comparisons decide membership, so any int64 engine reproduces
+    the exact row set (same contract as stratified_sample/weighted_mix —
+    no RNG, no seed exchange, rerun-stable shards).
+
+    Plan: one tiny groupBy for domain sizes (|domains| rows, broadcast
+    back), one window shuffle on the domain for the ranked take. The
+    weight math runs on the |domains|-row frame, never per data row.
+    """
+    sizes = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.pow(F.col("__n").cast("double"), F.lit(float(temperature)))
+    tot = Window.partitionBy()
+    quota = sizes.select(
+        domain_col,
+        "__n",
+        F.least(
+            F.col("__n"),
+            F.round(F.lit(target_rows) * w / F.sum(w).over(tot)).cast("long"),
+        ).alias("__k"),
+    )
+    wd = Window.partitionBy(domain_col).orderBy(det_key(id_col), F.col(id_col))
+    return (
+        df.join(F.broadcast(quota.select(domain_col, "__k")), domain_col)
+        .withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") <= F.col("__k"))
+        .drop("__rn", "__k")
+    )
+
+
 def weighted_mix(
     df: DataFrame, domain_col: str, id_col: str, quotas: dict[str, int]
 ) -> DataFrame:

@@ -270,6 +270,43 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# op-domain-temperature: temperature-scaled training mixture
+# ---------------------------------------------------------------------
+
+@query(
+    "op-domain-temperature",
+    oracle="""
+    WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    q AS (
+      SELECT source,
+             least(n, CAST(round(200 * pow(n, 0.7) / sum(pow(n, 0.7)) OVER ())
+                           AS BIGINT)) AS k
+      FROM sizes),
+    ranked AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.source, r.lang
+    FROM ranked r JOIN q USING (source) WHERE r.rn <= q.k
+    """,
+)
+def q_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-domain-temperature: compose a 200-row training mix with T=0.7
+    domain rebalancing (share^0.7 — upsamples tail domains relative to
+    their raw share, the standard multilingual mixing rule). Deterministic
+    hash-order membership means the SQL twin reproduces the exact row set
+    (operators/sampling.py temperature_mix)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    from .operators.sampling import temperature_mix
+
+    return temperature_mix(
+        docs, "source", "doc_id", temperature=0.7, target_rows=200
+    ).select("doc_id", "source", "lang")
+
+
+# ---------------------------------------------------------------------
 # op-hll-merge: persisted sketch rollup (incremental cardinality)
 # ---------------------------------------------------------------------
 

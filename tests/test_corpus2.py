@@ -96,6 +96,29 @@ def test_stratified_sample_exact_and_deterministic(spark, sf_dir):
         assert r["count"] == min(3, sizes[(r.lang, r.source)])
 
 
+def test_temperature_mix_rebalances_tail(spark):
+    """T<1 upsamples tail domains: with a 90/10 split and T=0.3 the small
+    domain's share of the mix must exceed its raw share; T=1 reproduces
+    the raw proportions; both runs are rerun-stable."""
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+
+    def shares(t):
+        out = sampling.temperature_mix(df, "dom", "doc_id", temperature=t,
+                                       target_rows=50)
+        counts = {r.dom: r.n for r in
+                  out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+        return counts.get("small", 0) / sum(counts.values())
+
+    assert abs(shares(1.0) - 0.10) < 0.03        # T=1 -> raw proportions
+    assert shares(0.3) > 0.20                     # T<1 -> tail upsampled
+    a = {r.doc_id for r in sampling.temperature_mix(
+        df, "dom", "doc_id", temperature=0.3, target_rows=50).collect()}
+    b = {r.doc_id for r in sampling.temperature_mix(
+        df, "dom", "doc_id", temperature=0.3, target_rows=50).collect()}
+    assert a == b  # deterministic
+
+
 def test_det_key_big_ids_no_ansi_overflow(spark):
     """ids ≥ ~3.47e9 (the 100 TB-corpus regime) overflow a plain bigint
     id*KNUTH under ANSI mode; det_key's decimal widening must compute the
