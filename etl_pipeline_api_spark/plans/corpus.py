@@ -87,6 +87,18 @@ def curate(
     # row-local, so the whole filter phase is ONE scan-and-project — no
     # per-metric scan + semi-join (the naive composition of the df-level
     # ops cost 3 scans + 3 shuffles and measured ~4x slower at sf0.1).
+    #
+    # Cost anatomy (measured, round 4, local[32] @ sf0.1): the full
+    # capstone is ~8.5 s in bench, of which ~7 s is DRIVER-SIDE plan
+    # building — Catalyst analysis/optimization of the folded expression
+    # trees at each lazy-checkpoint boundary (filter phase ~4.5 s,
+    # line-dedup ~2.6 s; CollapseProject re-inlines the PII/tokenize
+    # chains into every lambda before the barrier truncates them) — and
+    # only ~1 s is execution. That build cost is a FIXED per-job constant:
+    # at 100 TB the same ~7 s driver analysis fronts hours of executor
+    # work, so the optimization budget goes to the execution shape (the
+    # barriers above took analysis from 33-40 s and exec codegen from
+    # 11 s to this), not to shaving the constant further.
     lang_c, _rate = langid_cols("text")
     src = fan_out(docs)
     if redact_pii:
