@@ -1,28 +1,30 @@
-"""Relational batch 9 — approximation sketches, skew diagnostics, ORC
-format breadth, sliding-window streaming (SURVEY.md §2.9).
+"""Relational batch 9 — what a 100 TB deployment runs that small engines
+skip (SURVEY.md §2.9).
 
-What a 100 TB deployment runs that small engines skip:
-
-- op-approx-distinct: HyperLogLog++ cardinality (approx_count_distinct)
-  next to the exact count — at scale the exact count is a full shuffle of
-  every distinct value, the sketch is a fixed few-KB state per group that
-  merges map-side. The oracle pins the exact counts AND a tolerance flag
-  (the sketch must land within 5% — the rsd contract), so the approximate
-  operator is still correctness-gated.
-- op-approx-quantile: percentile_approx (Greenwald-Khanna style sketch)
-  against the exact interpolated percentile, same tolerance-flag pattern.
+- op-approx-distinct / op-approx-quantile: HLL++ cardinality and GK-sketch
+  percentiles next to their exact twins, gated by exact values PLUS
+  5%-tolerance flags — approximate operators under a deterministic oracle.
+- op-hll-merge: per-day HLL sketches union-merged to an any-range distinct
+  count — the incremental form (persist sketches, never rescan raw data).
 - op-skew-report: the pre-join key-distribution probe that decides
   broadcast vs salt vs plain shuffle (operators/diagnostics.py).
-- op-orc-roundtrip: ORC partitioned sink + distributed scan — the last
-  mainstream columnar format the engine hadn't round-tripped
-  (sources/orc_source.py).
-- op-stream-sliding-window: hopping-window streaming aggregation (1 h
-  window, 30 min hop) executed AS A STREAM to completion; the DuckDB twin
-  expands each event into its two containing windows via unnest.
+- op-orc-roundtrip: ORC partitioned sink + distributed scan
+  (sources/orc_source.py) — the last mainstream columnar format.
+- op-parquet-corrupt-isolation: ignoreCorruptFiles lenient bronze scan —
+  one truncated object must not fail a million-file read.
+- op-domain-temperature: share^T domain rebalancing (the multilingual
+  mixing rule), deterministic via Knuth-hash-order membership.
+- op-stream-sliding-window: hopping-window (1 h / 30 min) aggregation
+  executed AS A STREAM; the DuckDB twin unnests each event into its two
+  containing windows.
+- op-stream-datasource-pages: the custom page_json Python DataSource
+  consumed as an incremental STREAM (filename offsets, restart-resume).
+- op-lateral-topk / op-map-funcs: correlated LATERAL per-row top-N and
+  the MapType surface (map_from_entries / transform_values / map_zip_with).
 
 The reference implements none of these (its whole engine is
 proj-eng-dados/main.py — single-process pandas); they are the §2.9
-extension surface, each with a full value-level oracle.
+extension surface, each oracle- or tolerance-gated.
 """
 
 from __future__ import annotations
