@@ -89,13 +89,16 @@ def query(name: str, oracle: str | None = None):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds 1-2)
     # and timestamp[us]/TIMESTAMP_NTZ (round 3+). Handling is TYPE-DRIVEN:
-    # nanosAsLong is a read-compat flag (no-op on µs data) that keeps legacy
-    # NANOS files readable on a VANILLA session (the driver's gate builds its
-    # own unconfigured SparkSession); if ts then arrives as a long it is
-    # truncated ns→µs exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP read.
-    # tests/test_ts_canary.py locks both encodings.
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # engine sessions set the nanosAsLong read-compat flag at build time
+    # (session.py::get_spark — a no-op on µs data); if ts then arrives as a
+    # long it is truncated ns→µs exactly like DuckDB's TIMESTAMP_NS→
+    # TIMESTAMP read. A VANILLA session (the driver's gate) reads the
+    # current µs encoding untouched — and would fail LOUDLY (PARQUET_TYPE_
+    # ILLEGAL), never silently rescale, if the source ever ships NANOS
+    # again; tools/roundcheck.py's schema canary catches that at round
+    # start. No per-call conf mutation: query builders must not change
+    # session state (r2 ADVICE #4). tests/test_ts_canary.py locks both
+    # encodings; tests/test_vanilla_gate.py locks the vanilla path.
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer div (not /1000 via double — int64 ns exceeds double mantissa)

@@ -28,6 +28,20 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+
+_DIGIT_RUNS = re.compile(r"(\d+)")
+
+
+def page_order_key(name: str) -> tuple:
+    """Natural-order key for page filenames: digit runs compare numerically,
+    so ``page_10.json`` sorts AFTER ``page_9.json`` regardless of padding.
+    ``re.split`` alternates non-digit/digit chunks, so same-index elements of
+    any two keys are always the same type — tuple comparison never raises."""
+    return tuple(
+        int(chunk) if chunk.isdigit() else chunk
+        for chunk in _DIGIT_RUNS.split(name)
+    )
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -76,11 +90,16 @@ class PageStreamReader(DataSourceStreamReader):
     (proj-eng-dados/main.py:84-99 — "fetch pages until none are new") as a
     real incremental micro-batch source with replayable offsets.
 
-    OFFSET CONTRACT: page files are named monotonically (page_00001.json …),
-    which is exactly what the reference's sequential downloader produces; the
-    offset is the LAST FILENAME processed, so a restart resumes after it and
-    a replayed batch re-reads precisely its own (start, end] file range —
-    deterministic batches, the foundation foreachBatch idempotence builds on.
+    OFFSET CONTRACT: page files are named with a monotonically increasing
+    page number (page_1.json, page_2.json, … — what the reference's
+    sequential downloader produces); the offset is the LAST FILENAME
+    processed under NATURAL (numeric-aware) order, so ``page_10`` correctly
+    sorts after ``page_9`` even unpadded, a restart resumes after the
+    committed name, and a replayed batch re-reads precisely its own
+    (start, end] file range — deterministic batches, the foundation
+    foreachBatch idempotence builds on. Two distinct names that tie under
+    the natural key (page_1.json vs page_01.json) make the order ambiguous
+    and raise rather than silently drop a file.
     Each new file is one InputPartition: parsing fans out across executors,
     nothing routes through the driver (latestOffset lists the directory —
     driver-side metadata only, same as any FileIndex)."""
@@ -92,7 +111,19 @@ class PageStreamReader(DataSourceStreamReader):
     def _files(self) -> list[str]:
         root = self.options["path"]
         pattern = self.options.get("pattern", "*.json")
-        return sorted(glob.glob(os.path.join(root, pattern)))
+        files = sorted(
+            glob.glob(os.path.join(root, pattern)),
+            key=lambda p: page_order_key(os.path.basename(p)),
+        )
+        keys = [page_order_key(os.path.basename(p)) for p in files]
+        for a, b, ka, kb in zip(files, files[1:], keys, keys[1:]):
+            if ka == kb:
+                raise ValueError(
+                    "page_json offset order is ambiguous: "
+                    f"{os.path.basename(a)!r} and {os.path.basename(b)!r} "
+                    "tie under numeric filename order; rename one"
+                )
+        return files
 
     def initialOffset(self) -> dict:
         return {"last": ""}
@@ -102,9 +133,12 @@ class PageStreamReader(DataSourceStreamReader):
         return {"last": os.path.basename(files[-1]) if files else ""}
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = start.get("last", ""), end.get("last", "")
+        lo = page_order_key(start.get("last", ""))
+        hi = page_order_key(end.get("last", ""))
         batch = [
-            p for p in self._files() if lo < os.path.basename(p) <= hi
+            p
+            for p in self._files()
+            if lo < page_order_key(os.path.basename(p)) <= hi
         ]
         # zero-partition batches are rejected by the engine; emit an empty
         # marker partition instead (read() yields nothing for it)
@@ -150,20 +184,22 @@ def with_corrupt_col(record: T.StructType) -> T.StructType:
 
 def write_page_fixture(records: list[dict], out_dir: str, corrupt: bool = True) -> None:
     """Test/oracle scaffolding: lay `records` out as the reference's raw page
-    layer — page_1 bare-array envelope, page_2 API envelope, and (optionally)
-    a corrupt page_3 that the scan must isolate rather than fail on."""
+    layer — page 1 bare-array envelope, page 2 API envelope, and (optionally)
+    a corrupt page 3 that the scan must isolate rather than fail on. Names
+    are zero-padded (page_00001.json) so they are monotonic under BOTH plain
+    lexicographic and the stream reader's natural order."""
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     half = len(records) // 2
-    with open(os.path.join(out_dir, "page_1.json"), "w") as f:
+    with open(os.path.join(out_dir, "page_00001.json"), "w") as f:
         json.dump(records[:half], f)
-    with open(os.path.join(out_dir, "page_2.json"), "w") as f:
+    with open(os.path.join(out_dir, "page_00002.json"), "w") as f:
         json.dump(
             {"count": len(records), "next": None, "previous": None,
              "results": records[half:]}, f,
         )
     if corrupt:
-        with open(os.path.join(out_dir, "page_3.json"), "w") as f:
+        with open(os.path.join(out_dir, "page_00003.json"), "w") as f:
             f.write("{corrupt!!")

@@ -163,3 +163,78 @@ def test_page_datasource_streaming_incremental(spark, tmp_path):
     (d / "page_03.json").write_text(json.dumps([{"a": 4}]))
     # duplicates would appear here if the restart re-read pages 1-2
     assert drain() == [1, 2, 3, 4]
+
+
+def test_page_order_key_natural_and_ambiguity_guard(tmp_path):
+    """Offset order is numeric, not lexicographic: page_10 > page_9 even
+    unpadded; two names that tie under the numeric key raise instead of
+    silently dropping one."""
+    from pyspark.sql import types as T
+
+    from etl_pipeline_api_spark.sources.page_datasource import (
+        PageStreamReader,
+        page_order_key,
+    )
+
+    names = [f"page_{i}.json" for i in (1, 2, 9, 10, 11, 100)]
+    assert sorted(names, key=page_order_key) == names  # lexicographic would not be
+    assert page_order_key("") < page_order_key("page_1.json")
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    (d / "page_1.json").write_text("[]")
+    (d / "page_01.json").write_text("[]")
+    reader = PageStreamReader(
+        T.StructType([T.StructField("a", T.LongType())]), {"path": str(d)}
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        reader._files()
+
+
+def test_page_stream_ingests_past_page_nine(spark, tmp_path):
+    """Regression for the lexicographic-offset bug: once the offset reached
+    page_9.json, a newly arriving page_10.json sorted below it and was never
+    ingested. Natural order must pick it up."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from etl_pipeline_api_spark.session import ship_package
+    from etl_pipeline_api_spark.sources.page_datasource import (
+        PageFileDataSource,
+        with_corrupt_col,
+    )
+
+    ship_package(spark)
+    spark.dataSource.register(PageFileDataSource)
+    d = tmp_path / "pages"
+    d.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = with_corrupt_col(T.StructType([T.StructField("a", T.LongType())]))
+
+    def drain():
+        stream = (
+            spark.readStream.format("page_json")
+            .schema(schema)
+            .option("path", str(d))
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.a for r in spark.read.parquet(sink).collect())
+
+    for i in range(1, 10):  # unpadded page_1 … page_9
+        (d / f"page_{i}.json").write_text(json.dumps([{"a": i}]))
+    assert drain() == list(range(1, 10))
+    (d / "page_10.json").write_text(json.dumps([{"a": 10}]))
+    assert drain() == list(range(1, 11))
