@@ -58,8 +58,8 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _stopword_ratio(text_col: str) -> Column:
-    toks = tokens_expr(text_col)
+def _stopword_ratio(text_col: str, toks: Column | None = None) -> Column:
+    toks = tokens_expr(text_col) if toks is None else toks
     hits = F.size(
         F.filter(toks, lambda t: t.isin(*STOPWORDS))
     )
@@ -71,12 +71,18 @@ def _punct_ratio(text_col: str) -> Column:
     return punct / F.greatest(F.length(F.col(text_col)), F.lit(1))
 
 
-def quality_col(text_col: str) -> Column:
+def quality_col(text_col: str, toks: Column | None = None) -> Column:
     """The quality score as a composable Column expression (row-local, so
     pipelines like plans/corpus.py compute it inline in ONE projection
-    instead of scan+join per metric)."""
+    instead of scan+join per metric).
+
+    `toks`: pass an already-MATERIALIZED token-array column to share one
+    tokenization with sibling metrics (langid_cols) — inline split()
+    expressions get copied into every lambda reference by CollapseProject,
+    and the copies are what blew the capstone's driver-side plan-build up
+    (see plans/corpus.py)."""
     length_ok = F.least(F.length(F.col(text_col)) / F.lit(200.0), F.lit(1.0))
-    stop_ok = F.least(_stopword_ratio(text_col) / F.lit(0.08), F.lit(1.0))
+    stop_ok = F.least(_stopword_ratio(text_col, toks) / F.lit(0.08), F.lit(1.0))
     return F.round(
         F.lit(0.4) * length_ok + F.lit(0.3) * stop_ok
         + F.lit(0.3) * (F.lit(1.0) - _punct_ratio(text_col)), 4
@@ -110,9 +116,10 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                               F.round(best_score, 4).alias("marker_rate"))
 
 
-def langid_cols(text_col: str) -> tuple[Column, Column]:
+def langid_cols(text_col: str, toks: Column | None = None) -> tuple[Column, Column]:
     """(lang_guess, marker_rate) as composable Column expressions — see
-    quality_col for why these exist separately from the df-level op.
+    quality_col for why these exist separately from the df-level op (and
+    for the shared-`toks` parameter).
 
     Selection is ONE lexicographic array_max over (score, priority)
     structs, NOT a chained when(cond, score).otherwise(prev) fold: the
@@ -125,7 +132,7 @@ def langid_cols(text_col: str) -> tuple[Column, Column]:
     reproduces the fold's exact tie semantics: a language displaces only
     on a strictly greater score, earlier languages win ties, and a
     corpus with no marker hits stays 'unknown'."""
-    toks = tokens_expr(text_col)
+    toks = tokens_expr(text_col) if toks is None else toks
     n = F.greatest(F.size(toks), F.lit(1))
     entries = [
         F.struct(

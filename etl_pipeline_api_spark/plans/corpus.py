@@ -39,6 +39,7 @@ from ..operators.dedup import (
     dedup_lines,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    tokens_expr,
 )
 from ..operators.text import (
     fingerprint_col,
@@ -88,37 +89,32 @@ def curate(
     # per-metric scan + semi-join (the naive composition of the df-level
     # ops cost 3 scans + 3 shuffles and measured ~4x slower at sf0.1).
     #
-    # Cost anatomy (measured, round 4, local[32] @ sf0.1): the full
-    # capstone is ~8.5 s in bench, of which ~7 s is DRIVER-SIDE plan
-    # building — Catalyst analysis/optimization of the folded expression
-    # trees at each lazy-checkpoint boundary (filter phase ~4.5 s,
-    # line-dedup ~2.6 s; CollapseProject re-inlines the PII/tokenize
-    # chains into every lambda before the barrier truncates them) — and
-    # only ~1 s is execution. That build cost is a FIXED per-job constant:
-    # at 100 TB the same ~7 s driver analysis fronts hours of executor
-    # work, so the optimization budget goes to the execution shape (the
-    # barriers above took analysis from 33-40 s and exec codegen from
-    # 11 s to this), not to shaving the constant further.
-    lang_c, _rate = langid_cols("text")
+    # TOKEN MATERIALIZATION (the r4→r5 plan-build fix): the lang/quality
+    # metrics each reference the token array inside several lambdas, and
+    # CollapseProject inlines whatever expression produced it into EVERY
+    # reference — with tokenize (and optionally the PII regex chain)
+    # inlined per lambda, Catalyst analysis/optimization of the filter
+    # phase alone cost seconds of DRIVER time per action (r4 bench:
+    # op-corpus-curate 5.15 s, ~80% plan-build). Tokenizing ONCE into
+    # `__toks` behind a lazy-checkpoint barrier makes every downstream
+    # reference a plain attribute: the lambdas stay tiny, analysis is
+    # linear in phase count, and the one extra materialization (text +
+    # tokens) is data the dedup phases were about to re-derive anyway.
+    # At 100 TB the same holds: the checkpoint is executor-local storage,
+    # and plan-build stays a small per-job constant instead of growing
+    # with every metric added to the filter phase.
     src = fan_out(docs)
     if redact_pii:
         src = src.withColumn("text", pii_clean_col("text"))
+    tok = src.withColumn("__toks", tokens_expr("text")).localCheckpoint(eager=False)
+    lang_c, _rate = langid_cols("text", toks=F.col("__toks"))
     ann = (
-        src
+        tok
         .withColumn("__lang", lang_c)
-        .withColumn("__quality", quality_col("text"))
+        .withColumn("__quality", quality_col("text", toks=F.col("__toks")))
         .filter((F.col("__lang") == lang) & (F.col("__quality") >= quality_min))
-        .drop("__lang", "__quality")
+        .drop("__lang", "__quality", "__toks")
     )
-    if redact_pii or line_max_df is not None:
-        # Phase barrier: CollapseProject inlines the PII regex chain into
-        # every lambda of the langid/quality/chunking expressions stacked on
-        # top, producing a projection too large for whole-stage codegen
-        # (measured: the filter phase alone went 11s -> 1s at sf0.1 behind
-        # this barrier). Lazy checkpoint = one materialization of the
-        # filtered corpus, which downstream dedup phases were going to
-        # force anyway.
-        ann = ann.localCheckpoint(eager=False)
 
     if line_max_df is not None:
         cleaned = dedup_lines(
