@@ -577,11 +577,17 @@ def kmeans(
       |rows|. The new centroids (k×dim doubles) collect to the driver; this
       is the one driver round-trip per iteration and is O(k·dim), not O(N).
 
-    Init: deterministic farthest-first traversal (first seed = min xxhash64
-    of the id; each next seed maximizes distance to its nearest chosen
-    seed) — the classic 2-approximation for k-center, immune to the
-    all-seeds-in-one-blob failure of random/hash sampling, and rerunnable
-    without a seed. k-1 extra passes over the data, driver traffic O(k·dim).
+    Init: k-means||-style two-pass seeding (Bahmani et al. 2012, collapsed
+    to one oversampling round). Pass 1 picks seed 0 deterministically
+    (min xxhash64 of the id). Pass 2 draws ONE distributed weighted sample
+    of ~4k candidates with probability ∝ d²(x, seed 0) — A-Res weighted
+    reservoir order (key = ln(u)/w, u a deterministic per-id hash uniform,
+    so the "sample" is a rerunnable top-4k, not an RNG draw) — and the
+    remaining k-1 seeds come from a driver-side farthest-first over that
+    O(k)-row candidate set. Exactly TWO cluster-wide passes regardless of
+    k (the earlier farthest-first traversal serialized k-1 full
+    orderBy().limit(1) scans on the driver's clock); driver work is
+    O(k²·dim) on the sample, driver traffic O(k·dim).
     Returns (assignments DataFrame (id, cluster), centroids).
 
     An empty cluster keeps its previous centroid (standard Lloyd's fallback).
@@ -615,14 +621,42 @@ def kmeans(
         data.unpersist()
         return _empty_result(df, id_col + " {id}, cluster int", [id_col]), []
     cents: list[list[float]] = [list(seed_rows[0].v)]
-    while len(cents) < k:
-        far = (
-            data.withColumn("__d2", _min_d2(cents))
-            .orderBy(F.col("__d2").desc(), F.col(id_col))
-            .limit(1)
-            .collect()[0]
+    if k > 1:
+        # A-Res weighted order: maximizing u^(1/w) == maximizing ln(u)/w
+        # (ln(u) < 0, w > 0). u is a deterministic (0,1) uniform from a
+        # per-id hash, so the draw is rerun-stable. w = d² to seed 0;
+        # d² = 0 rows get a NULL key (try_divide — ANSI mode raises on
+        # plain x/0) and sort last: exact duplicates of the seed are never
+        # wasted candidates.
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(1)), F.lit(2**53))
+            + F.lit(0.5)
+        ) / F.lit(float(2**53))
+        sample = (
+            data.withColumn("__key", F.try_divide(F.log(u), _min_d2(cents)))
+            .orderBy(F.col("__key").desc_nulls_last(), F.col(id_col))
+            .limit(4 * k)
+            .collect()
         )
-        cents.append(list(far.v))
+        cand = [list(r.v) for r in sample]
+
+        def _d2(a: list[float], b: list[float]) -> float:
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        # farthest-first on the candidate set: tiny (≤4k rows), driver-side
+        nearest = [_d2(c, cents[0]) for c in cand]
+        while len(cents) < k and cand:
+            far_i = max(range(len(cand)), key=lambda i: nearest[i])
+            if nearest[far_i] <= 0.0 and len(cents) > 1:
+                break  # only exact copies of chosen seeds remain
+            cents.append(cand[far_i])
+            nearest = [
+                min(d, _d2(c, cents[-1])) for d, c in zip(nearest, cand)
+            ]
+        # fewer distinct points than k: keep previous duplicate-centroid
+        # behavior (harmless — argmin tie-breaks on the lowest cluster id)
+        while len(cents) < k and cand:
+            cents.append(cand[0])
     try:
         assigned = None
         for _ in range(max_iter):

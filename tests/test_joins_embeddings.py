@@ -70,6 +70,25 @@ def test_kmeans_separates_clusters(spark):
     assert len({next(iter(s)) for s in blobs.values()}) == 3
 
 
+def test_kmeans_init_driver_roundtrips_constant_in_k(spark, monkeypatch):
+    """k-means|| init: driver round-trips must NOT grow with k — exactly two
+    cluster-wide passes for seeding (seed-0 pick + weighted candidate
+    sample) plus one per Lloyd iteration. The replaced farthest-first
+    traversal did k-1 sequential full-scan collects (11 total here)."""
+    from pyspark.sql import DataFrame, Row
+
+    rows = [Row(vid=i, v=[float(i % 17), float((i * 7) % 13)]) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    calls = []
+    orig = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: (calls.append(1), orig(self))[1]
+    )
+    _assigned, cents = similarity.kmeans(df, "vid", "v", k=10, max_iter=1)
+    assert len(cents) == 10 and all(len(c) == 2 for c in cents)
+    assert len(calls) <= 3, f"init is not constant-pass: {len(calls)} collects"
+
+
 def test_ivf_kmeans_refinement_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
