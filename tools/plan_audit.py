@@ -62,6 +62,12 @@ TRIAGE = {
     "op-lm-score": "BNLJ = join(broadcast(1-row corpus total)) — scalar "
                    "normalization constant attached to every row; a shuffle "
                    "join on a literal key would be strictly worse.",
+    "op-dedup-minhash": "BNLJ x4 = the recall-gate summary's crossJoins of "
+                        "FOUR 1-row aggregates (n_exact/n_lsh/n_common + "
+                        "seed); SMJ x2 = the exact-vs-LSH pair intersection "
+                        "and Jaccard join on data-sized sides — linear "
+                        "equi-joins, the correct strategy when neither side "
+                        "is broadcastable.",
 }
 
 
