@@ -1,0 +1,228 @@
+"""Behavioral / clickstream analytics over the events stream.
+
+The reference engine (proj-eng-dados/main.py — a single-process pandas
+pipeline) has no event-sequence analytics at all; these are §2.9
+extension operators, the shapes every 100 TB event warehouse runs daily:
+
+- ``sessionize``     — inactivity-gap sessionization (one shuffle on user)
+- ``funnel``         — ordered multi-step conversion funnel (one shuffle)
+- ``retention``      — weekly cohort retention matrix (two aggs, one key)
+- ``transitions``    — first-order event-type Markov transition counts
+
+Scale posture (the part that matters at 1000 executors):
+
+* Everything keys on ``user_id`` — one hash partitioning reused across
+  window / groupBy / self-join stages; Catalyst removes the redundant
+  exchanges (plan-asserted in tests/test_behavioral.py).
+* No driver-side state, no collect, no Python UDFs: window functions,
+  ``collect_list`` + higher-order ``aggregate`` — all JVM/codegen.
+* The only per-key memory is one user's (filtered) event array in
+  ``funnel``; heavy users are bounded with ``max_events_per_user``
+  (slice after sort) so a single bot key cannot OOM an executor.
+* Tie-breaks are total-ordered on ``(ts, event_id)`` so results are
+  deterministic under any partitioning — the DuckDB oracles use the
+  same order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _micros(df: DataFrame, ts_col: str) -> Column:
+    """Epoch-µs expression for gap/order math, type-driven like
+    operators.joins.range_join_count: TIMESTAMP and TIMESTAMP_NTZ cast
+    (any session-tz offset is identical across rows, so orderings, gaps
+    and strict-after comparisons — all differences — are unaffected);
+    legacy bigint-nanos truncates ns→µs; anything else raises loudly."""
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
+        return F.expr(f"`{ts_col}` div 1000")
+    if dt in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(F.col(ts_col).cast("timestamp"))
+    raise TypeError(
+        f"behavioral: column {ts_col!r} has type {dt!r}; expected "
+        "timestamp, timestamp_ntz, or the legacy bigint-nanos encoding"
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Split each user's event stream into sessions at inactivity gaps.
+
+    A new session starts when the time since the previous event (in
+    ``(ts, id)`` order) exceeds ``gap_minutes``. Returns one row per
+    session: ``(user_id, session_idx, n_events, start_ts, end_ts,
+    duration_sec, total_value)``. Session boundaries and durations are
+    computed on epoch-µs *differences* (session-tz-proof); the exposed
+    boundary columns keep the input's timestamp type untouched.
+
+    One shuffle (hash on user) feeds the lag window, the running
+    session index, and the per-session aggregation — one Exchange.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_flag = events.select(
+        user_col,
+        id_col,
+        F.col(ts_col),
+        _micros(events, ts_col).alias("_us"),
+        "value",
+    )
+    w_us = Window.partitionBy(user_col).orderBy("_us", id_col)
+    with_flag = with_flag.withColumn(
+        "_new_session",
+        (
+            F.coalesce(
+                F.col("_us") - F.lag("_us").over(w_us), F.lit(gap_us + 1)
+            )
+            > gap_us
+        ).cast("int"),
+    )
+    sess = with_flag.withColumn(
+        "session_idx", F.sum("_new_session").over(w_us).cast("long")
+    )
+    return (
+        sess.groupBy(user_col, "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            ((F.max("_us") - F.min("_us")) / 1_000_000)
+            .cast("long")
+            .alias("duration_sec"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            user_col, "session_idx", "n_events", "start_ts", "end_ts",
+            "duration_sec", "total_value",
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_events_per_user: int = 10_000,
+) -> DataFrame:
+    """Ordered conversion funnel: how many users performed ``steps`` in
+    strict timestamp order (each step strictly after the previous one).
+
+    Single shuffle: filter to funnel event types, ``collect_list`` per
+    user, ``array_sort`` by ``(ts, event_id)``, then a higher-order
+    ``aggregate`` walks the sorted array advancing a (stage, last_ts)
+    state — the greedy first-qualifying-event walk, which matches the
+    min-timestamp chaining the SQL oracle uses. All JVM-side; per-user
+    memory is the user's *filtered* event array, hard-capped at
+    ``max_events_per_user`` (drop beyond the cap after sort — a bot key
+    cannot OOM an executor; at 10k steps-relevant events the funnel
+    outcome is long since decided).
+
+    Returns one row: ``n_users`` plus ``n_step_1 .. n_step_k``.
+    """
+    fev = events.filter(F.col(type_col).isin(steps)).select(
+        user_col,
+        F.struct(
+            _micros(events, ts_col).alias("us"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("etype"),
+        ).alias("_ev"),
+    )
+    per_user = fev.groupBy(user_col).agg(
+        F.slice(F.array_sort(F.collect_list("_ev")), 1, max_events_per_user).alias("_evs")
+    )
+    # state: stage reached so far + epoch-µs of the event that reached it
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    walked = per_user.select(
+        user_col,
+        F.aggregate(
+            "_evs",
+            F.struct(
+                F.lit(0).alias("stage"), F.lit(-1).cast("long").alias("last_us")
+            ),
+            lambda st, ev: F.when(
+                (st.stage < F.lit(len(steps)))
+                & (ev.etype == F.element_at(steps_arr, st.stage + 1))
+                & (ev.us > st.last_us),
+                F.struct(
+                    (st.stage + 1).alias("stage"), ev.us.alias("last_us")
+                ),
+            ).otherwise(st),
+        ).stage.alias("_stage"),
+    )
+    aggs = [F.count("*").alias("n_users")] + [
+        F.sum((F.col("_stage") >= i).cast("long")).alias(f"n_step_{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    return walked.agg(*aggs)
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each (cohort_week, week_offset) the count of cohort users
+    active that week.
+
+    Two aggregations and one join, all keyed on ``user_id`` /
+    ``cohort_week`` — at scale the first-event agg is a map-side-partial
+    min, the join co-partitions with the activity scan, and the output
+    is |weeks|² rows regardless of input size.
+    """
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("_cohort")
+    )
+    active = events.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("_week")
+    ).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            F.col("_cohort").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("_week"), F.col("_cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user, with a per-source probability. One shuffle for the
+    lag window, one for the pair count; deterministic under ``(ts, id)``
+    total order.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        user_col,
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    w_src = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), 4).alias("p"),
+    )

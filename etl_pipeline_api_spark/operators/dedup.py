@@ -542,3 +542,69 @@ def dedup_lines(
             F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
         )
     )
+
+
+def span_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span fraction: of a doc's rolling word
+    n-gram spans (counted WITH multiplicity, unlike the shingle *sets*
+    the Jaccard path uses), how many occur in at least one OTHER
+    document. This is the doc-level signal behind substring-level train
+    dedup (the "what fraction of this page is boilerplate copied across
+    the crawl" score): rank by ``dup_frac`` and drop or re-weight.
+
+    Returns ``(id_col, n_spans, n_dup, dup_frac)`` for EVERY input doc
+    (zero-span docs report 0 / 0 / 0.0).
+
+    Scale shape: three linear shuffles, no quadratic path —
+    (1) distinct (doc, span-hash) pairs → per-hash doc-frequency
+        (map-side combined), keeping only hashes with df ≥ 2;
+    (2) span rows join that dup-hash set on the 8-byte xxhash64 key
+        (spans carried as hashes, never strings, across the wire);
+    (3) per-doc count/sum, map-side combined. A pathologically common
+        span fans out only its own rows (the join is per-position, one
+        output row per position — never pair-producing).
+    """
+    from ..session import fan_out
+
+    grams = fan_out(df).select(
+        F.col(id_col).alias("__id"),
+        ngrams_expr(tokens_expr(text_col), n).alias("__grams"),
+    )
+    spans = grams.select(
+        "__id",
+        F.size("__grams").alias("n_spans"),
+        F.explode_outer(
+            F.transform("__grams", lambda g: F.xxhash64(g))
+        ).alias("gh"),
+    )
+    dup = (
+        spans.select("__id", "gh")
+        .filter(F.col("gh").isNotNull())
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("gh", F.lit(True).alias("__dup"))
+    )
+    per_doc = (
+        spans.join(dup, "gh", "left")
+        .groupBy("__id")
+        .agg(
+            F.first("n_spans").alias("n_spans"),
+            F.sum(F.coalesce(F.col("__dup").cast("long"), F.lit(0))).alias(
+                "n_dup"
+            ),
+        )
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        F.round(
+            F.when(F.col("n_spans") > 0, F.col("n_dup") / F.col("n_spans"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_frac"),
+    )

@@ -73,6 +73,9 @@ BENCH_QUERIES: list[str] = [
     "op-quality-classifier",
     "op-approx-distinct",
     "op-skew-report",
+    "op-sessionize",
+    "op-funnel",
+    "op-span-dup-stats",
 ]
 
 

@@ -1,0 +1,210 @@
+"""Relational batch 10 — event-sequence analytics + substring-level dedup
+(SURVEY.md §2.9 extensions; the reference engine has no event analytics).
+
+- op-sessionize: inactivity-gap sessionization of the events stream —
+  the canonical clickstream building block (one shuffle on user).
+- op-funnel: strict-order view→click→purchase conversion funnel via a
+  higher-order-aggregate walk over each user's sorted events.
+- op-retention: weekly cohort retention matrix (first-event cohort ×
+  activity week).
+- op-transitions: first-order event-type Markov transition counts with
+  per-source probabilities.
+- op-span-dup-stats: per-document duplicated-span fraction over rolling
+  word 8-grams — the substring-level train-dedup ranking signal.
+- op-anomaly-mad: robust per-type outlier counts via median absolute
+  deviation (median/MAD, not mean/σ — resistant to the very outliers
+  it is hunting).
+
+All six are DuckDB-oracle-gated; tie-breaks are total-ordered on
+``(ts, event_id)`` in BOTH engines so the results are deterministic
+under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import behavioral, dedup, diagnostics
+from .queries import _t, query
+
+
+@query(
+    "op-sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us, value FROM events),
+    f AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (
+      SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f)
+    SELECT user_id,
+           CAST(session_idx AS BIGINT)            AS session_idx,
+           count(*)                               AS n_events,
+           min(ts)                                AS start_ts,
+           max(ts)                                AS end_ts,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+           round(sum(value), 2)                   AS total_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-sessionize: 30-min inactivity-gap sessions over events. One
+    hash partitioning on user feeds the lag window, the running session
+    index, and the per-session aggregation (operators/behavioral.py)."""
+    return behavioral.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@query(
+    "op-funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1 GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2 GROUP BY 1)
+    SELECT
+      (SELECT count(DISTINCT user_id) FROM events
+       WHERE event_type IN ('view','click','purchase')) AS n_users,
+      (SELECT count(*) FROM v) AS n_step_1,
+      (SELECT count(*) FROM c) AS n_step_2,
+      (SELECT count(*) FROM p) AS n_step_3
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-funnel: strict-order view→click→purchase funnel. The greedy
+    sorted-array walk (first qualifying event per stage) is provably the
+    same chain the oracle's min-timestamp CTEs compute: first view, then
+    first click strictly after it, then first purchase strictly after
+    that (operators/behavioral.py funnel)."""
+    return behavioral.funnel(
+        _t(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
+    )
+
+
+@query(
+    "op-retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY 1),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT CAST(f.cohort AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-retention: weekly cohort retention. Output is |weeks|² rows
+    regardless of input size; both aggs are map-side-combined on the
+    same user key (operators/behavioral.py retention)."""
+    return behavioral.retention(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-transitions",
+    oracle="""
+    WITH pr AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events),
+    c AS (
+      SELECT prev_type, next_type, count(*) AS n
+      FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+    FROM c
+    """,
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-transitions: event-type Markov transition matrix — |types|²
+    output rows, two linear shuffles (operators/behavioral.py)."""
+    return behavioral.transitions(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-span-dup-stats",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks)-7, 0)),
+               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]
+                 ||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]
+             )) AS gram
+      FROM tok),
+    dup AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM sp)
+      GROUP BY gram HAVING count(*) >= 2),
+    agg AS (
+      SELECT sp.doc_id, count(*) AS n_spans,
+             sum(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM sp LEFT JOIN dup USING (gram) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(a.n_dup, 0) AS BIGINT)   AS n_dup,
+           round(CASE WHEN coalesce(a.n_spans, 0) = 0 THEN 0.0
+                      ELSE a.n_dup * 1.0 / a.n_spans END, 4) AS dup_frac
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-span-dup-stats: per-doc duplicated rolling-8-gram fraction —
+    the substring-level dedup ranking signal. Spans travel as xxhash64
+    keys, never strings; three linear shuffles, no pair join
+    (operators/dedup.py span_dup_stats)."""
+    return dedup.span_dup_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=8
+    )
+
+
+@query(
+    "op-anomaly-mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med_value
+      FROM events GROUP BY 1),
+    mad AS (
+      SELECT e.event_type,
+             median(abs(e.value - m.med_value)) AS mad_value,
+             any_value(m.med_value) AS med_value
+      FROM events e JOIN med m USING (event_type) GROUP BY 1)
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN abs(e.value - m.med_value)
+                              > 3.0 * 1.4826 * m.mad_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(any_value(m.med_value), 4) AS med_value,
+           round(any_value(m.mad_value), 4) AS mad_value
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-anomaly-mad: robust per-type outlier counts (|v-med| >
+    3·1.4826·MAD). Exact medians for oracle parity; the two |keys|-row
+    frames broadcast, so the fact table is never shuffled
+    (operators/diagnostics.py mad_outliers)."""
+    return diagnostics.mad_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value", k=3.0
+    )

@@ -1,0 +1,167 @@
+"""Unit tests for operators/behavioral.py and the batch-10 extras —
+hand-built event frames with known sessions/funnels, so every boundary
+condition (gap exactly at threshold, equal-timestamp ties, strict step
+order, bot-cap) is pinned independently of the DuckDB oracle sweep."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_api_spark.operators import behavioral, dedup, diagnostics
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, T0 + dt.timedelta(seconds=s), u, t, float(v))
+            for i, (s, u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_sessionize_gap_boundaries(spark):
+    # user 1: events at +0s, +1799s (same session: gap < 30 min),
+    # +1799+1800s (still same: gap == 30 min exactly is NOT a break),
+    # then +1801s more (break: gap > 30 min)
+    rows = [
+        (0, 1, "view", 1.0),
+        (1799, 1, "view", 2.0),
+        (1799 + 1800, 1, "view", 3.0),
+        (1799 + 1800 + 1801, 1, "view", 4.0),
+        (0, 2, "click", 5.0),
+    ]
+    out = behavioral.sessionize(_ev(spark, rows)).orderBy(
+        "user_id", "session_idx"
+    )
+    got = [
+        (r.user_id, r.session_idx, r.n_events, r.duration_sec, r.total_value)
+        for r in out.collect()
+    ]
+    assert got == [
+        (1, 1, 3, 3599, 6.0),
+        (1, 2, 1, 0, 4.0),
+        (2, 1, 1, 0, 5.0),
+    ]
+
+
+def test_sessionize_start_end_are_event_timestamps(spark):
+    rows = [(0, 7, "view", 1.0), (10, 7, "view", 1.0)]
+    r = behavioral.sessionize(_ev(spark, rows)).collect()[0]
+    assert r.start_ts == T0 and r.end_ts == T0 + dt.timedelta(seconds=10)
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        # user 1 converts fully: view < click < purchase
+        (0, 1, "view", 0.0), (10, 1, "click", 0.0), (20, 1, "purchase", 0.0),
+        # user 2: purchase BEFORE view/click — stops at step 2
+        (0, 2, "purchase", 0.0), (10, 2, "view", 0.0), (20, 2, "click", 0.0),
+        # user 3: click only — never entered (step 1 requires view)
+        (0, 3, "click", 0.0),
+        # user 4: view+click at the SAME timestamp — strict > rejects
+        (0, 4, "view", 0.0), (0, 4, "click", 0.0),
+        # user 5: unrelated events only — excluded from n_users
+        (0, 5, "error", 0.0),
+    ]
+    r = behavioral.funnel(
+        _ev(spark, rows), steps=["view", "click", "purchase"]
+    ).collect()[0]
+    assert (r.n_users, r.n_step_1, r.n_step_2, r.n_step_3) == (4, 3, 2, 1)
+
+
+def test_funnel_bot_cap_bounds_memory_not_result(spark):
+    # 50 views then the converting tail; cap at 10 still sees the first
+    # view, but the click/purchase fall beyond the cap -> stage 1 only.
+    rows = [(i, 9, "view", 0.0) for i in range(50)]
+    rows += [(100, 9, "click", 0.0), (200, 9, "purchase", 0.0)]
+    r = behavioral.funnel(
+        _ev(spark, rows),
+        steps=["view", "click", "purchase"],
+        max_events_per_user=10,
+    ).collect()[0]
+    assert (r.n_step_1, r.n_step_2, r.n_step_3) == (1, 0, 0)
+
+
+def test_retention_matrix(spark):
+    # Mondays: 2024-01-01 and 2024-01-08. user 1 active both weeks,
+    # user 2 only week 0.
+    rows = [
+        (0, 1, "view", 0.0),
+        (7 * 86400, 1, "view", 0.0),
+        (3600, 2, "view", 0.0),
+    ]
+    out = behavioral.retention(_ev(spark, rows))
+    got = {
+        (r.cohort_week.isoformat(), r.week_offset): r.n_users
+        for r in out.collect()
+    }
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1}
+
+
+def test_transitions_counts_and_probs(spark):
+    rows = [
+        (0, 1, "view", 0.0), (1, 1, "click", 0.0), (2, 1, "view", 0.0),
+        (3, 1, "click", 0.0), (4, 1, "purchase", 0.0),
+        (0, 2, "view", 0.0), (1, 2, "view", 0.0),
+    ]
+    out = behavioral.transitions(_ev(spark, rows))
+    got = {(r.prev_type, r.next_type): (r.n, r.p) for r in out.collect()}
+    assert got[("view", "click")] == (2, 0.6667)
+    assert got[("view", "view")] == (1, 0.3333)
+    assert got[("click", "view")] == (1, 0.5)
+    assert got[("click", "purchase")] == (1, 0.5)
+    assert ("purchase", "view") not in got  # last event has no successor
+
+
+def test_transitions_rejects_non_temporal_ts(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 1, "view")], "event_id long, ts string, user_id long, event_type string"
+    )
+    with pytest.raises(TypeError, match="behavioral"):
+        behavioral.sessionize(df)
+
+
+def test_span_dup_stats_counts_positions(spark):
+    shared = "a b c d e f g h"  # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 unique1"),
+            (2, shared + " tail2 unique2"),
+            (3, "totally different words here so nothing matches at all"),
+            (4, "short doc"),  # < 8 tokens -> zero spans
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.span_dup_stats(docs, "doc_id", "text", n=8).collect()}
+    # docs 1/2: 3 spans each, exactly the first (the shared 8-gram) duplicated
+    assert (out[1].n_spans, out[1].n_dup) == (3, 1)
+    assert (out[2].n_spans, out[2].n_dup) == (3, 1)
+    assert out[1].dup_frac == pytest.approx(0.3333)
+    assert (out[3].n_spans, out[3].n_dup) == (2, 0)  # 9 tokens -> 2 spans
+    assert (out[4].n_spans, out[4].n_dup, out[4].dup_frac) == (0, 0, 0.0)
+
+
+def test_mad_outliers_flags_only_extremes(spark):
+    # 9 values tightly around 10 plus one wild outlier
+    vals = [9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 9.5, 1000.0]
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    r = diagnostics.mad_outliers(df, "event_type", "value").collect()[0]
+    assert r.n == 10 and r.n_outliers == 1
+    assert r.med_value == pytest.approx(10.0)
+
+
+def test_sessionize_single_exchange(spark):
+    """Scale assertion: the window + session-index + session agg pipeline
+    reuses ONE hash partitioning on user_id — exactly one shuffle."""
+    rows = [(i, i % 3, "view", 1.0) for i in range(30)]
+    plan = behavioral.sessionize(_ev(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
