@@ -315,3 +315,80 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     )
 
 
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching document to a bag-of-words
+    query — the exact-keyword retrieval baseline that sits next to the
+    embedding ANN path (similarity.py) in any search/RAG stack.
+
+    score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (the monotone variant).
+
+    Returns ``(id, score, n_terms)`` for docs matching ≥1 query term;
+    no top-k cut here — rank/limit downstream so the gate compares the
+    full scored set (ties in a cut would be engine-order-dependent).
+
+    Scale shape: the corpus is scanned ONCE (tokens materialized, tf via
+    a lateral filter on the row-local array — no explode of non-query
+    tokens ever leaves the row); corpus stats (N, avgdl) and per-term
+    document frequencies are two tiny aggregates cross/broadcast-joined
+    back. One groupBy on the doc id; everything else is |terms|- or
+    1-row frames.
+    """
+    from ..session import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks")
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    # per-doc: length + per-query-term tf, all row-local
+    per_doc = toks.select(
+        "__id",
+        F.size("__toks").alias("dl"),
+        F.transform(
+            terms,
+            lambda t: F.size(F.filter("__toks", lambda x: x == t)),
+        ).alias("tfs"),
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = per_doc.select(
+        "__id",
+        "dl",
+        F.explode(F.arrays_zip(terms.alias("term"), F.col("tfs").alias("tf"))).alias("z"),
+    ).select("__id", "dl", F.col("z.term").alias("term"), F.col("z.tf").alias("tf")
+    ).filter(F.col("tf") > 0)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfreq), "term")
+        .select(
+            "__id",
+            F.lit(1).alias("__one"),
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df_docs") + 0.5)
+                    / (F.col("df_docs") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__s"),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.round(F.sum("__s"), 4).alias("score"),
+        F.sum("__one").cast("long").alias("n_terms"),
+    ).select(F.col("__id").alias(id_col), "score", "n_terms")

@@ -208,3 +208,41 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diagnostics.mad_outliers(
         _t(spark, sf_dir, "events"), "event_type", "value", k=3.0
     )
+
+
+@query(
+    "op-bm25",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents),
+    pd AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM pd),
+    tf AS (
+      SELECT doc_id, dl, term,
+             len(list_filter(toks, x -> x = term)) AS tf
+      FROM pd, (SELECT unnest(['spark','query','join']) AS term) q),
+    tf2 AS (SELECT * FROM tf WHERE tf > 0),
+    dfq AS (SELECT term, count(*) AS df_docs FROM tf2 GROUP BY 1)
+    SELECT doc_id,
+           round(sum(
+             ln((n_docs - df_docs + 0.5) / (df_docs + 0.5) + 1.0)
+             * (tf * 2.2)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           ), 4) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM tf2 CROSS JOIN stats JOIN dfq USING (term)
+    GROUP BY 1
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-bm25: Okapi BM25 keyword retrieval (query = spark/query/join,
+    k1=1.2, b=0.75) — the exact-match baseline beside the ANN search
+    path. Full scored set, no top-k cut at the gate (operators/text.py
+    bm25_scores); single corpus scan, broadcast stats."""
+    from .operators import text as text_ops
+
+    return text_ops.bm25_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        ["spark", "query", "join"],
+    )

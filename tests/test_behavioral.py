@@ -165,3 +165,28 @@ def test_sessionize_single_exchange(spark):
     rows = [(i, i % 3, "view", 1.0) for i in range(30)]
     plan = behavioral.sessionize(_ev(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_basic_ranking(spark):
+    from etl_pipeline_api_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),   # high tf for 'spark'
+            (2, "spark filler filler filler filler"), # low tf
+            (3, "filler only no match here at all"),  # no query terms
+            (4, "rare filler filler filler filler"),  # rarer term
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text_ops.bm25_scores(
+            docs, "doc_id", "text", ["spark", "rare"]
+        ).collect()
+    }
+    assert 3 not in out                      # zero-match docs excluded
+    assert out[1].score > out[2].score       # tf monotonicity
+    assert out[4].n_terms == 1
+    # rarer term ('rare': df=1) outscores common term at equal tf=1
+    assert out[4].score > out[2].score
