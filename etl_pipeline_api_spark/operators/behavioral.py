@@ -226,3 +226,88 @@ def transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(w_src), 4).alias("p"),
     )
+
+
+def rolling_window_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    lookback_s: int = 3600,
+) -> DataFrame:
+    """Per-event trailing time-window features: count and value-sum of
+    the same user's events in ``[ts − lookback, ts]`` — the standard
+    online-feature shape ("events in the last hour").
+
+    A RANGE frame over epoch-µs, not a ROWS frame: all rows at equal
+    timestamps share one frame, so there is no tie ambiguity to break.
+    One shuffle on user; the frame scan is a single sorted pass per
+    partition (Spark's sliding range frame is O(n) amortized per key,
+    not O(n·frame)).
+    """
+    us = _micros(events, ts_col)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us.alias("_us"))
+        .rangeBetween(-lookback_s * 1_000_000, 0)
+    )
+    return events.select(
+        id_col,
+        user_col,
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.sum(value_col).over(w), 2).alias("sum_trailing"),
+    )
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / trailing-WAU / stickiness per day.
+
+    The trailing distinct-user window is computed WITHOUT a windowed
+    count-distinct (which Spark — and any shuffle engine — cannot do
+    incrementally): each distinct (user, day) pair fans out to the
+    ``window_days`` future days it keeps the user "active in the last
+    N days" for, then one count-distinct per target day. Linear
+    ``window_days``× fan-out of the (user, day) DISTINCT set (tiny vs
+    raw events), two map-combined shuffles, no self-join, no driver
+    state. Days with no events simply don't appear (no zero-fill).
+
+    Returns ``(day, dau, wau, stickiness)`` for days inside the data's
+    span (leading ramp-up days where the trailing window would reach
+    before the data begins are still reported, as a warehouse would).
+    """
+    ud = events.select(
+        F.col(user_col).alias("__u"), F.to_date(ts_col).alias("__d")
+    ).distinct()
+    dau = ud.groupBy(F.col("__d").alias("day")).agg(
+        F.countDistinct("__u").alias("dau")
+    )
+    span = ud.agg(F.max("__d").alias("__maxd"))
+    fanned = (
+        ud.select(
+            "__u",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(window_days - 1)),
+                    lambda k: F.date_add(F.col("__d"), k),
+                )
+            ).alias("day"),
+        )
+        .join(F.broadcast(span), F.col("day") <= F.col("__maxd"))
+        .groupBy("day")
+        .agg(F.countDistinct("__u").alias("wau"))
+    )
+    return (
+        dau.join(fanned, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )

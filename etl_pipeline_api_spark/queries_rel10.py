@@ -246,3 +246,51 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         ["spark", "query", "join"],
     )
+
+
+@query(
+    "op-rolling-window",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+    SELECT event_id, user_id,
+           count(*) OVER w            AS n_trailing,
+           round(sum(value) OVER w, 2) AS sum_trailing
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-rolling-window: per-event trailing-hour count/sum for the same
+    user — a RANGE frame over epoch-µs, so equal timestamps share one
+    frame (no tie ambiguity); one shuffle, O(n) sliding frame
+    (operators/behavioral.py rolling_window_features)."""
+    return behavioral.rolling_window_features(
+        _t(spark, sf_dir, "events"), lookback_s=3600
+    )
+
+
+@query(
+    "op-active-users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    dau AS (SELECT d AS day, count(DISTINCT u) AS dau FROM ud GROUP BY 1),
+    span AS (SELECT max(d) AS maxd FROM ud),
+    fan AS (
+      SELECT u, d + CAST(k AS INT) AS day
+      FROM ud, (SELECT unnest(generate_series(0, 6)) AS k) ks),
+    wau AS (
+      SELECT day, count(DISTINCT u) AS wau
+      FROM fan, span WHERE day <= maxd GROUP BY 1)
+    SELECT day, dau, wau, round(dau * 1.0 / wau, 4) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-active-users: DAU / trailing-7-day WAU / stickiness. The
+    trailing distinct-user window is an offset fan-out of the DISTINCT
+    (user, day) set — windowed count-distinct without a self-join or
+    driver state (operators/behavioral.py active_users)."""
+    return behavioral.active_users(_t(spark, sf_dir, "events"), window_days=7)

@@ -190,3 +190,38 @@ def test_bm25_basic_ranking(spark):
     assert out[4].n_terms == 1
     # rarer term ('rare': df=1) outscores common term at equal tf=1
     assert out[4].score > out[2].score
+
+
+def test_rolling_window_range_frame(spark):
+    # user 1: events at +0s, +1800s, +3600s, +7300s
+    # trailing-1h frames: [e0], [e0,e1], [e0,e1,e2] (3600 incl), [e3]
+    rows = [
+        (0, 1, "view", 1.0),
+        (1800, 1, "view", 2.0),
+        (3600, 1, "view", 4.0),
+        (7300, 1, "view", 8.0),
+    ]
+    out = {r.event_id: r for r in behavioral.rolling_window_features(
+        _ev(spark, rows), lookback_s=3600
+    ).collect()}
+    assert [out[i].n_trailing for i in range(4)] == [1, 2, 3, 1]
+    assert [out[i].sum_trailing for i in range(4)] == [1.0, 3.0, 7.0, 8.0]
+
+
+def test_active_users_dau_wau(spark):
+    # user 1 active day 0 only; user 2 active days 0 and 2
+    rows = [
+        (0, 1, "view", 0.0),
+        (3600, 2, "view", 0.0),
+        (2 * 86400, 2, "view", 0.0),
+    ]
+    out = {r.day.isoformat(): r for r in behavioral.active_users(
+        _ev(spark, rows), window_days=7
+    ).collect()}
+    # day 0: dau=2, wau=2 (both seen today)
+    assert (out["2024-01-01"].dau, out["2024-01-01"].wau) == (2, 2)
+    # day 2: dau=1 (user 2), wau=2 (both within trailing 7d)
+    assert (out["2024-01-03"].dau, out["2024-01-03"].wau) == (1, 2)
+    assert out["2024-01-03"].stickiness == 0.5
+    # day 1 has no events -> no DAU row -> absent from the joined output
+    assert "2024-01-02" not in out
