@@ -311,3 +311,41 @@ def active_users(
             F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
         )
     )
+
+
+def ohlc_downsample(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-bucket OHLC downsampling (the hypertable-rollup shape): per
+    ``(key, bucket)`` the opening/closing value under the ``(ts, id)``
+    total order plus high/low/volume/count.
+
+    ONE map-side-combined aggregation — no window, no sort: open/close
+    are ``min_by``/``max_by`` over the ``(epoch-µs, id)`` struct, which
+    selects exactly the rn=1 row an ORDER BY ts, id window would, and
+    partial-aggregates on the map side (an O(1)-state fold, unlike a
+    per-bucket sort). Output is |keys|·|buckets| rows at any input size;
+    downsampled series are what you persist so later scans never touch
+    raw events again.
+    """
+    us = _micros(events, ts_col)
+    ordk = F.struct(us.alias("us"), F.col(id_col).alias("id"))
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.round(F.min_by(value_col, ordk), 2).alias("open"),
+            F.round(F.max(value_col), 2).alias("high"),
+            F.round(F.min(value_col), 2).alias("low"),
+            F.round(F.max_by(value_col, ordk), 2).alias("close"),
+            F.round(F.sum(value_col), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

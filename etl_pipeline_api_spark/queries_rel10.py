@@ -294,3 +294,33 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, day) set — windowed count-distinct without a self-join or
     driver state (operators/behavioral.py active_users)."""
     return behavioral.active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+@query(
+    "op-ohlc-downsample",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             epoch_us(ts) AS us, event_id, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY epoch_us(ts), event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, bucket,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2)  AS high,
+           round(min(value), 2)  AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           round(sum(value), 2)  AS volume,
+           count(*)              AS n
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-ohlc-downsample: hourly OHLC rollup per event type — ONE
+    map-combined aggregation (min_by/max_by over the (µs, id) struct
+    replaces the oracle's rn=1 window selection with an O(1)-state
+    fold); persistable so later scans never re-touch raw events
+    (operators/behavioral.py ohlc_downsample)."""
+    return behavioral.ohlc_downsample(_t(spark, sf_dir, "events"))

@@ -225,3 +225,22 @@ def test_active_users_dau_wau(spark):
     assert out["2024-01-03"].stickiness == 0.5
     # day 1 has no events -> no DAU row -> absent from the joined output
     assert "2024-01-02" not in out
+
+
+def test_ohlc_open_close_tie_break(spark):
+    # two events share the opening timestamp: event_id breaks the tie
+    rows = [
+        (0, 1, "view", 5.0),   # event_id 0 — the open
+        (0, 1, "view", 9.0),   # event_id 1, same ts
+        (60, 1, "view", 1.0),
+        (3700, 1, "view", 7.0),  # next hour bucket
+    ]
+    out = {r.bucket: r for r in behavioral.ohlc_downsample(
+        _ev(spark, rows), key_col="event_type", bucket="hour"
+    ).collect()}
+    b0 = out[dt.datetime(2024, 1, 1, 12)]
+    assert (b0.open, b0.high, b0.low, b0.close, b0.volume, b0.n) == (
+        5.0, 9.0, 1.0, 1.0, 15.0, 3,
+    )
+    b1 = out[dt.datetime(2024, 1, 1, 13)]
+    assert (b1.open, b1.close, b1.n) == (7.0, 7.0, 1)
