@@ -349,3 +349,62 @@ def ohlc_downsample(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_age_s: int = 86_400,
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the user's most recent PRECEDING non-conversion event
+    within ``max_age_s``; conversions with no touch in the window are
+    reported as ``'(none)'``. Returns ``(channel, n_conversions)``.
+
+    One shuffle on user: a running ``last(..., ignorenulls=True)`` over
+    the ``(µs, id)``-ordered frame carries the latest touch's
+    ``(µs, type)`` struct forward — preceding ROWS only (frame ends at
+    -1), under the total ``(ts, id)`` order, so a touch sharing the
+    conversion's timestamp IS credited when its id orders first (age 0
+    is within any window). The age cut then happens row-locally. No
+    self-join, no per-conversion scan.
+    """
+    us = _micros(events, ts_col)
+    base = events.select(
+        user_col,
+        F.col(id_col),
+        F.col(type_col),
+        us.alias("_us"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("_us", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col(type_col) != conversion_type,
+            F.struct(F.col("_us").alias("tus"), F.col(type_col).alias("ttype")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        base.withColumn("_touch", touch)
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.when(
+                F.col("_touch").isNotNull()
+                & (F.col("_us") - F.col("_touch.tus") <= max_age_s * 1_000_000),
+                F.col("_touch.ttype"),
+            )
+            .otherwise(F.lit("(none)"))
+            .alias("channel")
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )

@@ -324,3 +324,36 @@ def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold); persistable so later scans never re-touch raw events
     (operators/behavioral.py ohlc_downsample)."""
     return behavioral.ohlc_downsample(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    t AS (
+      SELECT *,
+             last_value(CASE WHEN event_type != 'purchase'
+                             THEN struct_pack(tus := us, ttype := event_type)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM e),
+    conv AS (
+      SELECT CASE WHEN touch IS NOT NULL
+                    AND us - touch.tus <= 86400000000
+                  THEN touch.ttype ELSE '(none)' END AS channel
+      FROM t WHERE event_type = 'purchase')
+    SELECT channel, count(*) AS n_conversions
+    FROM conv GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-attribution: last-touch attribution of purchases to the most
+    recent preceding non-purchase event within 24 h — one running
+    ignore-nulls window, no self-join (operators/behavioral.py
+    last_touch_attribution)."""
+    return behavioral.last_touch_attribution(
+        _t(spark, sf_dir, "events"), conversion_type="purchase"
+    )

@@ -244,3 +244,22 @@ def test_ohlc_open_close_tie_break(spark):
     )
     b1 = out[dt.datetime(2024, 1, 1, 13)]
     assert (b1.open, b1.close, b1.n) == (7.0, 7.0, 1)
+
+
+def test_attribution_last_touch_window(spark):
+    rows = [
+        # user 1: view then click then purchase — credited to click
+        (0, 1, "view", 0.0), (10, 1, "click", 0.0), (20, 1, "purchase", 0.0),
+        # user 2: touch outside the 1h test window -> (none)
+        (0, 2, "view", 0.0), (4000, 2, "purchase", 0.0),
+        # user 3: no touch at all -> (none)
+        (0, 3, "purchase", 0.0),
+        # user 4: touch at the SAME instant IS credited — the (ts, id)
+        # row order puts the earlier-id view before the purchase, age 0
+        (0, 4, "view", 0.0), (0, 4, "purchase", 0.0),
+    ]
+    out = {r.channel: r.n_conversions for r in
+           behavioral.last_touch_attribution(
+               _ev(spark, rows), max_age_s=3600
+           ).collect()}
+    assert out == {"click": 1, "view": 1, "(none)": 2}
