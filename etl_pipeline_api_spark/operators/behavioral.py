@@ -53,6 +53,7 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_minutes: int = 30,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Split each user's event stream into sessions at inactivity gaps.
 
@@ -65,7 +66,23 @@ def sessionize(
 
     One shuffle (hash on user) feeds the lag window, the running
     session index, and the per-session aggregation — one Exchange.
+
+    Scale hazard and its dial: exact sessionization needs each user's
+    FULL ordered stream in one partition, so one bot key with 10⁸
+    events is a straggler no salting can fix without breaking gap
+    semantics at the salt seams. ``max_events_per_user`` drops such
+    users entirely (one extra map-combined count + co-partitioned
+    anti-join when enabled) — the standard curation stance: a key that
+    hot is not a human session stream, clip it before the window.
     """
+    if max_events_per_user is not None:
+        hot = (
+            events.groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_events_per_user)
+            .select(user_col)
+        )
+        events = events.join(hot, user_col, "left_anti")
     gap_us = gap_minutes * 60 * 1_000_000
     with_flag = events.select(
         user_col,

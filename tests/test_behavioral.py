@@ -263,3 +263,14 @@ def test_attribution_last_touch_window(spark):
                _ev(spark, rows), max_age_s=3600
            ).collect()}
     assert out == {"click": 1, "view": 1, "(none)": 2}
+
+
+def test_sessionize_bot_guard_drops_hot_users(spark):
+    rows = [(i, 1, "view", 1.0) for i in range(20)]   # bot: 20 events
+    rows += [(0, 2, "view", 1.0), (10, 2, "view", 1.0)]
+    out = behavioral.sessionize(
+        _ev(spark, rows), max_events_per_user=10
+    ).collect()
+    assert {r.user_id for r in out} == {2}
+    # and without the guard the bot is kept
+    assert {r.user_id for r in behavioral.sessionize(_ev(spark, rows)).collect()} == {1, 2}
