@@ -357,3 +357,36 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavioral.last_touch_attribution(
         _t(spark, sf_dir, "events"), conversion_type="purchase"
     )
+
+
+@query(
+    "op-stream-ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS window_start,
+             epoch_us(ts) AS us, event_id, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY epoch_us(ts), event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT window_start, event_type,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           round(max(value), 2)  AS high,
+           round(min(value), 2)  AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           round(sum(value), 2)  AS volume,
+           count(*)              AS n
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-ohlc: the OHLC rollup executed AS A STREAM (file source
+    → watermark → windowed min_by/max_by state → memory sink,
+    Trigger.AvailableNow) — O(1) mergeable partial state per window, no
+    per-window sort; result table oracle-matched against the batch
+    row_number twin (streaming/events.py ohlc_windowed)."""
+    from .streaming import events as sev
+
+    stream = sev.read_events_stream(spark, sf_dir)
+    return sev.run_available_now(sev.ohlc_windowed(stream))

@@ -325,3 +325,33 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ohlc_windowed(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window OHLC rollup per event_type — the continuously-
+    maintained form of operators.behavioral.ohlc_downsample. min_by /
+    max_by over the (ts, event_id) struct are declarative aggregates
+    with O(1) mergeable partial state, so they run inside streaming
+    state exactly like count/sum (no per-window sort, no arbitrary
+    stateful operator needed); the watermark bounds open windows. In
+    batch mode the same expression computes the identical result
+    (oracle twin: date_trunc + row_number selection)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    ordk = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"))
+    return (
+        src.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.round(F.min_by("value", ordk), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", ordk), 2).alias("close"),
+            F.round(F.sum("value"), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "open", "high", "low", "close", "volume", "n",
+        )
+    )
