@@ -158,3 +158,33 @@ def weighted_mix(
         .filter(F.col("__rn") <= limit)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    Efraimidis-Spirakis): priority = u^(1/w) with u the det_key uniform,
+    take the k largest — inclusion probability rises with weight, the
+    standard way to sample docs ∝ quality/length for a training mix.
+    Rows with non-positive weight are excluded (their priority is
+    undefined).
+
+    Deterministic: u derives from det_key(id), so the same input always
+    yields the same sample, in any partitioning; ties (identical
+    priority ⟹ identical (u, w)) break on id. Scale shape: row-local
+    priority + global top-k (per-partition heads then a k·p-row driver
+    merge — no full sort, no shuffle of the data). The float pow means
+    cross-ENGINE membership is not bit-guaranteed (unlike det_key
+    order), so the oracle gate checks the sample's invariants — size
+    and heavy-bias — not exact membership; rerun-stability is pinned by
+    unit test."""
+    u = (det_key(id_col) + F.lit(1.0)) / F.lit(float(M32 + 1))
+    pri = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__pri")
+    )

@@ -390,3 +390,36 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = sev.read_events_stream(spark, sf_dir)
     return sev.run_available_now(sev.ohlc_windowed(stream))
+
+
+@query(
+    "op-sample-weighted",
+    oracle="""
+    SELECT CAST(100 AS BIGINT) AS n, true AS biased_heavy
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-sample-weighted: A-ES weighted sampling of 100 docs with
+    weight = n_chars. Exact membership is engine-hash-specific (float
+    pow priorities), so — like the approx-sketch gates — the oracle
+    checks the invariants: exactly k rows came back, and the sample's
+    mean weight exceeds the corpus mean (the defining bias of weighted
+    sampling; a uniform sampler fails this with high probability).
+    Rerun determinism is unit-pinned (operators/sampling.py
+    weighted_sample)."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus_avg = docs.agg(F.avg("n_chars").alias("corpus_avg"))
+    samp = sampling.weighted_sample(docs, "doc_id", "n_chars", 100)
+    return (
+        samp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("n_chars").alias("sample_avg"),
+        )
+        .crossJoin(F.broadcast(corpus_avg))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            (F.col("sample_avg") > F.col("corpus_avg")).alias("biased_heavy"),
+        )
+    )

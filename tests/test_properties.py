@@ -175,3 +175,24 @@ def test_pack_sequences_is_exact_partition(spark, lens, seq_len, n_shards):
         assert r.seq_first == r.offset // seq_len
         assert r.seq_last == (r.offset + r.n_tokens - 1) // seq_len
         assert r.pos_in_seq == r.offset % seq_len
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from etl_pipeline_api_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(1 + (i % 10) * 10)) for i in range(200)],
+        "id long, w double",
+    )
+    s1 = sorted(r.id for r in weighted_sample(df, "id", "w", 50).collect())
+    s2 = sorted(r.id for r in weighted_sample(df, "id", "w", 50).collect())
+    assert s1 == s2 and len(s1) == 50          # rerun-stable, exact k
+    # heavy-weight bias: mean weight of sample >> corpus mean (46 here)
+    mean_w = sum(1 + (i % 10) * 10 for i in s1) / 50
+    corpus_mean = sum(1 + (i % 10) * 10 for i in range(200)) / 200
+    assert mean_w > corpus_mean
+    # zero/negative weights never sampled
+    df2 = df.union(spark.createDataFrame([(999, 0.0), (998, -5.0)], "id long, w double"))
+    assert {999, 998}.isdisjoint(
+        {r.id for r in weighted_sample(df2, "id", "w", 202).collect()}
+    )
