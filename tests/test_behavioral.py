@@ -274,3 +274,16 @@ def test_sessionize_bot_guard_drops_hot_users(spark):
     assert {r.user_id for r in out} == {2}
     # and without the guard the bot is kept
     assert {r.user_id for r in behavioral.sessionize(_ev(spark, rows)).collect()} == {1, 2}
+
+
+def test_rolling_and_attribution_single_exchange(spark):
+    """Scale assertion: both per-user window ops shuffle exactly once."""
+    rows = [(i, i % 3, "view" if i % 4 else "purchase", 1.0) for i in range(40)]
+    df = _ev(spark, rows)
+    for op_df in (
+        behavioral.rolling_window_features(df),
+        behavioral.last_touch_attribution(df),
+    ):
+        plan = op_df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 2  # user + final agg
+        assert "CartesianProduct" not in plan
