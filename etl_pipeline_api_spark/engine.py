@@ -156,3 +156,59 @@ class Engine:
         from .operators.diagnostics import skew_report
 
         return skew_report(df, key_col)
+
+    # -- event-sequence analytics (round 5) ------------------------------
+    def sessionize(self, events: DataFrame, **kwargs) -> DataFrame:
+        """Inactivity-gap sessions (behavioral.sessionize)."""
+        from .operators.behavioral import sessionize
+
+        return sessionize(events, **kwargs)
+
+    def funnel(self, events: DataFrame, steps: list[str], **kwargs) -> DataFrame:
+        """Strict-order conversion funnel (behavioral.funnel)."""
+        from .operators.behavioral import funnel
+
+        return funnel(events, steps, **kwargs)
+
+    def retention(self, events: DataFrame, **kwargs) -> DataFrame:
+        from .operators.behavioral import retention
+
+        return retention(events, **kwargs)
+
+    def attribution(self, events: DataFrame, **kwargs) -> DataFrame:
+        from .operators.behavioral import last_touch_attribution
+
+        return last_touch_attribution(events, **kwargs)
+
+    def ohlc(self, events: DataFrame, **kwargs) -> DataFrame:
+        from .operators.behavioral import ohlc_downsample
+
+        return ohlc_downsample(events, **kwargs)
+
+    def mad_outliers(
+        self, df: DataFrame, key_col: str, value_col: str, **kwargs
+    ) -> DataFrame:
+        from .operators.diagnostics import mad_outliers
+
+        return mad_outliers(df, key_col, value_col, **kwargs)
+
+    def bm25(
+        self, docs: DataFrame, id_col: str, text_col: str, terms: list[str], **kw
+    ) -> DataFrame:
+        from .operators.text import bm25_scores
+
+        return bm25_scores(docs, id_col, text_col, terms, **kw)
+
+    def weighted_sample(
+        self, df: DataFrame, id_col: str, weight_col: str, k: int
+    ) -> DataFrame:
+        from .operators.sampling import weighted_sample
+
+        return weighted_sample(df, id_col, weight_col, k)
+
+    def span_dup_stats(
+        self, docs: DataFrame, id_col: str, text_col: str, n: int = 8
+    ) -> DataFrame:
+        from .operators.dedup import span_dup_stats
+
+        return span_dup_stats(docs, id_col, text_col, n)
