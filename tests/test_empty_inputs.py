@@ -31,6 +31,11 @@ SUBSET = [
     "op-sim-search-ivf", "op-kmeans", "op-semdedup",
     # zero-row partitioned ORC write reads back via declared schema
     "op-orc-roundtrip",
+    # round-5 event-sequence / retrieval ops
+    "op-sessionize", "op-funnel", "op-retention", "op-transitions",
+    "op-rolling-window", "op-active-users", "op-ohlc-downsample",
+    "op-attribution", "op-anomaly-mad", "op-bm25", "op-span-dup-stats",
+    "op-sample-weighted",
 ]
 
 
