@@ -11,6 +11,7 @@ bug class found in round 1:
 - array columns     (op-multimodal-decode features)            -> unsortable-cell class
 - streaming source  (op-stream-window-agg reads events stream)
 - date vs timestamp (op-date-funcs DATE canonicalization)
+- NTZ epoch-µs gap math (op-sessionize start/end bounds + durations)
 
 The FULL sweep (all ~100 queries, ~3 min) is the pre-commit step documented
 in .claude/skills/verify/SKILL.md; this test keeps the bug classes from
@@ -29,6 +30,8 @@ SUBSET = [
     "op-multimodal-decode",
     "op-stream-window-agg",
     "op-date-funcs",
+    # round-5 class: NTZ epoch-µs window math + exposed timestamp bounds
+    "op-sessionize",
 ]
 
 
