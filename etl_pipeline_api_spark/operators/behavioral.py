@@ -146,6 +146,29 @@ def funnel(
 
     Returns one row: ``n_users`` plus ``n_step_1 .. n_step_k``.
     """
+    walked = _funnel_walk(
+        events, steps, user_col, ts_col, type_col, id_col, max_events_per_user
+    )
+    aggs = [F.count("*").alias("n_users")] + [
+        F.sum((F.col("_stage") >= i).cast("long")).alias(f"n_step_{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    return walked.agg(*aggs)
+
+
+def _funnel_walk(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    max_events_per_user: int,
+) -> DataFrame:
+    """Shared greedy funnel walk: one row per user with funnel-relevant
+    events — ``(_stage, _first_us, _last_us)``: the stage reached, the
+    µs of the step-1 event that opened the chain, and the µs of the
+    latest step reached. Single shuffle (see funnel's docstring)."""
     fev = events.filter(F.col(type_col).isin(steps)).select(
         user_col,
         F.struct(
@@ -157,30 +180,65 @@ def funnel(
     per_user = fev.groupBy(user_col).agg(
         F.slice(F.array_sort(F.collect_list("_ev")), 1, max_events_per_user).alias("_evs")
     )
-    # state: stage reached so far + epoch-µs of the event that reached it
+    # state: stage reached + µs of the chain-opening and latest step events
     steps_arr = F.array(*[F.lit(s) for s in steps])
+    neg = F.lit(-1).cast("long")
+    st0 = F.struct(
+        F.lit(0).alias("stage"), neg.alias("last_us"), neg.alias("first_us")
+    )
     walked = per_user.select(
         user_col,
         F.aggregate(
             "_evs",
-            F.struct(
-                F.lit(0).alias("stage"), F.lit(-1).cast("long").alias("last_us")
-            ),
+            st0,
             lambda st, ev: F.when(
                 (st.stage < F.lit(len(steps)))
                 & (ev.etype == F.element_at(steps_arr, st.stage + 1))
                 & (ev.us > st.last_us),
                 F.struct(
-                    (st.stage + 1).alias("stage"), ev.us.alias("last_us")
+                    (st.stage + 1).alias("stage"),
+                    ev.us.alias("last_us"),
+                    F.when(st.stage == 0, ev.us)
+                    .otherwise(st.first_us)
+                    .alias("first_us"),
                 ),
             ).otherwise(st),
-        ).stage.alias("_stage"),
+        ).alias("_st"),
     )
-    aggs = [F.count("*").alias("n_users")] + [
-        F.sum((F.col("_stage") >= i).cast("long")).alias(f"n_step_{i}")
-        for i in range(1, len(steps) + 1)
-    ]
-    return walked.agg(*aggs)
+    return walked.select(
+        user_col,
+        F.col("_st.stage").alias("_stage"),
+        F.col("_st.first_us").alias("_first_us"),
+        F.col("_st.last_us").alias("_last_us"),
+    )
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_events_per_user: int = 10_000,
+) -> DataFrame:
+    """Time-to-convert distribution for fully-converted funnel users:
+    one row ``(n_converted, p50_sec, p90_sec)`` where the per-user time
+    is (last step µs − step-1 µs) of the greedy chain — exactly
+    ``t_k − t_1`` of the oracle's min-timestamp CTEs. Same single
+    shuffle as ``funnel``; the quantiles are exact interpolated
+    percentiles over the |converted|-row frame."""
+    walked = _funnel_walk(
+        events, steps, user_col, ts_col, type_col, id_col, max_events_per_user
+    )
+    conv = walked.filter(F.col("_stage") >= len(steps)).select(
+        ((F.col("_last_us") - F.col("_first_us")) / 1_000_000).alias("_t_sec")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(_t_sec, 0.5)"), 2).alias("p50_sec"),
+        F.round(F.expr("percentile(_t_sec, 0.9)"), 2).alias("p90_sec"),
+    )
 
 
 def retention(

@@ -423,3 +423,34 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sample_avg") > F.col("corpus_avg")).alias("biased_heavy"),
         )
     )
+
+
+@query(
+    "op-funnel-timing",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1 GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3, any_value(v.t1) AS t1
+      FROM events e JOIN c USING (user_id) JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2 GROUP BY 1),
+    t AS (SELECT (t3 - t1) / 1000000.0 AS t_sec FROM p)
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(t_sec, 0.5), 2) AS p50_sec,
+           round(quantile_cont(t_sec, 0.9), 2) AS p90_sec
+    FROM t
+    """,
+)
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-funnel-timing: time-to-convert quantiles for users completing
+    view→click→purchase — (last step − first view) of the same greedy
+    chain op-funnel counts, exact interpolated percentiles over the
+    converted set (operators/behavioral.py funnel_times)."""
+    return behavioral.funnel_times(
+        _t(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
+    )

@@ -287,3 +287,18 @@ def test_rolling_and_attribution_single_exchange(spark):
         plan = op_df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") <= 2  # user + final agg
         assert "CartesianProduct" not in plan
+
+
+def test_funnel_times_quantiles(spark):
+    # two converting users: 20s and 100s view->purchase; one non-converter
+    rows = [
+        (0, 1, "view", 0.0), (10, 1, "click", 0.0), (20, 1, "purchase", 0.0),
+        (0, 2, "view", 0.0), (50, 2, "click", 0.0), (100, 2, "purchase", 0.0),
+        (0, 3, "view", 0.0),
+    ]
+    r = behavioral.funnel_times(
+        _ev(spark, rows), steps=["view", "click", "purchase"]
+    ).collect()[0]
+    assert r.n_converted == 2
+    assert r.p50_sec == pytest.approx(60.0)   # interpolated median of {20, 100}
+    assert r.p90_sec == pytest.approx(92.0)   # 20 + 0.8*(100-20) at p90
