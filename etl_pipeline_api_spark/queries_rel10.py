@@ -454,3 +454,48 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavioral.funnel_times(
         _t(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
     )
+
+
+@query(
+    "op-stream-funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1 GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2 GROUP BY 1)
+    SELECT
+      (SELECT count(DISTINCT user_id) FROM events
+       WHERE event_type IN ('view','click','purchase')) AS n_users,
+      (SELECT count(*) FROM v) AS n_step_1,
+      (SELECT count(*) FROM c) AS n_step_2,
+      (SELECT count(*) FROM p) AS n_step_3
+    """,
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-funnel: the conversion funnel maintained AS A STREAM —
+    applyInPandasWithState carries (stage, last_us) per user across
+    micro-batches (O(1) state, no event history); over the in-order
+    AvailableNow backlog the per-user stages equal the batch walk, so
+    the same oracle gates both. Post-stream the |users|-row update
+    table is batch-aggregated to stage counts (streaming/events.py
+    funnel_stage_stream)."""
+    from .streaming import events as sev
+
+    steps = ["view", "click", "purchase"]
+    stream = sev.read_events_stream(spark, sf_dir)
+    per_user = sev.run_available_now(
+        sev.funnel_stage_stream(stream, steps), output_mode="update"
+    )
+    final = per_user.groupBy("user_id").agg(F.max("stage").alias("_stage"))
+    aggs = [F.count("*").alias("n_users")] + [
+        F.sum((F.col("_stage") >= i).cast("long")).alias(f"n_step_{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    return final.agg(*aggs)

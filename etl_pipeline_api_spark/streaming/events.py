@@ -355,3 +355,52 @@ def ohlc_windowed(
             "event_type", "open", "high", "low", "close", "volume", "n",
         )
     )
+
+
+def funnel_stage_stream(events: DataFrame, steps: list[str]) -> DataFrame:
+    """STREAMING funnel: per-user funnel stage maintained across
+    micro-batches via applyInPandasWithState — the real-time form of
+    operators.behavioral.funnel. State per user is just (stage,
+    last_us): O(1), not the event history; each batch's group rows are
+    sorted (ts, event_id) and walked with the same greedy
+    first-qualifying-event rule as the batch walk.
+
+    Ordering caveat (inherent to any incremental funnel): the walk
+    cannot backtrack, so events arriving in a LATER micro-batch with
+    EARLIER timestamps than already-consumed state are ignored — with
+    an in-order source (or the single-batch AvailableNow backlog the
+    oracle uses) the result equals the batch funnel exactly; with
+    out-of-order arrival it is the standard at-arrival approximation.
+
+    Emits one (user_id, stage) row per user per batch (update mode);
+    stage is monotone, so downstream consumers aggregate with max.
+    """
+    import pandas as pd
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    fev = events.filter(F.col("event_type").isin(steps)).select(
+        "user_id", us.alias("_us"), "event_id", "event_type"
+    )
+    n_steps = len(steps)
+
+    def update(key, pdf_iter, state):
+        stage, last = state.get if state.exists else (0, -1)
+        rows = pd.concat(list(pdf_iter))
+        rows = rows.sort_values(["_us", "event_id"])
+        for u, et in zip(rows["_us"], rows["event_type"]):
+            if stage < n_steps and et == steps[stage] and u > last:
+                stage += 1
+                last = int(u)
+        state.update((stage, last))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    from ..session import ship_package
+
+    ship_package(events.sparkSession)
+    return fev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, stage int",
+        stateStructType="stage int, last_us long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
