@@ -9,13 +9,28 @@
   activity week).
 - op-transitions: first-order event-type Markov transition counts with
   per-source probabilities.
+- op-funnel-timing: time-to-convert p50/p90 over the same greedy chain.
+- op-stream-funnel: the funnel maintained AS A STREAM — O(1)
+  (stage, last_us) state per user via applyInPandasWithState.
+- op-rolling-window: per-event trailing-hour count/sum (RANGE frame
+  over epoch-µs — equal timestamps share one frame).
+- op-active-users: DAU / trailing-7-day WAU / stickiness; the windowed
+  count-distinct is an offset fan-out of the distinct (user, day) set.
+- op-ohlc-downsample / op-stream-ohlc: time-bucket OHLC rollup as one
+  map-combined min_by/max_by aggregation, batch and watermarked-stream.
+- op-attribution: last-touch conversion attribution (24 h age cut) via
+  a running ignore-nulls struct window.
 - op-span-dup-stats: per-document duplicated-span fraction over rolling
   word 8-grams — the substring-level train-dedup ranking signal.
 - op-anomaly-mad: robust per-type outlier counts via median absolute
   deviation (median/MAD, not mean/σ — resistant to the very outliers
   it is hunting).
+- op-bm25: Okapi BM25 keyword retrieval — the exact-match baseline
+  beside the ANN search path; single corpus scan, broadcast stats.
+- op-sample-weighted: A-ES weighted sampling without replacement on the
+  det_key uniform (invariant-gated: exact k + heavy-bias).
 
-All six are DuckDB-oracle-gated; tie-breaks are total-ordered on
+All DuckDB-oracle-gated; tie-breaks are total-ordered on
 ``(ts, event_id)`` in BOTH engines so the results are deterministic
 under any partitioning.
 """
