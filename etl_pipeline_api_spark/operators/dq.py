@@ -101,3 +101,50 @@ def gastos_dq_suite() -> DQSuite:
             non_negative_check("valor"),
         ],
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff (the change-data-feed shape): classify every key as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` between two
+    table versions, comparing ``compare_cols`` null-safely.
+
+    One co-partitioned full outer join on the key — both sides shuffle
+    once on the same key (or zero shuffles if both snapshots are
+    bucketed by it); the comparison is row-local. This is how you audit
+    an incremental load or build a CDC feed when the table format
+    doesn't provide one.
+
+    Returns per-row ``(key_cols…, status)`` — aggregate downstream for
+    counts, or filter ``status != 'unchanged'`` for the feed itself.
+    """
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__o_present"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("__n_present"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    # presence markers, not compare-col nulls: a row whose compare cols
+    # are ALL null still exists on its side
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*key_cols, status.alias("status"))

@@ -514,3 +514,51 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(1, len(steps) + 1)
     ]
     return final.agg(*aggs)
+
+
+@query(
+    "op-table-diff",
+    oracle="""
+    WITH oldv AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey % 97 != 0),
+    newv AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0
+                  THEN round(c_acctbal + 100.0, 2) ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer
+      WHERE c_custkey % 89 != 0),
+    j AS (
+      SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                   AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+                  THEN 'unchanged' ELSE 'changed' END AS status
+      FROM oldv o FULL OUTER JOIN newv n USING (c_custkey))
+    SELECT status, count(*) AS n FROM j GROUP BY 1
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-table-diff: snapshot diff between two deterministic versions of
+    customer (drop %97 keys in old, drop %89 and bump %10 balances in
+    new) — one co-partitioned full outer join, null-safe compare,
+    status counts (operators/dq.py table_diff)."""
+    from .operators.dq import table_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    oldv = cust.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    newv = cust.filter(F.col("c_custkey") % 89 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 100.0, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    diff = table_diff(oldv, newv, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

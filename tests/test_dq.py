@@ -50,3 +50,22 @@ def test_checks_on_clean_data(spark):
         checks=[not_null_check("a"), range_check("a", 1, 12), non_negative_check("b")]
     )
     assert all(v == 0 for v in suite.run(df).values())
+
+
+def test_table_diff_statuses(spark):
+    from etl_pipeline_api_spark.operators.dq import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, None), (4, 40.0, "D")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),        # unchanged
+         (2, 25.0, "B"),        # changed (v)
+         (3, None, None),       # unchanged — all-null compare cols still present
+         (5, 50.0, "E")],       # added; key 4 removed
+        "k long, v double, s string",
+    )
+    out = {r.k: r.status for r in table_diff(old, new, ["k"], ["v", "s"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}
