@@ -302,3 +302,72 @@ def test_funnel_times_quantiles(spark):
     assert r.n_converted == 2
     assert r.p50_sec == pytest.approx(60.0)   # interpolated median of {20, 100}
     assert r.p90_sec == pytest.approx(92.0)   # 20 + 0.8*(100-20) at p90
+
+
+def test_sessionize_fuzz_vs_python_reference(spark):
+    """Seeded fuzz: 600 random events across 20 users vs a brute-force
+    Python sessionizer — catches boundary/tie bugs no hand case covers."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (rng.randrange(0, 6 * 3600), rng.randrange(1, 21), "view",
+         round(rng.uniform(0, 10), 2))
+        for _ in range(600)
+    ]
+    df = _ev(spark, rows)
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_sec)
+        for r in behavioral.sessionize(df, gap_minutes=30).collect()
+    }
+
+    # python reference: sort by (ts, event_id), split at gap > 30 min
+    by_user = {}
+    for eid, (s, u, _t_, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, eid))
+    ref = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        idx, start, prev, n = 0, None, None, 0
+        for s, eid in evs:
+            if prev is None or s - prev > 1800:
+                if idx:
+                    ref[(u, idx)] = (n, prev - start)
+                idx += 1
+                start, n = s, 0
+            n += 1
+            prev = s
+        ref[(u, idx)] = (n, prev - start)
+    assert got == ref
+
+
+def test_funnel_fuzz_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [
+        (rng.randrange(0, 86400), rng.randrange(1, 31),
+         types[rng.randrange(len(types))], 0.0)
+        for _ in range(800)
+    ]
+    steps = ["view", "click", "purchase"]
+    r = behavioral.funnel(_ev(spark, rows), steps=steps).collect()[0]
+
+    by_user = {}
+    for eid, (s, u, t, _v) in enumerate(rows):
+        if t in steps:
+            by_user.setdefault(u, []).append((s, eid, t))
+    n_steps = [0, 0, 0]
+    for evs in by_user.values():
+        evs.sort()
+        stage, last = 0, -1
+        for s, _eid, t in evs:
+            if stage < 3 and t == steps[stage] and s > last:
+                stage += 1
+                last = s
+        for i in range(stage):
+            n_steps[i] += 1
+    assert (r.n_users, r.n_step_1, r.n_step_2, r.n_step_3) == (
+        len(by_user), *n_steps,
+    )
