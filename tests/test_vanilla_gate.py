@@ -13,7 +13,7 @@ bug class found in round 1:
 - date vs timestamp (op-date-funcs DATE canonicalization)
 - NTZ epoch-µs gap math (op-sessionize start/end bounds + durations)
 
-The FULL sweep (all ~100 queries, ~3 min) is the pre-commit step documented
+The FULL sweep (all ~170 queries, ~6 min) is the pre-commit step documented
 in .claude/skills/verify/SKILL.md; this test keeps the bug classes from
 regressing at pytest cost (~1 min).
 """
