@@ -483,3 +483,55 @@ def last_touch_attribution(
     return attributed.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_conversions")
     )
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Corpus-level session KPIs over the sessionize() output: session
+    count, bounce rate (share of 1-event sessions), mean events per
+    session and mean duration. One extra global aggregation over the
+    |sessions|-row frame — the shape of every engagement dashboard."""
+    s = sessionize(events, user_col, ts_col, id_col, gap_minutes)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.avg((F.col("n_events") == 1).cast("double")), 4
+        ).alias("bounce_rate"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.avg("duration_sec"), 2).alias("avg_duration_sec"),
+    )
+
+
+def path_trigrams(
+    events: DataFrame,
+    k: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common consecutive 3-event journeys (path analysis).
+    Two lag windows over one user partitioning, a pair-count shuffle on
+    a ≤|types|³ key space, and a global top-k with a full lexical
+    tie-break — deterministic under any partitioning."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    tri = events.select(
+        F.lag(type_col, 2).over(w).alias("step_1"),
+        F.lag(type_col, 1).over(w).alias("step_2"),
+        F.col(type_col).alias("step_3"),
+    ).filter(F.col("step_1").isNotNull())
+    counts = tri.groupBy("step_1", "step_2", "step_3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.orderBy(
+        F.col("n").desc(), "step_1", "step_2", "step_3"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+    )

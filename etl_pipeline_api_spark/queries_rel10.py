@@ -562,3 +562,66 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = table_diff(oldv, newv, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "op-session-stats",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    f AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (
+      SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f),
+    sess AS (
+      SELECT user_id, session_idx, count(*) AS n_events,
+             (max(us) - min(us)) // 1000000 AS duration_sec
+      FROM s GROUP BY 1, 2)
+    SELECT count(*) AS n_sessions,
+           round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 4)
+             AS bounce_rate,
+           round(avg(n_events), 4) AS avg_events,
+           round(avg(duration_sec), 2) AS avg_duration_sec
+    FROM sess
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-session-stats: session count / bounce rate / mean depth and
+    duration — one global agg over the sessionize() output
+    (operators/behavioral.py session_stats)."""
+    return behavioral.session_stats(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-path-trigrams",
+    oracle="""
+    WITH tri AS (
+      SELECT lag(event_type, 2) OVER w AS step_1,
+             lag(event_type, 1) OVER w AS step_2,
+             event_type AS step_3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (
+      SELECT step_1, step_2, step_3, count(*) AS n
+      FROM tri WHERE step_1 IS NOT NULL GROUP BY 1, 2, 3)
+    SELECT step_1, step_2, step_3, n, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT c.*, row_number() OVER (
+        ORDER BY n DESC, step_1, step_2, step_3) AS rnk
+      FROM c)
+    WHERE rnk <= 10
+    """,
+)
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-path-trigrams: top-10 consecutive 3-event journeys — two lag
+    windows on one user partitioning, ≤|types|³ count keys, full lexical
+    tie-break (operators/behavioral.py path_trigrams)."""
+    return behavioral.path_trigrams(_t(spark, sf_dir, "events"), k=10)

@@ -371,3 +371,51 @@ def test_funnel_fuzz_vs_python_reference(spark):
     assert (r.n_users, r.n_step_1, r.n_step_2, r.n_step_3) == (
         len(by_user), *n_steps,
     )
+
+
+def test_session_stats_bounce(spark):
+    rows = [
+        (0, 1, "view", 0.0), (10, 1, "view", 0.0),   # 2-event session
+        (0, 2, "view", 0.0),                          # bounce
+        (0, 3, "view", 0.0),                          # bounce
+    ]
+    r = behavioral.session_stats(_ev(spark, rows)).collect()[0]
+    assert r.n_sessions == 3
+    assert r.bounce_rate == pytest.approx(0.6667)
+    assert r.avg_events == pytest.approx(1.3333)
+
+
+def test_path_trigrams_tie_break(spark):
+    rows = [
+        (0, 1, "view", 0.0), (1, 1, "click", 0.0), (2, 1, "purchase", 0.0),
+        (0, 2, "view", 0.0), (1, 2, "click", 0.0), (2, 2, "purchase", 0.0),
+        (0, 3, "view", 0.0), (1, 3, "view", 0.0), (2, 3, "view", 0.0),
+    ]
+    out = behavioral.path_trigrams(_ev(spark, rows), k=2).collect()
+    assert [(r.step_1, r.step_2, r.step_3, r.n, r.rnk) for r in out] == [
+        ("view", "click", "purchase", 2, 1),
+        ("view", "view", "view", 1, 2),
+    ]
+
+
+def test_sessionize_survives_hot_key_skew(spark):
+    """Scale smoke: one user owning 50% of a 20k-event frame still
+    sessionizes correctly (single straggler partition, no failure), and
+    the bot guard removes exactly that key when dialed."""
+    import datetime as _dt
+
+    n = 20_000
+    rows = [
+        (i, _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=i),
+         0 if i % 2 == 0 else 1 + (i % 50), "view", 1.0)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = behavioral.sessionize(df, gap_minutes=30)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == n
+    guarded = behavioral.sessionize(df, gap_minutes=30, max_events_per_user=5000)
+    assert guarded.filter(F.col("user_id") == 0).count() == 0
+    assert guarded.agg(F.sum("n_events")).collect()[0][0] == n // 2
