@@ -535,3 +535,56 @@ def path_trigrams(
         counts.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= k)
     )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day split of active users into first-seen-today vs returning.
+    Two map-combined aggs on the distinct (user, day) set joined to each
+    user's first day — the acquisition-vs-retention dashboard primitive;
+    output is |days| rows at any input size."""
+    ud = events.select(
+        F.col(user_col).alias("__u"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    first = ud.groupBy("__u").agg(F.min("day").alias("__first_day"))
+    return (
+        ud.join(first, "__u")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("__first_day")).cast("long")).alias(
+                "new_users"
+            ),
+            F.sum((F.col("day") != F.col("__first_day")).cast("long")).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+def interevent_times(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Inter-arrival latency profile: per event type, exact p50/p90 of
+    the seconds since the same user's PREVIOUS event of that type — the
+    cadence/health signal behind rate alerts. One lag window per
+    (user, type) partitioning, then a per-type percentile aggregation."""
+    us = _micros(events, ts_col)
+    w = Window.partitionBy(user_col, type_col).orderBy("_us", id_col)
+    base = events.select(
+        F.col(user_col), F.col(type_col), us.alias("_us"), F.col(id_col)
+    ).withColumn("_prev", F.lag("_us").over(w))
+    gaps = base.filter(F.col("_prev").isNotNull()).select(
+        type_col, ((F.col("_us") - F.col("_prev")) / 1_000_000).alias("_gap_s")
+    )
+    return gaps.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(_gap_s, 0.5)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(_gap_s, 0.9)"), 2).alias("p90_s"),
+    )

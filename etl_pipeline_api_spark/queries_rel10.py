@@ -625,3 +625,47 @@ def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows on one user partitioning, ≤|types|³ count keys, full lexical
     tie-break (operators/behavioral.py path_trigrams)."""
     return behavioral.path_trigrams(_t(spark, sf_dir, "events"), k=10)
+
+
+@query(
+    "op-new-vs-returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT u, min(day) AS first_day FROM ud GROUP BY 1)
+    SELECT day,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN day != first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM ud JOIN f USING (u) GROUP BY 1
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-new-vs-returning: per-day acquisition vs retention split —
+    distinct (user, day) set joined to first-seen day, two map-combined
+    aggs (operators/behavioral.py new_vs_returning)."""
+    return behavioral.new_vs_returning(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-interevent-time",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY epoch_us(ts), event_id)) / 1000000.0 AS gap_s
+      FROM events)
+    SELECT event_type,
+           count(*) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 2) AS p90_s
+    FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+    """,
+)
+def q_interevent_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-interevent-time: per-type p50/p90 inter-arrival seconds within
+    each user's stream — one lag window on (user, type), one percentile
+    agg (operators/behavioral.py interevent_times)."""
+    return behavioral.interevent_times(_t(spark, sf_dir, "events"))

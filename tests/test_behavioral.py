@@ -419,3 +419,23 @@ def test_sessionize_survives_hot_key_skew(spark):
     guarded = behavioral.sessionize(df, gap_minutes=30, max_events_per_user=5000)
     assert guarded.filter(F.col("user_id") == 0).count() == 0
     assert guarded.agg(F.sum("n_events")).collect()[0][0] == n // 2
+
+
+def test_new_vs_returning(spark):
+    rows = [
+        (0, 1, "view", 0.0),             # day 0: user 1 new
+        (86400, 1, "view", 0.0),         # day 1: user 1 returning
+        (86400, 2, "view", 0.0),         # day 1: user 2 new
+    ]
+    out = {r.day.isoformat(): (r.new_users, r.returning_users)
+           for r in behavioral.new_vs_returning(_ev(spark, rows)).collect()}
+    assert out == {"2024-01-01": (1, 0), "2024-01-02": (1, 1)}
+
+
+def test_interevent_times(spark):
+    # user 1 views at 0, 10, 30 -> gaps 10, 20; p50 = 15 interpolated
+    rows = [(0, 1, "view", 0.0), (10, 1, "view", 0.0), (30, 1, "view", 0.0)]
+    r = behavioral.interevent_times(_ev(spark, rows)).collect()[0]
+    assert (r.event_type, r.n_gaps) == ("view", 2)
+    assert r.p50_s == pytest.approx(15.0)
+    assert r.p90_s == pytest.approx(19.0)  # 10 + 0.9*(20-10)
