@@ -148,3 +148,48 @@ def range_join_count(
         .join(hits, "__id", "left")
         .select(F.col("__id").alias(id_col), F.coalesce("n_prev", F.lit(0)).alias("n_prev"))
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Record linkage by edit distance: pairs with
+    ``levenshtein(left, right) <= max_dist``, blocked so the quadratic
+    comparison never runs corpus × corpus.
+
+    Blocking: candidates must share the FIRST CHARACTER and differ in
+    length by at most ``max_dist`` — both necessary conditions for an
+    edit distance ≤ ``max_dist`` EXCEPT when the first character itself
+    was edited, so block recall is governed by where corruption falls
+    (the standard multi-pass answer: union a second pass blocked on
+    last char / soundex). The block key join is an equi-join Catalyst
+    hash-partitions; the levenshtein filter is row-local. At 100 TB the
+    guard rails are the block-key histogram (operators.diagnostics
+    skew_report) and a coarser second key (length band) already in the
+    join condition.
+
+    Returns ``(left_col, right_col, dist)`` for every qualifying pair.
+    """
+    l = left.select(F.col(left_col).alias("__l")).distinct().withColumn(
+        "__blk", F.substring("__l", 1, 1)
+    )
+    r = right.select(F.col(right_col).alias("__r")).distinct().withColumn(
+        "__blk", F.substring("__r", 1, 1)
+    )
+    return (
+        l.join(r, "__blk")
+        .filter(
+            F.abs(F.length("__l") - F.length("__r")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("__l", "__r"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("__l").alias(left_col),
+            F.col("__r").alias(right_col),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

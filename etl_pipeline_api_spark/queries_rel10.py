@@ -669,3 +669,42 @@ def q_interevent_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     each user's stream — one lag window on (user, type), one percentile
     agg (operators/behavioral.py interevent_times)."""
     return behavioral.interevent_times(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-fuzzy-join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    probe AS (
+      SELECT DISTINCT
+             substr(p_name, 1, len(p_name)//2 - 1)
+               || substr(p_name, len(p_name)//2 + 1) AS q
+      FROM part WHERE p_partkey % 50 = 0),
+    cand AS (
+      SELECT probe.q, names.p_name
+      FROM probe JOIN names
+        ON substr(probe.q, 1, 1) = substr(names.p_name, 1, 1)
+       AND abs(len(probe.q) - len(names.p_name)) <= 2)
+    SELECT q, p_name, CAST(levenshtein(q, p_name) AS INT) AS dist
+    FROM cand WHERE levenshtein(q, p_name) <= 2
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-fuzzy-join: record linkage — part names corrupted by dropping
+    a middle character are re-linked to the catalog at edit distance
+    ≤ 2, blocked on (first char, length band) so the quadratic compare
+    never leaves a block (operators/joins.py fuzzy_join)."""
+    from .operators.joins import fuzzy_join
+
+    part = _t(spark, sf_dir, "part")
+    probe = (
+        part.filter(F.col("p_partkey") % 50 == 0)
+        .select(
+            F.expr(
+                "concat(substr(p_name, 1, length(p_name) div 2 - 1), "
+                "substr(p_name, length(p_name) div 2 + 1))"
+            ).alias("q")
+        )
+        .distinct()
+    )
+    return fuzzy_join(probe, part, "q", "p_name", max_dist=2)

@@ -439,3 +439,20 @@ def test_interevent_times(spark):
     assert (r.event_type, r.n_gaps) == ("view", 2)
     assert r.p50_s == pytest.approx(15.0)
     assert r.p90_s == pytest.approx(19.0)  # 10 + 0.9*(20-10)
+
+
+def test_fuzzy_join_blocking_and_distance(spark):
+    from etl_pipeline_api_spark.operators.joins import fuzzy_join
+
+    cat = spark.createDataFrame(
+        [("red widget",), ("blue bolt",), ("red widget pro",)], "name string"
+    )
+    probe = spark.createDataFrame(
+        [("red widgt",),   # 1 deletion from 'red widget'
+         ("xed widget",),  # first char corrupted -> blocked out (documented)
+         ("green cog",)],  # no match
+        "q string",
+    )
+    out = {(r.q, r.name): r.dist for r in
+           fuzzy_join(probe, cat, "q", "name", max_dist=2).collect()}
+    assert out == {("red widgt", "red widget"): 1}
