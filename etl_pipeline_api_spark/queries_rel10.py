@@ -708,3 +708,36 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return fuzzy_join(probe, part, "q", "p_name", max_dist=2)
+
+
+@query(
+    "op-attribution-linear",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    conv AS (
+      SELECT user_id, event_id AS cid, us AS cus FROM e
+      WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_id AS tid, us AS tus, event_type AS channel
+      FROM e WHERE event_type != 'purchase'),
+    pairs AS (
+      SELECT c.user_id, c.cid, t.channel,
+             count(*) OVER (PARTITION BY c.user_id, c.cid) AS n_touches
+      FROM conv c JOIN touch t USING (user_id)
+      WHERE (t.tus < c.cus OR (t.tus = c.cus AND t.tid < c.cid))
+        AND c.cus - t.tus <= 86400000000)
+    SELECT channel,
+           round(sum(1.0 / n_touches), 4) AS credit,
+           count(*) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-attribution-linear: multi-touch linear attribution — each
+    purchase's credit split equally over the user's touches in the 24 h
+    window before it; co-partitioned per-user self-join, per-conversion
+    count window (operators/behavioral.py linear_attribution)."""
+    return behavioral.linear_attribution(
+        _t(spark, sf_dir, "events"), conversion_type="purchase"
+    )

@@ -456,3 +456,17 @@ def test_fuzzy_join_blocking_and_distance(spark):
     out = {(r.q, r.name): r.dist for r in
            fuzzy_join(probe, cat, "q", "name", max_dist=2).collect()}
     assert out == {("red widgt", "red widget"): 1}
+
+
+def test_linear_attribution_split(spark):
+    rows = [
+        # user 1: view + click then purchase -> each touch gets 0.5
+        (0, 1, "view", 0.0), (10, 1, "click", 0.0), (20, 1, "purchase", 0.0),
+        # user 2: one view long before (outside 1h window) -> no credit
+        (0, 2, "view", 0.0), (4000, 2, "purchase", 0.0),
+    ]
+    out = {r.channel: (r.credit, r.n_pairs) for r in
+           behavioral.linear_attribution(
+               _ev(spark, rows), max_age_s=3600
+           ).collect()}
+    assert out == {"view": (0.5, 1), "click": (0.5, 1)}
