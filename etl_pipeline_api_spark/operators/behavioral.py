@@ -644,3 +644,41 @@ def linear_attribution(
         F.round(F.sum("__credit"), 4).alias("credit"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    season: str = "day",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Forecast-quality baseline: seasonal-naive (ŷ_t = y_{t−season})
+    over the per-``bucket`` event-count series, scored per key with MAE
+    and sMAPE. Any real forecasting model must beat this number — which
+    makes the backtest itself the operator a warehouse runs, not the
+    model. Shape: one bucket aggregation (map-combined), one
+    co-partitioned self-join at lag = one season, two tiny aggs; output
+    is |keys| rows.
+    """
+    seconds = {"day": 86_400, "week": 604_800}[season]
+    series = events.groupBy(
+        F.col(key_col), F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__y"))
+    lagged = series.select(
+        F.col(key_col),
+        (F.col("__b") + F.expr(f"INTERVAL {seconds} SECONDS")).alias("__b"),
+        F.col("__y").alias("__yhat"),
+    )
+    scored = series.join(lagged, [key_col, "__b"])
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg(F.abs(F.col("__y") - F.col("__yhat"))), 4).alias("mae"),
+        F.round(
+            F.avg(
+                F.abs(F.col("__y") - F.col("__yhat"))
+                / ((F.abs("__y") + F.abs("__yhat")) / 2)
+            ),
+            4,
+        ).alias("smape"),
+    )

@@ -741,3 +741,30 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavioral.linear_attribution(
         _t(spark, sf_dir, "events"), conversion_type="purchase"
     )
+
+
+@query(
+    "op-forecast-backtest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS y
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.y, p.y AS yhat
+      FROM s a JOIN s p
+        ON a.event_type = p.event_type
+       AND a.b = p.b + INTERVAL 86400 SECONDS)
+    SELECT event_type,
+           count(*) AS n_points,
+           round(avg(abs(y - yhat)), 4) AS mae,
+           round(avg(abs(y - yhat) / ((abs(y) + abs(yhat)) / 2.0)), 4)
+             AS smape
+    FROM j GROUP BY 1
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-forecast-backtest: seasonal-naive (t−24 h) backtest over the
+    hourly per-type count series, scored with MAE and sMAPE — the
+    baseline every forecaster must beat (operators/behavioral.py
+    seasonal_naive_backtest)."""
+    return behavioral.seasonal_naive_backtest(_t(spark, sf_dir, "events"))

@@ -470,3 +470,17 @@ def test_linear_attribution_split(spark):
                _ev(spark, rows), max_age_s=3600
            ).collect()}
     assert out == {"view": (0.5, 1), "click": (0.5, 1)}
+
+
+def test_seasonal_naive_backtest(spark):
+    # hourly counts: day 1 = [2, 3], day 2 = [4, 3] -> errors |4-2|=2, |3-3|=0
+    rows = []
+    eid = 0
+    for day, counts in [(0, [2, 3]), (1, [4, 3])]:
+        for hour, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((day * 86400 + hour * 3600, 1, "view", 0.0))
+    r = behavioral.seasonal_naive_backtest(_ev(spark, rows)).collect()[0]
+    assert (r.event_type, r.n_points) == ("view", 2)
+    assert r.mae == pytest.approx(1.0)          # (2 + 0) / 2
+    assert r.smape == pytest.approx(0.3333)     # (2/3 + 0) / 2
