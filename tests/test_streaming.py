@@ -286,3 +286,56 @@ def test_transform_with_state_totals(spark):
         .collect()
     }
     assert final == want
+
+
+def test_stream_funnel_checkpoint_restart(spark, tmp_path):
+    """Streaming funnel: per-user (stage, last_us) state survives a
+    checkpointed restart. The backlog is split into two files at a time
+    boundary (in-order arrival), run as two separate AvailableNow
+    executions against the SAME checkpoint; the recovered state must
+    carry stage progress across the restart so the final stages equal
+    the one-shot batch walk."""
+    import pyspark.sql.functions as F
+    from etl_pipeline_api_spark.operators import behavioral
+
+    steps = ["view", "click", "purchase"]
+    src = _batch_events(spark)
+    mid = src.agg(F.expr("percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")).collect()[0][0]
+    d = tmp_path / "events_split"
+    early = src.filter(F.unix_micros(F.col("ts").cast("timestamp")) <= mid)
+    late = src.filter(F.unix_micros(F.col("ts").cast("timestamp")) > mid)
+    early.coalesce(1).write.parquet(str(d / "f1.parquet"))
+
+    schema = src.schema
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(d) + "/*")
+        q = (
+            sev.funnel_stage_stream(sev.normalize_event_ts(stream), steps)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()                      # batch 1: early half
+    late.coalesce(1).write.parquet(str(d / "f2.parquet"))
+    run_once()                      # restart: late half against same ckpt
+
+    got = (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+    )
+    expected = behavioral._funnel_walk(
+        src, steps, "user_id", "ts", "event_type", "event_id", 10_000
+    ).select("user_id", F.col("_stage").alias("stage"))
+    g = {(r.user_id, r.stage) for r in got.collect()}
+    e = {(r.user_id, r.stage) for r in expected.collect()}
+    assert g == e and len(g) > 0
