@@ -73,3 +73,65 @@ def min_max(df: DataFrame, col: str) -> DataFrame:
 def mean_round(df: DataFrame, col: str, digits: int = 2) -> DataFrame:
     """op-mean-round (main.py:249)."""
     return df.agg(F.round(F.avg(col), digits).alias("mean_value"))
+
+
+def copurchase_lift(
+    df,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 5,
+    k: int = 20,
+):
+    """Market-basket co-occurrence: top-k item pairs by lift
+    (P(a,b) / (P(a)·P(b))), the frequent-itemset primitive behind
+    "bought together" recommendations.
+
+    Shape: the pair join is a SELF-JOIN ON THE BASKET KEY, so fan-out
+    is Σ|basket|² — bounded by real basket sizes (≈4–13 items here),
+    never |items|²; the a < b predicate emits each unordered pair once.
+    Supports are two map-combined counts broadcast back onto the pair
+    frame; min-support prunes before ranking; the final top-k ranks a
+    ≤|pairs|-row frame by (rounded lift, a, b) — a total order, so the
+    cut is deterministic. At 100 TB the dial is ``min_pair_support``
+    (raise it and the rank frame shrinks) plus a basket-size cap
+    upstream for degenerate wholesale orders.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bi = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = bi.select("__b").distinct().count()
+    item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__n_i"))
+    a = bi.select("__b", F.col("__i").alias("ia"))
+    b = bi.select("__b", F.col("__i").alias("ib"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_support)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(item_n.select(F.col("__i").alias("ia"),
+                                      F.col("__n_i").alias("n_a"))), "ia")
+        .join(
+            F.broadcast(item_n.select(F.col("__i").alias("ib"),
+                                      F.col("__n_i").alias("n_b"))), "ib")
+        .select(
+            "ia", "ib", "n_pair", "n_a", "n_b",
+            F.round(
+                F.col("n_pair") * F.lit(float(n_baskets))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "ia", "ib")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("ia", "ib", "n_pair", "lift", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -768,3 +768,40 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline every forecaster must beat (operators/behavioral.py
     seasonal_naive_backtest)."""
     return behavioral.seasonal_naive_backtest(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-copurchase",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+    supp AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
+    pairs AS (
+      SELECT x.i AS ia, y.i AS ib, count(*) AS n_pair
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    scored AS (
+      SELECT p.ia, p.ib, p.n_pair,
+             round(p.n_pair * 1.0 * nb.n_baskets / (sa.n_i * sb.n_i), 4)
+               AS lift
+      FROM pairs p, nb
+      JOIN supp sa ON sa.i = p.ia
+      JOIN supp sb ON sb.i = p.ib)
+    SELECT ia, ib, n_pair, lift, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT scored.*, row_number() OVER (ORDER BY lift DESC, ia, ib) AS rnk
+      FROM scored)
+    WHERE rnk <= 20
+    """,
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-copurchase: top-20 part pairs by lift across order baskets —
+    self-join on the basket key (fan-out Σ|basket|², never |items|²),
+    broadcast supports, min-support prune before the deterministic
+    (lift, ia, ib) rank (operators/aggregations.py copurchase_lift)."""
+    from .operators.aggregations import copurchase_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return copurchase_lift(li, "l_orderkey", "l_partkey",
+                           min_pair_support=3, k=20)

@@ -484,3 +484,21 @@ def test_seasonal_naive_backtest(spark):
     assert (r.event_type, r.n_points) == ("view", 2)
     assert r.mae == pytest.approx(1.0)          # (2 + 0) / 2
     assert r.smape == pytest.approx(0.3333)     # (2/3 + 0) / 2
+
+
+def test_copurchase_lift(spark):
+    from etl_pipeline_api_spark.operators.aggregations import copurchase_lift
+
+    # baskets: {1,2} x3, {1,3} x1, {3} alone x2  (6 baskets)
+    rows = []
+    for b in range(3):
+        rows += [(b, 1), (b, 2)]
+    rows += [(3, 1), (3, 3), (4, 3), (5, 3)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = copurchase_lift(df, "basket", "item", min_pair_support=1, k=10).collect()
+    got = {(r.ia, r.ib): (r.n_pair, r.lift) for r in out}
+    # pair (1,2): n=3, n_1=4, n_2=3, baskets=6 -> lift = 3*6/(4*3) = 1.5
+    assert got[(1, 2)] == (3, 1.5)
+    # pair (1,3): n=1, n_3=3 -> lift = 1*6/(4*3) = 0.5
+    assert got[(1, 3)] == (1, 0.5)
+    assert out[0].rnk == 1 and out[0].lift >= out[-1].lift
