@@ -682,3 +682,45 @@ def seasonal_naive_backtest(
             4,
         ).alias("smape"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: per user recency (last conversion),
+    frequency (count) and monetary (value sum), each scored into
+    ``n_tiles`` count-balanced buckets (ntile, ties broken by user id —
+    a total order, so bucket assignment is deterministic); output is
+    segment counts, ≤ n_tiles³ rows.
+
+    Scale note: ntile is count-balanced and needs a global sort of the
+    |users|-row AGGREGATE frame (already thousands of times smaller
+    than the event log). Where even that frame is too large for one
+    sort, swap ntile for approx-quantile thresholds and row-local
+    bucketing — the documented trade: value-balanced buckets, no global
+    order.
+    """
+    conv = events.filter(F.col(type_col) == conversion_type)
+    us = _micros(conv, ts_col)
+    per_user = conv.groupBy(user_col).agg(
+        F.max(us).alias("_last_us"),
+        F.count(F.lit(1)).alias("_freq"),
+        F.round(F.sum(value_col), 2).alias("_money"),
+    )
+    r_w = Window.orderBy("_last_us", user_col)
+    f_w = Window.orderBy("_freq", user_col)
+    m_w = Window.orderBy("_money", user_col)
+    scored = per_user.select(
+        F.ntile(n_tiles).over(r_w).alias("r"),
+        F.ntile(n_tiles).over(f_w).alias("f"),
+        F.ntile(n_tiles).over(m_w).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

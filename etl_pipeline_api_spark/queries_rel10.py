@@ -805,3 +805,28 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return copurchase_lift(li, "l_orderkey", "l_partkey",
                            min_pair_support=3, k=20)
+
+
+@query(
+    "op-rfm-segments",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             count(*) AS freq,
+             round(sum(value), 2) AS money
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    scored AS (
+      SELECT ntile(5) OVER (ORDER BY last_us, user_id) AS r,
+             ntile(5) OVER (ORDER BY freq, user_id)    AS f,
+             ntile(5) OVER (ORDER BY money, user_id)   AS m
+      FROM pu)
+    SELECT r, f, m, count(*) AS n_users
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-rfm-segments: quintile RFM segmentation of purchasers —
+    count-balanced ntile buckets under a (metric, user) total order;
+    segment counts ≤ 125 rows (operators/behavioral.py rfm_segments)."""
+    return behavioral.rfm_segments(_t(spark, sf_dir, "events"))

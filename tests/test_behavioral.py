@@ -502,3 +502,18 @@ def test_copurchase_lift(spark):
     # pair (1,3): n=1, n_3=3 -> lift = 1*6/(4*3) = 0.5
     assert got[(1, 3)] == (1, 0.5)
     assert out[0].rnk == 1 and out[0].lift >= out[-1].lift
+
+
+def test_rfm_segments_balanced(spark):
+    # 10 purchasers with increasing recency/frequency/monetary together
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for j in range(u):          # user u: u purchases, later & bigger
+            rows.append((u * 1000 + j, u, "purchase", float(u)))
+    df = _ev(spark, rows)
+    out = behavioral.rfm_segments(df, n_tiles=5).collect()
+    assert sum(r.n_users for r in out) == 10
+    # metrics are perfectly correlated -> every user sits on the diagonal
+    assert all(r.r == r.f == r.m for r in out)
+    assert all(r.n_users == 2 for r in out) and len(out) == 5
