@@ -1,0 +1,168 @@
+"""Graph analytics over relational edge sets (SURVEY.md §2.9 extensions).
+
+The reference engine (/root/reference/proj-eng-dados/main.py) has no
+graph surface; these give the engine the two classic batch-graph
+primitives — PageRank and triangle/clustering statistics — expressed as
+pure DataFrame joins so Catalyst/AQE owns the physical strategy.
+
+Scale posture:
+- Edges are built from a basket self-join whose fan-out is bounded
+  Σ|basket|² (never |items|²) and pruned by min-support BEFORE any
+  iteration touches them, so the iterated frame is the small mined
+  graph, not the raw fact table.
+- PageRank is |iters| co-partitioned (src) hash joins + (dst) aggs —
+  the textbook edge-partitioned formulation. ``localCheckpoint
+  (eager=False)`` after each iteration truncates lineage so plan-build
+  cost stays O(1) per round instead of O(iters) (the connected-
+  components lesson from operators/dedup.py).
+- Triangle counting orients every edge low→high so each triangle is
+  counted exactly once and the two joins stay linear in wedges; the
+  wedge count (for the clustering coefficient) is a per-node degree
+  aggregate, no join at all.
+
+Determinism: rank ordering ties break on node id; all floats are
+rounded before they reach the output schema, so the DuckDB oracle
+hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_edges(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Undirected co-occurrence edges (a<b) with support pruning.
+
+    Distinct (basket, item) pairs self-join on the basket key — the
+    shuffle is co-partitioned on the basket, so the quadratic blow-up
+    is per-basket only. Support ≥ ``min_support`` prunes the long tail
+    before anything iterates over the graph.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    x, y = bi.alias("x"), bi.alias("y")
+    return (
+        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(
+            F.col("x.i").alias("a"), F.col("y.i").alias("c")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k PageRank over an undirected (a<c) edge set.
+
+    Symmetrizes to directed src→dst, computes out-degrees once, then
+    runs ``iters`` rounds of
+    ``rank(n) = (1−d)/N + d · Σ_{m→n} rank(m)/deg(m)``.
+    Each round is one co-partitioned join (src) + one agg (dst) + a
+    left join back to the node list (an undirected graph has no
+    dangling nodes, but isolated-after-prune safety costs nothing).
+    Output: (node, rank, rnk) for the top-k under (rank desc, node) —
+    deterministic total order.
+
+    At 100 TB-scale graphs the per-round shuffle is linear in |edges|;
+    repartitioning both sides on the join key once up front lets every
+    subsequent round reuse the exchange (Spark caches the sorted
+    shuffle output under AQE).
+    """
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("c").alias("dst")
+    ).unionByName(
+        edges.select(F.col("c").alias("src"), F.col("a").alias("dst"))
+    )
+    directed = directed.localCheckpoint(eager=False)
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # (1-row) node count rides a broadcast cross join — no collect.
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    out = directed.join(deg, "src")
+    for _ in range(iters):
+        contrib = (
+            out.join(ranks, out["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inbound"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("inbound"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        ranks.select(
+            "node",
+            F.round("rank", 6).alias("rank"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= k)
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle count + clustering coefficient, one row.
+
+    Edges arrive oriented (a<c), so each triangle a<b<c is found by
+    exactly one path: (a,b)⋈(b,c) wedge probe ⋈ (a,c) closure check —
+    two linear equi-joins, never an all-pairs product. Open wedges are
+    Σ deg·(deg−1)/2 over UNDIRECTED degrees (one agg, no join);
+    global clustering coefficient = 3·triangles / wedges.
+    Output: (n_nodes, n_edges, n_triangles, clustering_coeff).
+    """
+    e = edges.select("a", "c")
+    ab = e.select(F.col("a").alias("x"), F.col("c").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("c").alias("z"))
+    wedges = ab.join(bc, "y")
+    closing = e.select(
+        F.col("a").alias("x"), F.col("c").alias("z"), F.lit(1).alias("closed")
+    )
+    tri = wedges.join(closing, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    und_deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    base = und_deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    return base.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(
+            3.0 * F.col("n_triangles") / F.col("n_wedges"), 4
+        ).alias("clustering_coeff"),
+    )

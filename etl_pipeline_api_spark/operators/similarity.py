@@ -768,3 +768,52 @@ def semdedup(
             F.col("_drop_id").isNull().alias("keep"),
         )
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-nearest-neighbor label vote — the classifier you get for free
+    once top-k similarity search works.
+
+    Rides :func:`cosine_topk` (broadcast queries x distributed corpus,
+    JVM dot products), then joins each neighbor to its label (a second
+    broadcast-able |queries|*k frame against the corpus label
+    projection) and takes the majority vote; ties break toward the
+    SMALLEST label via one struct max (votes desc, then -label).
+    Output: (query_id, pred_label, n_votes) — deterministic, so a
+    DuckDB oracle hash-matches the vote, not just the row count.
+
+    Scale: the expensive part is exactly the search path already
+    audited in op-sim-search; the vote adds two tiny shuffles on
+    |queries|*k rows.
+    """
+    topk = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nlabel")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("votes").alias("v"), (-F.col("nlabel")).alias("neg")
+                )
+            ).alias("top")
+        )
+        .select(
+            "query_id",
+            (-F.col("top.neg")).alias("pred_label"),
+            F.col("top.v").alias("n_votes"),
+        )
+    )

@@ -1,0 +1,346 @@
+"""Statistical profiling / inference operators (SURVEY.md §2.9 analytics
+extensions; the reference engine — /root/reference/proj-eng-dados/main.py —
+stops at count/mean/min/max, these are the next rung of the same EDA
+ladder, re-expressed as distributed one-pass aggregations).
+
+Scale posture: every operator here reduces the fact table to a tiny
+frame (one row, |digits| rows, |levels|² rows, |groups| rows) in ONE
+map-combined hash aggregation, then finishes the arithmetic on that
+tiny frame with windows or a second micro-agg. Nothing is collected to
+the driver; nothing is quadratic; every output is deterministic
+(explicit rounding + total-order tie-breaks) so a DuckDB oracle can
+hash-match it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation in ONE pass over the fact table.
+
+    All C(n,2) ``corr(a, b)`` aggregates ride a single map-combined
+    aggregation (Spark evaluates them together — one scan, one 1-row
+    result), then the 1-row wide frame is unpivoted to long form
+    ``(col_a, col_b, corr)``. At 100 TB this is exactly one scan + one
+    tiny shuffle regardless of how many column pairs are requested.
+    """
+    aggs = []
+    pairs: list[tuple[str, str]] = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pairs.append((a, b))
+            aggs.append(F.round(F.corr(a, b), 4).alias(f"{a}__{b}"))
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stacked}) AS (col_a, col_b, corr)"
+    )
+
+
+def entropy_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column Shannon entropy (bits) of categorical columns.
+
+    For each column: one map-combined ``groupBy(col).count()`` (the only
+    shuffle, carrying |distinct| rows), then entropy = -Σ p·log2 p on
+    that tiny frame. Columns are computed independently and unioned —
+    at scale each is a single linear aggregation of the same scan.
+    Output: (column_name, n_distinct, entropy_bits) — the standard
+    data-profiling signal for key-ness vs constant-ness.
+
+    The per-column entropy uses the aggregation-friendly identity
+    ``H = log2(N) − (Σ n·log2 n) / N`` so the second stage is one plain
+    agg over the counts frame — no window, no second scan.
+    """
+    outs = []
+    for c in cols:
+        counts = df.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        outs.append(
+            counts.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.round(
+                    F.log2(F.sum("n"))
+                    - F.sum(F.col("n") * F.log2("n")) / F.sum("n"),
+                    4,
+                ).alias("entropy_bits"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def mutual_info(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information (bits) between two categorical columns.
+
+    One map-combined joint ``groupBy(x, y).count()`` is the ONLY pass
+    over the fact table; marginals are window sums over that tiny
+    |X|·|Y|-row joint frame (no second scan, no join). Output one row:
+    (n, h_x, h_y, h_xy, mi_bits) — MI = H(x) + H(y) − H(x,y), the
+    standard redundancy / association screen between two label columns.
+    """
+    joint = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    w_all = Window.partitionBy()
+    n = F.sum("n_xy").over(w_all)
+    n_x = F.sum("n_xy").over(Window.partitionBy("x"))
+    n_y = F.sum("n_xy").over(Window.partitionBy("y"))
+    cells = joint.select(
+        F.col("n_xy"),
+        n.alias("n"),
+        n_x.alias("n_x"),
+        n_y.alias("n_y"),
+    )
+    # Marginal entropies telescope over cells: Σ_cells p_xy·log2 p_x
+    # = Σ_x p_x·log2 p_x, so no separate marginal frames are needed.
+    p_xy = F.col("n_xy") / F.col("n")
+    return cells.agg(
+        F.max("n").alias("n"),
+        F.round(
+            -F.sum(p_xy * F.log2(F.col("n_x") / F.col("n"))), 4
+        ).alias("h_x"),
+        F.round(
+            -F.sum(p_xy * F.log2(F.col("n_y") / F.col("n"))), 4
+        ).alias("h_y"),
+        F.round(-F.sum(p_xy * F.log2(p_xy)), 4).alias("h_xy"),
+        F.round(
+            F.sum(
+                p_xy
+                * F.log2(
+                    (p_xy)
+                    / ((F.col("n_x") / F.col("n")) * (F.col("n_y") / F.col("n")))
+                )
+            ),
+            4,
+        ).alias("mi_bits"),
+    )
+
+
+def ab_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    min_share: float = 0.25,
+) -> DataFrame:
+    """Two-sample conversion z-test under a DETERMINISTIC assignment.
+
+    Variant = ``user_id % 2`` — engine-independent and reproducible, the
+    property an A/B harness actually needs (a random() split can never
+    be re-audited). "Converted" = at least ``min_share`` of the user's
+    events are ``convert_type`` — a RATIO, so the definition stays
+    non-degenerate as per-user event volume grows with scale (an
+    any-purchase flag saturates to 100% and zeroes the pooled
+    standard error). One per-user reduction, one 2-row variant agg,
+    then the pooled two-proportion z on that 2-row frame; z is NULL if
+    the pooled rate is degenerate (0 or 1) rather than a divide error.
+    Output one row: (n_a, n_b, conv_a, conv_b, rate_a, rate_b, z).
+    """
+    per_user = events.groupBy(
+        F.col(user_col).alias("u"),
+        (F.col(user_col) % 2).cast("int").alias("variant"),
+    ).agg(
+        (
+            F.sum(
+                F.when(F.col(type_col) == convert_type, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            >= F.count(F.lit(1)) * min_share
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    by_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+    )
+    wide = by_variant.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 4).alias("rate_a"),
+        F.round(p_b, 4).alias("rate_b"),
+        F.round(
+            F.when(se > 0, (p_b - p_a) / se), 4
+        ).alias("z"),
+    )
+
+
+def revenue_concentration(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Gini coefficient + top-1% / top-10% revenue share per customer.
+
+    One map-combined ``groupBy(customer).sum`` reduces the fact table to
+    |customers| rows; the Gini rank formula
+    ``(2·Σ i·xᵢ)/(n·Σx) − (n+1)/n`` (xᵢ ascending) and the top-share
+    cuts are windows over THAT frame. Ties are total-ordered on
+    (amount, key) so the rank — and therefore the hash — is
+    deterministic. For a 10⁹-customer frame the windows are a single
+    range-partitioned sort, still linear.
+    """
+    per_key = orders.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(amount_col).alias("amt")
+    )
+    w = Window.orderBy(F.col("amt").asc(), F.col("k").asc())
+    ranked = per_key.select(
+        "amt", F.row_number().over(w).alias("i")
+    )
+    w_all = Window.partitionBy()
+    enriched = ranked.select(
+        "amt",
+        "i",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("amt").over(w_all).alias("total"),
+    )
+    top_cut_1 = F.ceil(F.col("n") * 0.01)
+    top_cut_10 = F.ceil(F.col("n") * 0.10)
+    return enriched.agg(
+        F.max("n").alias("n_customers"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("amt")))
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + 1) / F.max("n"),
+            4,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - top_cut_1, F.col("amt")
+                ).otherwise(F.lit(0.0))
+            )
+            / F.max("total"),
+            4,
+        ).alias("top1_share"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - top_cut_10, F.col("amt")
+                ).otherwise(F.lit(0.0))
+            )
+            / F.max("total"),
+            4,
+        ).alias("top10_share"),
+    )
+
+
+def _first_digit(col: Column) -> Column:
+    """Leading decimal digit of a positive numeric, row-local."""
+    return F.floor(
+        col / F.pow(F.lit(10.0), F.floor(F.log10(col)))
+    ).cast("int")
+
+
+def benford_profile(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-digit (Benford) distribution + per-digit chi² contribution.
+
+    The classic fraud / data-entry anomaly screen: natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d); fabricated or truncated data
+    does not. Row-local digit extraction, one 9-row map-combined agg,
+    then expected shares and χ² contributions as literals on the 9-row
+    frame. Output: (digit, n, obs_share, exp_share, chi2_part).
+    """
+    pos = df.where(F.col(amount_col) > 0)
+    digits = pos.select(_first_digit(F.col(amount_col)).alias("digit"))
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    exp_share = F.log10(1 + 1 / F.col("digit"))
+    total = F.sum("n").over(w_all)
+    return (
+        counts.select(
+            "digit",
+            "n",
+            F.round(F.col("n") / total, 4).alias("obs_share"),
+            F.round(exp_share, 4).alias("exp_share"),
+            F.round(
+                F.pow(F.col("n") - total * exp_share, 2)
+                / (total * exp_share),
+                4,
+            ).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-series changepoint detection via the CUSUM statistic.
+
+    Buckets each series to hourly counts (ONE map-combined agg — the
+    only pass over the fact table), then on the |types|·|hours| bucket
+    frame computes the running cumulative deviation from the series
+    mean and reports its extreme point:
+    ``cusumᵢ = Σ_{j≤i} (yⱼ − ȳ)``; the argmax of |cusum| is the most
+    likely single changepoint (Page 1954 shape). Deterministic argmax
+    via one struct max (|cusum| desc, then earliest bucket). Output per
+    series: (event_type, n_buckets, cp_ts, max_abs_cusum).
+    """
+    buckets = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w_series = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = buckets.select(
+        "event_type",
+        "b",
+        F.count(F.lit(1)).over(w_series).alias("n_buckets"),
+        (
+            F.sum("y").over(w_run)
+            - F.row_number().over(Window.partitionBy("event_type").orderBy("b"))
+            * F.avg("y").over(w_series)
+        ).alias("cusum"),
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.max("n_buckets").alias("n_buckets"),
+            F.max(
+                F.struct(
+                    F.round(F.abs("cusum"), 6).alias("a"),
+                    (-F.unix_micros(F.col("b"))).alias("neg_us"),
+                )
+            ).alias("top"),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            F.timestamp_micros(-F.col("top.neg_us")).alias("cp_ts"),
+            F.round(F.col("top.a"), 4).alias("max_abs_cusum"),
+        )
+    )

@@ -36,6 +36,11 @@ SUBSET = [
     "op-rolling-window", "op-active-users", "op-ohlc-downsample",
     "op-attribution", "op-anomaly-mad", "op-bm25", "op-span-dup-stats",
     "op-sample-weighted",
+    # batch-11 stats / graph ops: empty facts must yield schema-correct
+    # zero-or-null outputs, never a first()-crash or divide error
+    "op-corr-matrix", "op-entropy-profile", "op-mutual-info", "op-ab-test",
+    "op-revenue-concentration", "op-benford", "op-cusum-changepoint",
+    "op-knn-classify", "op-pagerank", "op-graph-triangles",
 ]
 
 

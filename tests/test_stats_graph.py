@@ -1,0 +1,228 @@
+"""Unit tests for operators/stats.py and operators/graph.py — tiny
+hand-built frames with closed-form expected values, so the statistics
+(entropy, MI, Gini, Benford, CUSUM, z-test) and graph results
+(PageRank mass conservation, triangle count) are pinned independently
+of the DuckDB oracle sweep."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_api_spark.operators import graph, similarity, stats
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_corr_matrix_perfect_and_inverse(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0)],
+        "a double, b double, c double",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in stats.corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert out[("a", "b")] == pytest.approx(1.0)
+    assert out[("a", "c")] == pytest.approx(-1.0)
+    assert out[("b", "c")] == pytest.approx(-1.0)
+    assert len(out) == 3
+
+
+def test_entropy_profile_closed_form(spark):
+    # 'x': uniform over 4 levels -> 2 bits; 'y': constant -> 0 bits.
+    df = spark.createDataFrame(
+        [(lv, "k") for lv in ["a", "b", "c", "d"]], "x string, y string"
+    )
+    out = {
+        r["column_name"]: (r["n_distinct"], r["entropy_bits"])
+        for r in stats.entropy_profile(df, ["x", "y"]).collect()
+    }
+    assert out["x"] == (4, 2.0)
+    assert out["y"] == (1, 0.0)
+
+
+def test_mutual_info_independent_and_determined(spark):
+    # Independent uniform bits: MI = 0, H(x)=H(y)=1, H(xy)=2.
+    ind = spark.createDataFrame(
+        [(x, y) for x in "01" for y in "01"], "x string, y string"
+    )
+    r = stats.mutual_info(ind, "x", "y").collect()[0]
+    assert r["mi_bits"] == 0.0 and r["h_xy"] == 2.0
+    # y determined by x: MI = H(x) = H(y) = H(xy) = 1 bit.
+    det = spark.createDataFrame(
+        [("0", "a"), ("1", "b")], "x string, y string"
+    )
+    r = stats.mutual_info(det, "x", "y").collect()[0]
+    assert r["mi_bits"] == 1.0 and r["h_xy"] == 1.0
+
+
+def test_ab_test_deterministic_split_and_guarded_z(spark):
+    # users 0,2 (variant 0) never purchase; users 1,3 (variant 1) always.
+    rows = []
+    eid = 0
+    for u in range(4):
+        for i in range(4):
+            rows.append(
+                (
+                    eid,
+                    T0 + dt.timedelta(seconds=i),
+                    u,
+                    "purchase" if u % 2 == 1 else "view",
+                    1.0,
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = stats.ab_test(ev).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["conv_a"], r["conv_b"]) == (0, 2)
+    assert r["rate_a"] == 0.0 and r["rate_b"] == 1.0
+    assert r["z"] == pytest.approx(2.0)  # (1-0)/sqrt(.5*.5*(1/2+1/2))
+    # Degenerate pool (everyone converts): z must be NULL, not an error.
+    all_p = ev.withColumn("event_type", F.lit("purchase"))
+    r = stats.ab_test(all_p).collect()[0]
+    assert r["z"] is None
+
+
+def test_revenue_concentration_equal_vs_skewed(spark):
+    eq = spark.createDataFrame(
+        [(k, f"O", 100.0, T0, "p") for k in range(10)],
+        "o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    r = stats.revenue_concentration(eq).collect()[0]
+    assert r["gini"] == pytest.approx(0.0)
+    assert r["top10_share"] == pytest.approx(0.1)
+    skew = spark.createDataFrame(
+        [(k, "O", 1.0 if k else 991.0, T0, "p") for k in range(10)],
+        "o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    r = stats.revenue_concentration(skew).collect()[0]
+    assert r["top10_share"] == pytest.approx(0.991)
+    assert r["gini"] > 0.8
+
+
+def test_benford_shares_and_chi2(spark):
+    # Exactly Benford-distributed counts out of 1000 -> tiny chi2 parts.
+    rows = []
+    for d in range(1, 10):
+        n = round(math.log10(1 + 1 / d) * 1000)
+        rows += [(float(f"{d}00"),)] * n
+    df = spark.createDataFrame(rows, "l_extendedprice double")
+    out = stats.benford_profile(df, "l_extendedprice").collect()
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    assert all(r["chi2_part"] < 0.01 for r in out)
+    assert sum(r["obs_share"] for r in out) == pytest.approx(1.0, abs=0.01)
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    # 10 hourly buckets: 5 at ~2 events, then 5 at ~8 events; the CUSUM
+    # extreme must land on the last low bucket (hour 4).
+    rows, eid = [], 0
+    for h in range(10):
+        for i in range(2 if h < 5 else 8):
+            rows.append(
+                (eid, T0 + dt.timedelta(hours=h, minutes=i), 1, "view", 1.0)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = stats.cusum_changepoint(ev).collect()[0]
+    assert r["n_buckets"] == 10
+    assert r["cp_ts"] == T0 + dt.timedelta(hours=4)
+    # |cusum| at the shift = 5 buckets * (5 - 2) = 15.
+    assert r["max_abs_cusum"] == pytest.approx(15.0)
+
+
+def test_knn_classify_majority_and_tie_break(spark):
+    # Corpus: 3 vectors near +x labeled 1, 2 near +y labeled 2.
+    # Query at +x must vote label 1 (3 of 5 neighbors).
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 1),
+            (11, [0.99, 0.1], 1),
+            (12, [0.98, 0.2], 1),
+            (13, [0.0, 1.0], 2),
+            (14, [0.1, 0.99], 2),
+            (0, [1.0, 0.05], 7),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.knn_classify(
+        emb.filter("vec_id >= 10"),
+        emb.filter("vec_id < 10"),
+        "vec_id",
+        "embedding",
+        "label",
+        k=5,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 1 and out[0]["n_votes"] == 3
+    # 2-2 tie (two label-1 and two label-2 neighbors at k=4) must break
+    # toward the SMALLEST label.
+    out = similarity.knn_classify(
+        emb.filter("vec_id in (10, 11, 13, 14)"),
+        emb.filter("vec_id < 10"),
+        "vec_id",
+        "embedding",
+        "label",
+        k=4,
+    ).collect()
+    assert out[0]["pred_label"] == 1 and out[0]["n_votes"] == 2
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, c, 1) for a, c in pairs], "a long, c long, support int"
+    )
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    # 4-cycle: perfectly symmetric, every rank = 1/4 at any iteration.
+    cyc = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    out = graph.pagerank(cyc, iters=3, k=10).collect()
+    assert len(out) == 4
+    assert all(r["rank"] == pytest.approx(0.25) for r in out)
+    # Star: the hub must outrank every leaf, and total mass stays ~1.
+    star = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    out = graph.pagerank(star, iters=3, k=10).collect()
+    by_rank = sorted(out, key=lambda r: -r["rank"])
+    assert by_rank[0]["node"] == 1
+    assert sum(r["rank"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == [
+        1,
+        2,
+        3,
+        4,
+        5,
+    ]
+
+
+def test_triangle_stats_counts(spark):
+    # Triangle 1-2-3 plus pendant edge 3-4: 1 triangle, 5 wedges
+    # (deg 2,2,3,1 -> 1+1+3+0), coeff = 3/5.
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    r = graph.triangle_stats(e).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 4, 1)
+    assert r["clustering_coeff"] == pytest.approx(0.6)
+
+
+def test_basket_edges_support_prune(spark):
+    df = spark.createDataFrame(
+        [(b, i) for b in range(3) for i in (1, 2)] + [(0, 3)],
+        "bk long, it long",
+    )
+    out = graph.basket_edges(df, "bk", "it", min_support=2).collect()
+    # (1,2) appears in 3 baskets; (1,3)/(2,3) only once -> pruned.
+    assert len(out) == 1
+    assert (out[0]["a"], out[0]["c"], out[0]["support"]) == (1, 2, 3)
