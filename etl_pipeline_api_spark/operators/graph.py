@@ -114,14 +114,16 @@ def pagerank(
         )
     from pyspark.sql import Window
 
+    # orderBy().limit(k) lowers to TakeOrderedAndProject (per-partition
+    # top-k merged on the driver) — the global row_number window would
+    # instead sort ALL nodes in one task. The rank column is then a
+    # window over only the k surviving rows.
+    top = ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(k)
     w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
-    return (
-        ranks.select(
-            "node",
-            F.round("rank", 6).alias("rank"),
-            F.row_number().over(w).alias("rnk"),
-        )
-        .where(F.col("rnk") <= k)
+    return top.select(
+        "node",
+        F.round("rank", 6).alias("rank"),
+        F.row_number().over(w).alias("rnk"),
     )
 
 

@@ -129,7 +129,10 @@ def compact(
 
 
 def global_row_index(
-    df: DataFrame, order_col: str, n_parts: int = 32, idx_col: str = "idx"
+    df: DataFrame,
+    order_col: str | list[str],
+    n_parts: int = 32,
+    idx_col: str = "idx",
 ) -> DataFrame:
     """Contiguous 0-based global row index in `order_col` order — the
     distributed zipWithIndex.
@@ -149,11 +152,14 @@ def global_row_index(
        spark_partition_id over already-partitioned data).
 
     Ties in `order_col` get an arbitrary-but-deterministic order only if
-    the key is unique — pass a unique key (or add a tiebreaker column).
+    the key is unique — pass a unique key, a tiebreaker column, or a
+    LIST of columns whose combination is unique (the list orders
+    lexicographically, matching a multi-column ORDER BY).
     """
-    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ranged = df.repartitionByRange(
+        n_parts, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
     offsets = (
         ranged.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -168,7 +174,7 @@ def global_row_index(
         )
         .select("_pid", "_offset")
     )
-    w = W.partitionBy("_pid").orderBy(order_col)
+    w = W.partitionBy("_pid").orderBy(*order_cols)
     return (
         ranged.join(F.broadcast(offsets), "_pid")
         .withColumn(idx_col, F.row_number().over(w) + F.col("_offset") - 1)

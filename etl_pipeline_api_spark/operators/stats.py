@@ -200,26 +200,27 @@ def revenue_concentration(
 
     One map-combined ``groupBy(customer).sum`` reduces the fact table to
     |customers| rows; the Gini rank formula
-    ``(2·Σ i·xᵢ)/(n·Σx) − (n+1)/n`` (xᵢ ascending) and the top-share
-    cuts are windows over THAT frame. Ties are total-ordered on
-    (amount, key) so the rank — and therefore the hash — is
-    deterministic. For a 10⁹-customer frame the windows are a single
-    range-partitioned sort, still linear.
+    ``(2·Σ i·xᵢ)/(n·Σx) − (n+1)/n`` (xᵢ ascending) needs a GLOBAL rank
+    over that frame, which a bare ``row_number() OVER (ORDER BY …)``
+    would funnel through one task — so the rank rides
+    :func:`~..layout.global_row_index` (range partition + broadcast
+    offsets, two balanced exchanges, no single-task sort) and (n, total)
+    come from a separate 1-row agg broadcast back. Ties are
+    total-ordered on (amount, key) so the rank — and therefore the
+    hash — is deterministic. Linear at a 10⁹-customer frame.
     """
+    from .layout import global_row_index
+
     per_key = orders.groupBy(F.col(key_col).alias("k")).agg(
         F.sum(amount_col).alias("amt")
     )
-    w = Window.orderBy(F.col("amt").asc(), F.col("k").asc())
-    ranked = per_key.select(
-        "amt", F.row_number().over(w).alias("i")
+    ranked = global_row_index(per_key, ["amt", "k"], idx_col="_idx").select(
+        "amt", (F.col("_idx") + 1).alias("i")
     )
-    w_all = Window.partitionBy()
-    enriched = ranked.select(
-        "amt",
-        "i",
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("amt").over(w_all).alias("total"),
+    totals = per_key.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amt").alias("total")
     )
+    enriched = ranked.crossJoin(F.broadcast(totals))
     top_cut_1 = F.ceil(F.col("n") * 0.01)
     top_cut_10 = F.ceil(F.col("n") * 0.10)
     return enriched.agg(
