@@ -160,11 +160,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_wedges"),
     )
+    # A wedge-free graph (perfect matching / empty after pruning) has an
+    # undefined coefficient: NULL, not a divide error.
     return base.crossJoin(F.broadcast(tri)).select(
         "n_nodes",
         "n_edges",
         "n_triangles",
         F.round(
-            3.0 * F.col("n_triangles") / F.col("n_wedges"), 4
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ),
+            4,
         ).alias("clustering_coeff"),
     )

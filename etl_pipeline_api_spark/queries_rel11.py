@@ -277,13 +277,15 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE prefix: the mined co-purchase graph (support >= 3, a < c).
+# Shared CTE prefix: the mined co-purchase graph (support >= 2, a < c —
+# support 3 leaves a near-empty matching at sf0.1; 2 gives a 2-4k-edge
+# graph at every shipped SF).
 _EDGES_CTE = """
     bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
     edges AS (
       SELECT x.i AS a, y.i AS c, count(*) AS support
       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
-      GROUP BY 1, 2 HAVING count(*) >= 3)
+      GROUP BY 1, 2 HAVING count(*) >= 2)
 """
 
 
@@ -334,12 +336,12 @@ _EDGES_CTE = """
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-pagerank: top-20 PageRank (3 iterations, d=0.85) over the
-    support>=3 co-purchase graph — edge-partitioned joins, lineage
+    support>=2 co-purchase graph — edge-partitioned joins, lineage
     truncated per round, node count broadcast not collected
     (operators/graph.py pagerank; oracle unrolls the iteration as
     nested CTEs)."""
     li = _t(spark, sf_dir, "lineitem")
-    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=3)
+    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
     return graph.pagerank(edges, iters=3, damping=0.85, k=20)
 
 
@@ -363,7 +365,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
       FROM deg)
     SELECT n_nodes, n_edges, n_triangles,
-           round(3.0 * n_triangles / n_wedges, 4) AS clustering_coeff
+           round(CASE WHEN n_wedges > 0
+                      THEN 3.0 * n_triangles / n_wedges END, 4)
+             AS clustering_coeff
     FROM base, tri
     """,
 )
@@ -373,5 +377,5 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure join (two linear equi-joins, never all-pairs); wedges from
     a degree agg (operators/graph.py triangle_stats)."""
     li = _t(spark, sf_dir, "lineitem")
-    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=3)
+    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
     return graph.triangle_stats(edges)
