@@ -724,3 +724,70 @@ def rfm_segments(
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals (max concurrency) —
+    the sweep-line +1/−1 prefix sum, DISTRIBUTED.
+
+    Each interval contributes (+1 at start, −1 at end); concurrency at
+    any instant is the running sum of deltas in (time, delta) order
+    (−1 sorts before +1, so equal-time end/start do NOT overlap —
+    half-open [start, end) semantics). A bare global window would drag
+    every delta through one task, so the running sum uses the same
+    two-level shape as layout.global_row_index: range-partition on the
+    sort key, per-partition running sums, then add each partition's
+    broadcast exclusive-prefix offset (Σ deltas of earlier partitions —
+    a k-row window, k = n_parts). Peak and its earliest instant come
+    from one struct max. Start/end are epoch-µs bigints.
+
+    Output one row: (n_intervals, peak, peak_at).
+    """
+    starts = intervals.select(
+        F.col(start_col).alias("us"), F.lit(1).alias("d")
+    )
+    ends = intervals.select(F.col(end_col).alias("us"), F.lit(-1).alias("d"))
+    deltas = starts.unionByName(ends)
+    ranged = deltas.repartitionByRange(
+        n_parts, F.col("us"), F.col("d")
+    ).withColumn("_pid", F.spark_partition_id())
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("d").alias("_sum"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_sum").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    w_run = (
+        Window.partitionBy("_pid")
+        .orderBy("us", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("conc", F.sum("d").over(w_run) + F.col("_offset"))
+    )
+    return running.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        F.max(
+            F.struct(F.col("conc").alias("c"), (-F.col("us")).alias("neg_us"))
+        ).alias("top"),
+    ).select(
+        "n_intervals",
+        F.col("top.c").cast("long").alias("peak"),
+        F.timestamp_micros(-F.col("top.neg_us")).alias("peak_at"),
+    )

@@ -193,3 +193,69 @@ def fuzzy_join(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    cell_s: int = 3600,
+) -> DataFrame:
+    """All pairs of intervals that overlap (``a.start < b.end AND
+    b.start < a.end``, half-open), id_a < id_b — the interval
+    generalization of the time-bucketed range join above.
+
+    A theta-join on the overlap predicate is quadratic; instead each
+    interval is exploded onto the ``cell_s``-wide time cells it covers
+    (``sequence(start div W .. end div W)``) and candidates meet in an
+    EQUI-join on the cell. An overlapping pair co-occupies every cell
+    their intersection touches, so to count each pair exactly once —
+    without a distinct shuffle over the pair fan-out — only the meeting
+    in the intersection's FIRST cell (``max(start_a, start_b) div W``)
+    is kept: deterministic, no dedup pass.
+
+    Replication = interval length / cell width (+1), so pick ``cell_s``
+    near the typical interval length to keep the shuffle ~2x|intervals|.
+    At 100 TB the cell histogram (diagnostics.key_histogram on the cell
+    id) is the skew pre-flight: a rush-hour cell with every interval in
+    it degrades toward per-cell quadratic, the salting/AQE cue.
+
+    Start/end are epoch MICROSECONDS (bigint) — callers normalize
+    timestamps first (the session frames below already carry µs).
+    """
+    width = cell_s * 1_000_000
+    # __sc (start cell) rides along so the keep-once condition below is
+    # exact integer arithmetic — float division of epoch-µs would risk
+    # an off-by-one cell at .9999… boundaries.
+    cells = intervals.select(
+        F.col(id_col).alias("__id"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        F.expr(f"`{start_col}` div {width}").alias("__sc"),
+        F.explode(
+            F.sequence(
+                F.expr(f"`{start_col}` div {width}"),
+                F.expr(f"`{end_col}` div {width}"),
+            )
+        ).alias("__cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(
+            (F.col("a.__s") < F.col("b.__e"))
+            & (F.col("b.__s") < F.col("a.__e"))
+            & (
+                F.col("a.__cell")
+                == F.greatest(F.col("a.__sc"), F.col("b.__sc"))
+            )
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+    )

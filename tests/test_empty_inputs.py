@@ -41,6 +41,10 @@ SUBSET = [
     "op-corr-matrix", "op-entropy-profile", "op-mutual-info", "op-ab-test",
     "op-revenue-concentration", "op-benford", "op-cusum-changepoint",
     "op-knn-classify", "op-pagerank", "op-graph-triangles",
+    # batch-12 interval ops (the stream op is excluded like the other
+    # stream queries: it writes its own source files, which an empty
+    # frame can't produce a schema-inferable directory for)
+    "op-interval-overlap", "op-peak-concurrency",
 ]
 
 
