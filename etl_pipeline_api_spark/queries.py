@@ -76,6 +76,11 @@ BENCH_QUERIES: list[str] = [
     "op-sessionize",
     "op-funnel",
     "op-span-dup-stats",
+    # round-5 batch 11/12 representatives
+    "op-pagerank",
+    "op-knn-classify",
+    "op-interval-overlap",
+    "op-revenue-concentration",
 ]
 
 

@@ -416,3 +416,38 @@ def test_aqe_switches_sortmerge_to_broadcast_at_runtime(spark):
             conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_adaptive)
+
+
+def test_interval_overlap_no_cartesian(spark):
+    # The overlap join must lower to an EQUI-join on the cell key — a
+    # BroadcastNestedLoopJoin/CartesianProduct here means the theta
+    # predicate leaked into the join and the op is quadratic.
+    tree = tree_of(spark, "op-interval-overlap")
+    assert "CartesianProduct" not in tree
+    body = tree.split("AdaptiveSparkPlan")[-1]
+    # the only BNLJ allowed is the final 1-row-summary broadcast cross
+    assert body.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree or (
+        "BroadcastHashJoin" in tree
+    )
+
+
+def test_corr_matrix_single_scan_single_agg(spark):
+    # All six corr() aggregates must ride ONE aggregation over ONE scan.
+    tree = tree_of(spark, "op-corr-matrix")
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") <= 1  # the single partial->final agg
+
+
+def test_peak_concurrency_no_single_partition_sort(spark):
+    # The sweep must range-partition its running sum — a SinglePartition
+    # exchange feeding a Sort is the scale bug this op exists to avoid.
+    # (The k-row offsets frame legitimately funnels through one task;
+    # assert the DATA path exchange is a rangepartitioning.)
+    plan = plan_of(spark, "op-peak-concurrency")
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_pagerank_no_cartesian(spark):
+    tree = tree_of(spark, "op-pagerank")
+    assert "CartesianProduct" not in tree
