@@ -212,3 +212,90 @@ class Engine:
         from .operators.dedup import span_dup_stats
 
         return span_dup_stats(docs, id_col, text_col, n)
+
+    # ---- statistical profiling / inference (operators.stats) ----
+
+    def corr_matrix(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        from .operators.stats import corr_matrix
+
+        return corr_matrix(df, cols)
+
+    def entropy_profile(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        from .operators.stats import entropy_profile
+
+        return entropy_profile(df, cols)
+
+    def mutual_info(
+        self, df: DataFrame, col_x: str, col_y: str
+    ) -> DataFrame:
+        from .operators.stats import mutual_info
+
+        return mutual_info(df, col_x, col_y)
+
+    def ab_test(self, events: DataFrame, **kwargs) -> DataFrame:
+        from .operators.stats import ab_test
+
+        return ab_test(events, **kwargs)
+
+    def revenue_concentration(
+        self, orders: DataFrame, **kwargs
+    ) -> DataFrame:
+        from .operators.stats import revenue_concentration
+
+        return revenue_concentration(orders, **kwargs)
+
+    def benford(self, df: DataFrame, amount_col: str) -> DataFrame:
+        from .operators.stats import benford_profile
+
+        return benford_profile(df, amount_col)
+
+    def changepoints(self, events: DataFrame, **kwargs) -> DataFrame:
+        from .operators.stats import cusum_changepoint
+
+        return cusum_changepoint(events, **kwargs)
+
+    # ---- graph analytics (operators.graph) ----
+
+    def basket_edges(
+        self, df: DataFrame, basket_col: str, item_col: str, **kwargs
+    ) -> DataFrame:
+        from .operators.graph import basket_edges
+
+        return basket_edges(df, basket_col, item_col, **kwargs)
+
+    def pagerank(self, edges: DataFrame, **kwargs) -> DataFrame:
+        from .operators.graph import pagerank
+
+        return pagerank(edges, **kwargs)
+
+    def triangle_stats(self, edges: DataFrame) -> DataFrame:
+        from .operators.graph import triangle_stats
+
+        return triangle_stats(edges)
+
+    # ---- interval analytics / classification ----
+
+    def interval_overlaps(
+        self, intervals: DataFrame, id_col: str, start_col: str,
+        end_col: str, **kwargs,
+    ) -> DataFrame:
+        from .operators.joins import interval_overlap_pairs
+
+        return interval_overlap_pairs(
+            intervals, id_col, start_col, end_col, **kwargs
+        )
+
+    def peak_concurrency(
+        self, intervals: DataFrame, start_col: str, end_col: str, **kwargs
+    ) -> DataFrame:
+        from .operators.behavioral import peak_concurrency
+
+        return peak_concurrency(intervals, start_col, end_col, **kwargs)
+
+    def knn_classify(
+        self, corpus: DataFrame, queries: DataFrame, id_col: str,
+        vec_col: str, label_col: str, k: int = 5,
+    ) -> DataFrame:
+        from .operators.similarity import knn_classify
+
+        return knn_classify(corpus, queries, id_col, vec_col, label_col, k)

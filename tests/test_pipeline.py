@@ -122,3 +122,53 @@ def test_engine_facade_operator_surface(spark, tmp_path):
     assert topk.count() == 2
     # curation capstone delegation
     assert eng.curate(docs, quality_min=0.0).count() <= 3
+
+
+def test_engine_facade_stats_graph_surface(spark):
+    """The batch-11/12 facade methods are thin delegations — one smoke
+    each over tiny frames."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from etl_pipeline_api_spark.engine import Engine
+
+    eng = Engine(spark)
+    nums = spark.createDataFrame(
+        [Row(a=1.0, b=2.0), Row(a=2.0, b=4.0), Row(a=3.0, b=6.0)]
+    )
+    assert eng.corr_matrix(nums, ["a", "b"]).collect()[0]["corr"] == 1.0
+    cats = spark.createDataFrame([Row(x="u"), Row(x="v")])
+    assert eng.entropy_profile(cats, ["x"]).collect()[0]["entropy_bits"] == 1.0
+    xy = spark.createDataFrame([Row(x="0", y="a"), Row(x="1", y="b")])
+    assert eng.mutual_info(xy, "x", "y").collect()[0]["mi_bits"] == 1.0
+    amounts = spark.createDataFrame([Row(v=123.0), Row(v=456.0), Row(v=789.0)])
+    assert {r["digit"] for r in eng.benford(amounts, "v").collect()} == {1, 4, 7}
+    edges = spark.createDataFrame(
+        [Row(a=1, c=2, support=2), Row(a=1, c=3, support=2),
+         Row(a=2, c=3, support=2)]
+    )
+    pr = eng.pagerank(edges, iters=2, k=5).collect()
+    assert len(pr) == 3
+    tri = eng.triangle_stats(edges).collect()[0]
+    assert tri["n_triangles"] == 1
+    baskets = spark.createDataFrame(
+        [Row(b=1, i=10), Row(b=1, i=20), Row(b=2, i=10), Row(b=2, i=20)]
+    )
+    be = eng.basket_edges(baskets, "b", "i", min_support=2).collect()
+    assert [(r.a, r.c) for r in be] == [(10, 20)]
+    iv = spark.createDataFrame(
+        [Row(id=1, s=0, e=10_000_000), Row(id=2, s=5_000_000, e=15_000_000)]
+    )
+    assert len(eng.interval_overlaps(iv, "id", "s", "e").collect()) == 1
+    assert eng.peak_concurrency(iv, "s", "e").collect()[0]["peak"] == 2
+    emb = spark.createDataFrame(
+        [Row(vec_id=10, embedding=[1.0, 0.0], label=1),
+         Row(vec_id=11, embedding=[0.9, 0.1], label=1),
+         Row(vec_id=0, embedding=[1.0, 0.05], label=9)]
+    )
+    got = eng.knn_classify(
+        emb.filter("vec_id >= 10"), emb.filter("vec_id < 10"),
+        "vec_id", "embedding", "label", k=2,
+    ).collect()[0]
+    assert got["pred_label"] == 1
