@@ -299,3 +299,28 @@ class Engine:
         from .operators.similarity import knn_classify
 
         return knn_classify(corpus, queries, id_col, vec_col, label_col, k)
+
+    def grouped_trend(self, events: DataFrame, **kwargs) -> DataFrame:
+        from .operators.stats import grouped_trend
+
+        return grouped_trend(events, **kwargs)
+
+    def seasonality(self, events: DataFrame, **kwargs) -> DataFrame:
+        from .operators.stats import seasonality_strength
+
+        return seasonality_strength(events, **kwargs)
+
+    def k_anonymity(
+        self, df: DataFrame, quasi_cols: list[str], sensitive_col: str,
+        k_threshold: int = 5,
+    ) -> DataFrame:
+        from .operators.stats import k_anonymity_profile
+
+        return k_anonymity_profile(df, quasi_cols, sensitive_col, k_threshold)
+
+    def bootstrap_ci(
+        self, df: DataFrame, id_col: str, value_col: str, **kwargs
+    ) -> DataFrame:
+        from .operators.stats import bootstrap_mean_ci
+
+        return bootstrap_mean_ci(df, id_col, value_col, **kwargs)

@@ -345,3 +345,213 @@ def cusum_changepoint(
             F.round(F.col("top.a"), 4).alias("max_abs_cusum"),
         )
     )
+
+
+def grouped_trend(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-series OLS trend (slope/intercept) over bucketed counts —
+    "is this event type growing?" as one closed-form aggregation.
+
+    Buckets each series to hourly counts (the only fact-table pass),
+    re-zeroes the bucket index per series (x = hours since the series'
+    first bucket — keeps x small and the normal equations well-scaled),
+    then the closed-form ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``
+    on the bucket frame. Every Σ is an INTEGER sum (x: hour index,
+    y: count), so both engines compute bit-identical doubles at the
+    final division — no float-association drift to round away.
+    Output per series: (event_type, n_points, slope, intercept).
+    """
+    buckets = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        # integer div, not float-divide-then-cast: exact at any epoch
+        F.expr(
+            f"unix_micros(date_trunc('{bucket}', `{ts_col}`))"
+            " div 3600000000"
+        ).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w_g = Window.partitionBy("event_type")
+    xy = buckets.select(
+        "event_type",
+        (F.col("h") - F.min("h").over(w_g)).alias("x"),
+        "y",
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        det != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det,
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+def seasonality_strength(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """How much of a series' hourly variance is explained by its
+    hour-of-day profile — the one-way ANOVA η² over bucketed counts.
+
+    Two stacked integer aggregations: fact → (series, hour) counts,
+    then (series, hour-of-day) cell sums; η² = SS_between / SS_total
+    with every sum-of-squares assembled from exact integer Σy and Σy²
+    (``SS_t = Σy² − (Σy)²/n``), so the single final division is the
+    only float op — engine-identical. η² near 1 ⇒ a time-of-day
+    profile (cache warming, cron load-shedding) dominates; near 0 ⇒
+    the series is trend/noise. Output: (event_type, n_buckets, eta2).
+    """
+    buckets = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    cells = buckets.groupBy(
+        "event_type", F.hour("b").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("y").alias("sh"),
+        F.sum(F.col("y") * F.col("y")).alias("sh2"),
+    )
+    agg = cells.groupBy("event_type").agg(
+        F.sum("nh").alias("n"),
+        F.sum("sh").alias("sy"),
+        F.sum("sh2").alias("sy2"),
+        # Σ_h (Σ_h y)²/n_h needs per-cell division — keep it as the one
+        # rational term; numerator/denominator are exact ints per cell.
+        F.sum(
+            (F.col("sh") * F.col("sh")).cast("double") / F.col("nh")
+        ).alias("ssb_raw"),
+    )
+    ss_t = F.col("sy2") - (F.col("sy") * F.col("sy")).cast("double") / F.col("n")
+    ss_b = F.col("ssb_raw") - (F.col("sy") * F.col("sy")).cast("double") / F.col("n")
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_buckets"),
+        F.round(F.when(ss_t > 0, ss_b / ss_t), 4).alias("eta2"),
+    )
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k_threshold: int = 5,
+) -> DataFrame:
+    """Re-identification risk profile: k-anonymity + l-diversity in one
+    pass — the privacy gate a training-data release needs next to
+    text.pii_redact's content scrubbing.
+
+    Equivalence classes = one groupBy on the quasi-identifier columns
+    (count + per-class distinct of the sensitive attribute); the
+    profile is a second tiny agg over the |classes| frame. Output one
+    row: (n_rows, n_classes, k_anonymity [= min class size — the
+    worst-case crowd an individual hides in], l_diversity [= min
+    distinct sensitive values per class], n_rows_below_k,
+    pct_rows_below_k for the chosen threshold).
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.count_distinct(F.col(sensitive_col)).alias("ell"),
+    )
+    return classes.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").alias("k_anonymity"),
+        F.min("ell").alias("l_diversity"),
+        F.sum(F.when(F.col("sz") < k_threshold, F.col("sz")).otherwise(F.lit(0)))
+        .alias("n_rows_below_k"),
+        F.round(
+            F.sum(
+                F.when(F.col("sz") < k_threshold, F.col("sz")).otherwise(
+                    F.lit(0)
+                )
+            )
+            * 100.0
+            / F.sum("sz"),
+            2,
+        ).alias("pct_rows_below_k"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e⁻¹·Σ 1/i!) — enough
+# digits that a double comparison lands identically in any engine.
+_POIS = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+         0.9810118431238462, 0.9963401531726563)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 50,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean — DISTRIBUTED Poisson
+    bootstrap (Chamandy et al.'s "Estimating Uncertainty for Massive
+    Data Streams" shape): resampling n-out-of-n is impossible at 100 TB
+    (it needs a global shuffle per replicate), but a per-row
+    Poisson(1) weight per replicate is free, row-local, and converges
+    to the same bootstrap distribution.
+
+    Weights are DETERMINISTIC: u = knuth_hash(id·R + r)/2³² (the
+    sampling.det_key mixer, decimal-widened so 100 TB id regimes don't
+    overflow), inverse-CDF'd to a Poisson count — both engines replay
+    the identical resample, so the CI is oracle-checkable, not just
+    plausible. One explode (×R rows), one (replicate) agg, percentiles
+    over the R-row means frame. Output one row:
+    (n_replicates, mean, ci_lo, ci_hi).
+    """
+    from .sampling import KNUTH, M32
+
+    rep = df.select(
+        F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
+    ).withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1)))
+    )
+    mixed = (
+        F.col("__id").cast("decimal(20,0)") * n_replicates + F.col("r")
+    ).cast("decimal(20,0)")
+    key = (
+        (mixed * F.lit(KNUTH).cast("decimal(10,0)"))
+        % F.lit(M32).cast("decimal(11,0)")
+    ).cast("long")
+    u = key / F.lit(float(M32))
+    w = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .when(u < _POIS[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            (
+                F.sum(F.col("__v") * F.col("w")) / F.sum("w")
+            ).alias("m")
+        )
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("mean"),
+        F.round(F.expr(f"percentile(m, {alpha / 2})"), 4).alias("ci_lo"),
+        F.round(F.expr(f"percentile(m, {1 - alpha / 2})"), 4).alias("ci_hi"),
+    )

@@ -45,6 +45,9 @@ SUBSET = [
     # stream queries: it writes its own source files, which an empty
     # frame can't produce a schema-inferable directory for)
     "op-interval-overlap", "op-peak-concurrency",
+    # batch-13 stats ops
+    "op-grouped-trend", "op-seasonality", "op-k-anonymity",
+    "op-bootstrap-ci",
 ]
 
 

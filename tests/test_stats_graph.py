@@ -226,3 +226,84 @@ def test_basket_edges_support_prune(spark):
     # (1,2) appears in 3 baskets; (1,3)/(2,3) only once -> pruned.
     assert len(out) == 1
     assert (out[0]["a"], out[0]["c"], out[0]["support"]) == (1, 2, 3)
+
+
+def _ev_hours(spark, spec):
+    """spec: list of (type, hour_index, count) -> events frame with
+    `count` events inside hour T0+hour_index."""
+    rows, eid = [], 0
+    for t, h, n in spec:
+        for i in range(n):
+            rows.append(
+                (eid, T0 + dt.timedelta(hours=h, minutes=i % 60), 1, t, 1.0)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_grouped_trend_recovers_line(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    # y = 2 + 3x over x=0..4 -> exact OLS recovery from integer sums.
+    ev = _ev_hours(spark, [("a", x, 2 + 3 * x) for x in range(5)])
+    r = stats.grouped_trend(ev).collect()[0]
+    assert r["n_points"] == 5
+    assert r["slope"] == pytest.approx(3.0)
+    assert r["intercept"] == pytest.approx(2.0)
+    # constant series -> slope 0
+    ev = _ev_hours(spark, [("b", x, 7) for x in range(4)])
+    r = stats.grouped_trend(ev).collect()[0]
+    assert r["slope"] == 0.0 and r["intercept"] == 7.0
+
+
+def test_seasonality_eta2_extremes(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    # Perfect 24h-periodic profile over 2 days: within-hod variance 0
+    # -> eta2 == 1.
+    spec = [("a", d * 24 + h, 1 + (h % 3)) for d in range(2) for h in range(24)]
+    ev = _ev_hours(spark, spec)
+    r = stats.seasonality_strength(ev).collect()[0]
+    assert r["n_buckets"] == 48 and r["eta2"] == pytest.approx(1.0)
+    # Constant series: SS_total = 0 -> eta2 is NULL, not a divide error.
+    ev = _ev_hours(spark, [("b", h, 5) for h in range(48)])
+    r = stats.seasonality_strength(ev).collect()[0]
+    assert r["eta2"] is None
+
+
+def test_k_anonymity_profile(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    df = spark.createDataFrame(
+        # class (x,1): 3 rows, 2 sensitive values; class (y,2): 1 row.
+        [("x", 1, 10), ("x", 1, 10), ("x", 1, 11), ("y", 2, 12)],
+        "q1 string, q2 int, s int",
+    )
+    r = stats.k_anonymity_profile(df, ["q1", "q2"], "s", k_threshold=2).collect()[0]
+    assert r["n_rows"] == 4 and r["n_classes"] == 2
+    assert r["k_anonymity"] == 1 and r["l_diversity"] == 1
+    assert r["n_rows_below_k"] == 1
+    assert r["pct_rows_below_k"] == 25.0
+
+
+def test_bootstrap_ci_deterministic_and_degenerate(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    const = spark.createDataFrame(
+        [(i, 42.0) for i in range(200)], "id long, v double"
+    )
+    r = stats.bootstrap_mean_ci(const, "id", "v", n_replicates=20).collect()[0]
+    # every resample of a constant column has mean 42
+    assert r["n_replicates"] == 20
+    assert r["mean"] == 42.0 and r["ci_lo"] == 42.0 and r["ci_hi"] == 42.0
+    mixed = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(500)], "id long, v double"
+    )
+    a = stats.bootstrap_mean_ci(mixed, "id", "v").collect()[0]
+    b = stats.bootstrap_mean_ci(mixed, "id", "v").collect()[0]
+    assert a == b  # deterministic resample — rerun-stable
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    assert a["ci_lo"] < a["ci_hi"]  # real data -> non-degenerate interval
