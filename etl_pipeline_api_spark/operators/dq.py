@@ -148,3 +148,43 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(*key_cols, status.alias("status"))
+
+
+def changelog_compact(
+    changelog: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    op_col: str,
+    payload_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog to produce the current snapshot — the
+    inverse of :func:`table_diff` (which CONSTRUCTS a feed, this one
+    CONSUMES it): latest version per key wins, a terminal delete
+    removes the key.
+
+    One map-combined ``max(struct(version…, op, payload…))`` per key is
+    the whole operator — deliberately NOT a row_number window (which
+    would sort every key group) nor an iterative apply: at 100 TB a
+    changelog compaction is exactly an argmax-per-key shuffle, and the
+    struct-max form partial-aggregates map-side so the exchange carries
+    one row per key, not one per change. Version columns must form a
+    total order per key (e.g. (ts, change_id)).
+    """
+    ver = [F.col(c).alias(f"__v{i}") for i, c in enumerate(version_cols)]
+    packed = changelog.groupBy(*key_cols).agg(
+        F.max(
+            F.struct(
+                *ver,
+                F.col(op_col).alias("__op"),
+                *[F.col(c).alias(c) for c in payload_cols],
+            )
+        ).alias("__last")
+    )
+    return (
+        packed.where(F.col(f"__last.__op") != delete_op)
+        .select(
+            *key_cols,
+            *[F.col(f"__last.{c}").alias(c) for c in payload_cols],
+        )
+    )

@@ -131,3 +131,34 @@ def frame_sample(
         )
         .withColumn("t_s", F.round(F.col("frame_idx") / fps, 3))
     )
+
+
+def dedup_payloads(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Exact dedup of binary payloads — the multimodal twin of
+    operators.dedup.dedup_exact (identical bytes ⇒ identical media;
+    the first pass every image/audio corpus runs before any perceptual
+    hashing).
+
+    Group key is (octet length, sha256): the length pre-splits hash
+    buckets so a (vanishingly unlikely) digest collision across
+    different-sized payloads cannot merge groups, and both are
+    row-local JVM projections. ONE map-combined shuffle produces per-
+    content groups; output is the duplicate groups only:
+    (content_sha, n_bytes, n_copies, keeper_id) with keeper = min id —
+    deterministic, so an oracle can hash-match it.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("n_bytes"),
+        F.sha2(F.col(payload_col), 256).alias("content_sha"),
+    )
+    return (
+        hashed.groupBy("content_sha", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("__id").alias("keeper_id"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )

@@ -555,3 +555,45 @@ def bootstrap_mean_ci(
         F.round(F.expr(f"percentile(m, {alpha / 2})"), 4).alias("ci_lo"),
         F.round(F.expr(f"percentile(m, {1 - alpha / 2})"), 4).alias("ci_hi"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group mean before/after winsorization (clipping at the
+    [lo, hi] quantiles) — the robust-mean counterpart to
+    diagnostics.mad_outliers: instead of FLAGGING outliers it bounds
+    their influence, the standard pre-aggregation step for metrics fed
+    by bot-inflated values.
+
+    Two passes: one exact per-group percentile agg (tiny |groups|-row
+    threshold frame, broadcast back) and one clipped aggregation via
+    row-local least/greatest. At 100 TB swap the exact percentile for
+    percentile_approx — the clip pass is unchanged; exact here keeps
+    the op oracle-checkable. Output per group:
+    (group, n, mean, wins_mean, p_lo, p_hi).
+    """
+    thresholds = df.groupBy(F.col(group_col).alias("__wg")).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
+    )
+    joined = df.join(
+        F.broadcast(thresholds), F.col(group_col) == F.col("__wg")
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")
+    )
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(value_col), 4).alias("mean"),
+            F.round(F.avg(clipped), 4).alias("wins_mean"),
+            F.round(F.min("p_lo"), 4).alias("p_lo"),
+            F.round(F.min("p_hi"), 4).alias("p_hi"),
+        )
+    )

@@ -48,6 +48,8 @@ SUBSET = [
     # batch-13 stats ops
     "op-grouped-trend", "op-seasonality", "op-k-anonymity",
     "op-bootstrap-ci",
+    # batch-14 ops
+    "op-changelog-compact", "op-binary-dedup", "op-winsorize",
 ]
 
 

@@ -307,3 +307,59 @@ def test_bootstrap_ci_deterministic_and_degenerate(spark):
     assert a == b  # deterministic resample — rerun-stable
     assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
     assert a["ci_lo"] < a["ci_hi"]  # real data -> non-degenerate interval
+
+
+def test_changelog_compact_upsert_delete_reinsert(spark):
+    from etl_pipeline_api_spark.operators.dq import changelog_compact
+
+    log = spark.createDataFrame(
+        [
+            # key 1: insert -> update (survives with latest payload)
+            (1, 1, 1, "U", 10.0),
+            (1, 2, 2, "U", 20.0),
+            # key 2: insert -> delete (gone)
+            (2, 1, 3, "U", 30.0),
+            (2, 2, 4, "D", None),
+            # key 3: delete -> reinsert (survives — latest wins)
+            (3, 1, 5, "D", None),
+            (3, 2, 6, "U", 60.0),
+            # key 4: same v0, higher v1 wins
+            (4, 7, 7, "U", 70.0),
+            (4, 7, 8, "U", 71.0),
+        ],
+        "k long, v0 long, v1 long, op string, amt double",
+    )
+    out = {
+        r["k"]: r["amt"]
+        for r in changelog_compact(
+            log, ["k"], ["v0", "v1"], "op", ["amt"]
+        ).collect()
+    }
+    assert out == {1: 20.0, 3: 60.0, 4: 71.0}
+
+
+def test_dedup_payloads_groups(spark):
+    from etl_pipeline_api_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, b"aaa"), (2, b"aaa"), (3, b"bbb"), (4, b"aaa"), (5, b"ccc")],
+        "id long, payload binary",
+    )
+    out = multimodal.dedup_payloads(df, "id", "payload").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_bytes"], r["n_copies"], r["keeper_id"]) == (3, 3, 1)
+
+
+def test_winsorized_stats_clips_outlier(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    # 99 values of 1.0 + one 1000.0: the winsorized mean must collapse
+    # toward 1 while the raw mean is dragged to ~11.
+    rows = [("a", 1.0)] * 99 + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stats.winsorized_stats(df, "g", "v", lo=0.01, hi=0.99).collect()[0]
+    assert r["n"] == 100
+    assert r["mean"] == pytest.approx(10.99, abs=0.01)
+    assert r["wins_mean"] < 2.0
+    assert r["p_lo"] == 1.0
