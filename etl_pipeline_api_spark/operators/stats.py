@@ -597,3 +597,143 @@ def winsorized_stats(
             F.round(F.min("p_hi"), 4).alias("p_hi"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    each series — the standard model-monitoring drift score, computed
+    without a model: PSI = Σ (p_cur − p_base)·ln(p_cur/p_base) over
+    baseline-decile buckets.
+
+    The split point is the integer midpoint of each group's time range
+    (deterministic, no quantile of time needed); bucket edges are the
+    BASELINE's exact value deciles (tiny |groups|×(n_buckets−1) frame
+    broadcast back), so every baseline share is exactly 1/n_buckets and
+    only the current side can drift. Empty current-side buckets are
+    clamped at 1e−6 before the log (the standard continuity fix, same
+    literal in both engines). Rule of thumb: <0.1 stable, 0.1–0.25
+    drifting, >0.25 act. Output per group: (group, n_base, n_cur, psi).
+
+    Two scans of the fact table (split stats + bucketed counts) — at
+    100 TB both are map-combined aggs; swap exact deciles for
+    percentile_approx exactly like winsorized_stats.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    spans = df.groupBy(F.col(group_col).alias("__pg")).agg(
+        ((F.min(us) + F.max(us)) / 2).cast("long").alias("__mid")
+    )
+    tagged = df.join(
+        F.broadcast(spans), F.col(group_col) == F.col("__pg")
+    ).withColumn("__cur", (us >= F.col("__mid")).cast("int"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = (
+        tagged.where(F.col("__cur") == 0)
+        .groupBy("__pg")
+        .agg(
+            F.expr(
+                f"percentile({value_col}, array({', '.join(map(str, qs))}))"
+            ).alias("__edges")
+        )
+    )
+    bucketed = (
+        tagged.join(F.broadcast(edges), "__pg")
+        .withColumn(
+            "__b",
+            # bucket = #edges strictly below the value — row-local scan
+            # of the (n_buckets-1)-element edge array
+            F.aggregate(
+                "__edges",
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col(value_col) > e, 1).otherwise(0),
+            ),
+        )
+        .groupBy(F.col(group_col).alias("g"), "__cur", "__b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_side = Window.partitionBy("g", "__cur")
+    shares = bucketed.select(
+        "g",
+        "__cur",
+        "__b",
+        (F.col("n") / F.sum("n").over(w_side)).alias("p"),
+        F.sum("n").over(w_side).alias("n_side"),
+    )
+    base = shares.where(F.col("__cur") == 0).select(
+        "g", "__b", F.col("p").alias("pb"), F.col("n_side").alias("n_base")
+    )
+    cur = shares.where(F.col("__cur") == 1).select(
+        "g", "__b", F.col("p").alias("pc"), F.col("n_side").alias("n_cur")
+    )
+    joined = base.join(cur, ["g", "__b"], "full").select(
+        "g",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        F.greatest(F.coalesce("pb", F.lit(0.0)), F.lit(1e-6)).alias("pb"),
+        F.greatest(F.coalesce("pc", F.lit(0.0)), F.lit(1e-6)).alias("pc"),
+    )
+    return (
+        joined.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.max("n_base").alias("n_base"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(
+                F.sum(
+                    (F.col("pc") - F.col("pb"))
+                    * F.log(F.col("pc") / F.col("pb"))
+                ),
+                4,
+            ).alias("psi"),
+        )
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism —
+    the release shape for publishing aggregate statistics about a
+    training corpus (counts have L1 sensitivity 1, so noise scale
+    b = 1/ε).
+
+    Noise is DETERMINISTIC here: each group gets a dense-rank id under
+    the group-name total order, the det_key mixer turns it into a
+    uniform, and the Laplace inverse-CDF turns that into noise — so the
+    release is rerun-stable and oracle-checkable. (A production release
+    would use a secret seed; the MECHANISM — sensitivity, scale,
+    inverse-CDF — is exactly what ships, and is the part worth
+    verifying.) Output: (group, n_noisy, epsilon); true counts do not
+    appear in the output schema.
+    """
+    from .sampling import KNUTH, M32
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy(group_col)
+    ranked = counts.withColumn("__gid", F.dense_rank().over(w))
+    key = (
+        (
+            F.col("__gid").cast("decimal(20,0)")
+            * F.lit(KNUTH).cast("decimal(10,0)")
+        )
+        % F.lit(M32).cast("decimal(11,0)")
+    ).cast("long")
+    u = (key + 0.5) / F.lit(float(M32))
+    b = 1.0 / epsilon
+    noise = (
+        -F.lit(b)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return ranked.select(
+        group_col,
+        F.round(F.col("__n") + noise, 4).alias("n_noisy"),
+        F.lit(epsilon).alias("epsilon"),
+    )

@@ -1,0 +1,93 @@
+"""Relational batch 15 — production monitoring + private release
+(SURVEY.md §2.9 extensions).
+
+- op-psi-drift: Population Stability Index per event type between the
+  first and second half of its time range — the model-monitoring drift
+  score, computed from baseline-decile buckets.
+- op-dp-counts: ε-differentially-private group counts via the Laplace
+  mechanism with a DETERMINISTIC (det_key-mixed) noise draw, so the
+  release mechanism itself — sensitivity, scale, inverse-CDF — is
+  oracle-verified.
+
+Both DuckDB-oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import stats
+from .queries import _t, query
+
+
+@query(
+    "op-psi-drift",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS g, value, epoch_us(ts) AS us FROM events),
+    m AS (SELECT g, (min(us) + max(us)) // 2 AS mid FROM s GROUP BY 1),
+    t AS (
+      SELECT s.*, CASE WHEN us >= mid THEN 1 ELSE 0 END AS cur
+      FROM s JOIN m USING (g)),
+    e AS (
+      SELECT g, quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+      FROM t WHERE cur = 0 GROUP BY 1),
+    bk AS (
+      SELECT t.g, cur,
+             len(list_filter(e.edges, x -> t.value > x)) AS b,
+             count(*) AS n
+      FROM t JOIN e USING (g) GROUP BY 1, 2, 3),
+    sh AS (
+      SELECT g, cur, b,
+             n * 1.0 / sum(n) OVER (PARTITION BY g, cur) AS p,
+             sum(n) OVER (PARTITION BY g, cur) AS n_side
+      FROM bk),
+    ba AS (SELECT g, b, p AS pb, n_side AS nb FROM sh WHERE cur = 0),
+    cu AS (SELECT g, b, p AS pc, n_side AS nc FROM sh WHERE cur = 1),
+    j AS (
+      SELECT coalesce(ba.g, cu.g) AS g,
+             greatest(coalesce(pb, 0), 1e-6) AS pb,
+             greatest(coalesce(pc, 0), 1e-6) AS pc,
+             coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      FROM ba FULL JOIN cu USING (g, b))
+    SELECT g AS event_type,
+           CAST(max(nb) AS BIGINT) AS n_base,
+           CAST(max(nc) AS BIGINT) AS n_cur,
+           round(sum((pc - pb) * ln(pc / pb)), 4) AS psi
+    FROM j GROUP BY 1
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-psi-drift: PSI per event type, first vs second half of the
+    series — baseline-decile buckets broadcast back, row-local bucket
+    assignment via an array scan, two map-combined aggs; 1e-6 clamp on
+    empty current buckets (operators/stats.py psi_drift)."""
+    return stats.psi_drift(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@query(
+    "op-dp-counts",
+    oracle="""
+    WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    r AS (
+      SELECT *, dense_rank() OVER (ORDER BY event_type) AS gid FROM c),
+    k AS (
+      SELECT event_type, n,
+             (((gid * 2654435761) % 4294967296) + 0.5) / 4294967296.0 AS u
+      FROM r)
+    SELECT event_type,
+           round(n + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+             AS n_noisy,
+           1.0 AS epsilon
+    FROM k
+    """,
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-dp-counts: Laplace-mechanism event-type counts at epsilon=1 —
+    dense-rank group ids under the name total order, det_key-mixed
+    uniform, inverse-CDF noise; true counts never reach the output
+    schema (operators/stats.py dp_noisy_counts)."""
+    return stats.dp_noisy_counts(_t(spark, sf_dir, "events"), "event_type")

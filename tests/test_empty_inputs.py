@@ -50,6 +50,8 @@ SUBSET = [
     "op-bootstrap-ci",
     # batch-14 ops
     "op-changelog-compact", "op-binary-dedup", "op-winsorize",
+    # batch-15 ops
+    "op-psi-drift", "op-dp-counts",
 ]
 
 

@@ -363,3 +363,46 @@ def test_winsorized_stats_clips_outlier(spark):
     assert r["mean"] == pytest.approx(10.99, abs=0.01)
     assert r["wins_mean"] < 2.0
     assert r["p_lo"] == 1.0
+
+
+def test_psi_drift_stable_vs_shifted(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    # Group "stable": identical value distribution in both halves -> PSI ~ 0.
+    # Group "shift": values jump by +100 in the second half -> PSI large.
+    rows, eid = [], 0
+    for half in range(2):
+        for i in range(200):
+            t = T0 + dt.timedelta(hours=half * 100 + i % 50)
+            rows.append((eid, t, 1, "stable", float(i % 20))); eid += 1
+            rows.append(
+                (eid, t, 1, "shift", float(i % 20 + (100 if half else 0)))
+            ); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r["event_type"]: r["psi"] for r in
+           stats.psi_drift(ev, "event_type", "value").collect()}
+    assert out["stable"] < 0.05
+    assert out["shift"] > 1.0
+
+
+def test_dp_counts_noise_bounded_and_deterministic(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 50, "g string"
+    )
+    a = stats.dp_noisy_counts(df, "g", epsilon=1.0).collect()
+    b = stats.dp_noisy_counts(df, "g", epsilon=1.0).collect()
+    assert sorted(a) == sorted(b)  # deterministic release
+    got = {r["g"]: r["n_noisy"] for r in a}
+    # Laplace(1) noise is within ~23 with prob 1-1e-10; mainly: it's
+    # CLOSE to the true count but not exactly it (noise was added).
+    assert abs(got["a"] - 100) < 25 and got["a"] != 100.0
+    assert abs(got["b"] - 50) < 25 and got["b"] != 50.0
+    # tighter epsilon -> larger scale; looser -> smaller noise
+    loose = {r["g"]: r["n_noisy"]
+             for r in stats.dp_noisy_counts(df, "g", epsilon=10.0).collect()}
+    assert abs(loose["a"] - 100) < abs(got["a"] - 100) + 1e-9
