@@ -196,3 +196,88 @@ def test_weighted_sample_deterministic_and_biased(spark):
     assert {999, 998}.isdisjoint(
         {r.id for r in weighted_sample(df2, "id", "w", 202).collect()}
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 5_000)),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_interval_overlap_matches_bruteforce(spark, spans):
+    """Cell-bucketed interval join == O(n²) brute force, any cell width."""
+    from etl_pipeline_api_spark.operators import joins
+
+    iv = [(i, s * 1_000_000, (s + d) * 1_000_000) for i, (s, d) in enumerate(spans)]
+    want = {
+        (a[0], b[0])
+        for a in iv
+        for b in iv
+        if a[0] < b[0] and a[1] < b[2] and b[1] < a[2]
+    }
+    df = spark.createDataFrame(iv, "id long, s_us long, e_us long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in joins.interval_overlap_pairs(
+            df, "id", "s_us", "e_us", cell_s=1800
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.floats(0.1, 1000.0, allow_nan=False), min_size=2, max_size=15)
+)
+def test_gini_matches_bruteforce(spark, amounts):
+    """revenue_concentration's Gini == the rank-formula computed in Python."""
+    from etl_pipeline_api_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(i, "O", float(a), None, "p") for i, a in enumerate(amounts)],
+        "o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    r = stats.revenue_concentration(df).collect()[0]
+    xs = sorted(amounts)
+    n = len(xs)
+    gini = (2 * sum((i + 1) * x for i, x in enumerate(xs))) / (n * sum(xs)) - (
+        n + 1
+    ) / n
+    assert abs(r["gini"] - gini) < 1e-3
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 3), st.sampled_from("UD")),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_changelog_compact_matches_replay(spark, changes):
+    """changelog_compact == a sequential Python replay of the log."""
+    from etl_pipeline_api_spark.operators.dq import changelog_compact
+
+    log = [
+        (k, v, i, op, float(i))
+        for i, (k, v, op) in enumerate(changes)
+    ]
+    state: dict = {}
+    for k, v0, v1, op, amt in sorted(log, key=lambda r: (r[1], r[2])):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = amt
+    df = spark.createDataFrame(
+        log, "k string, v0 long, v1 long, op string, amt double"
+    )
+    got = {
+        r["k"]: r["amt"]
+        for r in changelog_compact(
+            df, ["k"], ["v0", "v1"], "op", ["amt"]
+        ).collect()
+    }
+    assert got == state
