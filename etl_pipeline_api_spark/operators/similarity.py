@@ -817,3 +817,71 @@ def knn_classify(
             F.col("top.v").alias("n_votes"),
         )
     )
+
+
+def _achlioptas_matrix(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic sparse ±1 projection matrix (Achlioptas 2003):
+    entry = −1 w.p. 1/6, +1 w.p. 1/6, 0 w.p. 2/3, drawn from the
+    Knuth-mix of the (row, col) index — reproducible in ANY engine
+    (and inlined as literals into the oracle SQL, so the projection is
+    part of the query definition, not hidden state)."""
+    m = []
+    for k in range(out_dim):
+        row = []
+        for j in range(in_dim):
+            key = ((k * in_dim + j + 1) * 2654435761) % (2**32)
+            u = key / 2**32
+            row.append(-1 if u < 1 / 6 else (1 if u > 5 / 6 else 0))
+        m.append(row)
+    return m
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC sparse projection — the standard pre-step that makes
+    100 TB-scale ANN/dedup cheaper (a 64→16 projection cuts every
+    downstream dot product 4×, and JL guarantees pairwise distances
+    survive within (1±ε)).
+
+    The Achlioptas ±1 matrix means projection is sums/differences, no
+    float multiplies; each output coordinate is one ``zip_with`` +
+    ``aggregate`` over the input array — row-local, zero shuffle,
+    whole-stage-codegen'd. The matrix is a compile-time literal from
+    the Knuth mixer, so any engine reproduces it exactly. Output:
+    (id, proj: array<double>) with the √(3/out_dim) Achlioptas scale
+    folded in; callers round their probe columns for cross-engine
+    hashing (the raw projection keeps full precision for downstream
+    dot products).
+    """
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        # same contract as cosine_pairs_lsh: dim is inferred from data,
+        # so an empty/null corpus raises loudly instead of projecting
+        # onto a guessed dimension
+        raise ValueError(
+            "random_project: cannot infer input dimension from an empty "
+            "corpus (pass a non-empty DataFrame)"
+        )
+    in_dim = len(head[0])
+    m = _achlioptas_matrix(out_dim, in_dim)
+    scale = (3.0 / out_dim) ** 0.5
+    v = F.col(vec_col).cast("array<double>")
+    coords = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(e)) for e in m[k]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * scale
+        for k in range(out_dim)
+    ]
+    return df.select(F.col(id_col), F.array(*coords).alias("proj"))

@@ -15,6 +15,7 @@ Both DuckDB-oracle-gated.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import stats
 from .queries import _t, query
@@ -91,3 +92,58 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform, inverse-CDF noise; true counts never reach the output
     schema (operators/stats.py dp_noisy_counts)."""
     return stats.dp_noisy_counts(_t(spark, sf_dir, "events"), "event_type")
+
+
+# Oracle for op-random-project: the Achlioptas matrix is inlined as
+# literals (it IS part of the query definition — deterministic Knuth-mix
+# of the (row, col) index, reproducible in any engine).
+def _rp_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
+    from .operators.similarity import _achlioptas_matrix
+
+    m = _achlioptas_matrix(out_dim, in_dim)
+    scale = (3.0 / out_dim) ** 0.5
+    def coord(k: int) -> str:
+        return (
+            "list_dot_product(v, ["
+            + ", ".join(f"{float(e)}" for e in m[k])
+            + f"]) * {scale!r}"
+        )
+
+    all_coords = ", ".join(coord(k) for k in range(out_dim))
+    return f"""
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           round({coord(0)}, 4) AS p0,
+           round({coord(out_dim - 1)}, 4) AS p{out_dim - 1},
+           round(sqrt(list_sum(list_transform([{all_coords}],
+                 x -> x * x))), 4) AS pnorm
+    FROM t
+    """
+
+
+@query("op-random-project", oracle=_rp_oracle())
+def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-random-project: Johnson–Lindenstrauss 64→16 reduction with the
+    deterministic Achlioptas ±1 sparse matrix — row-local zip_with +
+    aggregate per output coordinate, zero shuffle; cuts every downstream
+    ANN/dedup dot product 4x (operators/similarity.py random_project).
+    The hash check probes the first/last coordinate and the full
+    projection norm (arrays don't canonicalize; the norm covers every
+    coordinate)."""
+    from .operators import similarity
+
+    proj = similarity.random_project(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", out_dim=16
+    )
+    return proj.select(
+        "vec_id",
+        F.round(F.col("proj")[0], 4).alias("p0"),
+        F.round(F.col("proj")[15], 4).alias("p15"),
+        F.round(
+            F.sqrt(
+                F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x)
+            ),
+            4,
+        ).alias("pnorm"),
+    )

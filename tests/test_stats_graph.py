@@ -406,3 +406,48 @@ def test_dp_counts_noise_bounded_and_deterministic(spark):
     loose = {r["g"]: r["n_noisy"]
              for r in stats.dp_noisy_counts(df, "g", epsilon=10.0).collect()}
     assert abs(loose["a"] - 100) < abs(got["a"] - 100) + 1e-9
+
+
+def test_random_project_jl_distance_preservation(spark):
+    import math
+    import random
+
+    from etl_pipeline_api_spark.operators import similarity
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    proj = {
+        r["vec_id"]: r["proj"]
+        for r in similarity.random_project(
+            df, "vec_id", "embedding", out_dim=16
+        ).collect()
+    }
+    assert all(len(p) == 16 for p in proj.values())
+    # JL: pairwise distance ratios concentrate around 1 — check the
+    # MEAN ratio (individual pairs can deviate at k=16).
+    cast = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    ratios = []
+    ids = sorted(proj)
+    for i in range(0, 20, 2):
+        a, b = ids[i], ids[i + 1]
+        d_orig = math.dist(cast[a], cast[b])
+        d_proj = math.dist(proj[a], proj[b])
+        ratios.append(d_proj / d_orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3
+    # deterministic: same input -> same projection
+    again = {
+        r["vec_id"]: r["proj"]
+        for r in similarity.random_project(
+            df, "vec_id", "embedding", out_dim=16
+        ).collect()
+    }
+    assert again == proj
+    # empty corpus raises the documented loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.random_project(
+            df.limit(0), "vec_id", "embedding", out_dim=16
+        )
