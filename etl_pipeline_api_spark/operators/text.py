@@ -392,3 +392,129 @@ def bm25_scores(
         F.round(F.sum("__s"), 4).alias("score"),
         F.sum("__one").cast("long").alias("n_terms"),
     ).select(F.col("__id").alias(id_col), "score", "n_terms")
+
+
+_BPE_NUL = "\x00"  # fold sentinel: never a corpus symbol
+
+
+def _bpe_apply_merge(symbols: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right application of one BPE merge (a, b) -> a+b
+    over a symbol array, as a single Catalyst fold (no Python in the
+    row path). The carry holds the last unmerged symbol; a freshly
+    merged token never re-merges in the same round — standard greedy
+    BPE semantics (so 'aaa' under (a,a) gives ['aa', 'a'])."""
+    la, lb = F.lit(a), F.lit(b)
+    nul = F.lit(_BPE_NUL)
+    folded = F.aggregate(
+        symbols,
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            nul.alias("carry"),
+        ),
+        lambda st, s: F.when(
+            st["carry"] == nul,
+            F.struct(st["out"].alias("out"), s.alias("carry")),
+        )
+        .when(
+            (st["carry"] == la) & (s == lb),
+            F.struct(
+                F.concat(st["out"], F.array(F.concat(la, lb))).alias("out"),
+                nul.alias("carry"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(st["out"], F.array(st["carry"])).alias("out"),
+                s.alias("carry"),
+            )
+        ),
+        lambda st: F.when(st["carry"] == nul, st["out"]).otherwise(
+            F.concat(st["out"], F.array(st["carry"]))
+        ),
+    )
+    return folded
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Train a BPE merge table on the corpus — the full iterative loop
+    (op-bpe-pairs is one round of this; here the merges feed back).
+
+    Classic Sennrich shape, distributed:
+    1. ONE corpus pass builds the word-frequency table (the Heaps-law
+       compression — |vocab| is far smaller than the corpus, so every
+       later round iterates over the tiny vocab frame, never the
+       corpus again).
+    2. Each round: adjacent-pair counts weighted by word frequency
+       (explode + one map-combined agg), deterministic argmax
+       (count desc, then pair lexicographic) fetched to the driver —
+       one 1-row collect per round; the merge TABLE is driver state by
+       definition (it is the training output) — then the merge applied
+       vocab-wide as a row-local Catalyst fold.
+    3. ``localCheckpoint`` per round truncates the fold-over-fold
+       lineage so plan-build cost stays O(1) per round (the
+       connected-components lesson).
+
+    Returns the merge table: (rnk, left, right, merged, n) — n_merges
+    rows, deterministic. Non-SQL-expressible (iterative argmax
+    feedback): rows-only driver check; unit tests pin it against a
+    pure-Python BPE reference.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "symbols",
+            F.concat(
+                F.split(F.col("w"), ""),
+                F.array(F.lit("</w>")),
+            ),
+        )
+        .select("symbols", "n")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    vocab = words
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                        F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(
+                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        vocab = vocab.select(
+            _bpe_apply_merge(F.col("symbols"), a, b).alias("symbols"), "n"
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
+        "rnk int, left string, right string, merged string, n bigint",
+    )

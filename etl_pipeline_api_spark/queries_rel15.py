@@ -147,3 +147,16 @@ def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pnorm"),
     )
+
+
+@query("op-bpe-train")  # rows-only: iterative argmax feedback is not SQL
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-bpe-train: the FULL BPE training loop (op-bpe-pairs is one
+    round of it) — 8 merge rounds over the word-frequency table; each
+    round is one vocab-frame pair agg + deterministic argmax + a
+    row-local Catalyst merge fold, lineage checkpointed per round.
+    Unit-pinned against a pure-Python Sennrich reference
+    (operators/text.py bpe_train)."""
+    from .operators.text import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=8)

@@ -451,3 +451,78 @@ def test_random_project_jl_distance_preservation(spark):
         similarity.random_project(
             df.limit(0), "vec_id", "embedding", out_dim=16
         )
+
+
+def _python_bpe(texts, n_merges):
+    """Pure-Python Sennrich BPE reference: word-frequency table, best
+    adjacent pair per round (count desc, pair lexicographic), greedy
+    left-to-right merge."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from etl_pipeline_api_spark.operators.text import bpe_train
+
+    texts = [
+        "low lower lowest newer new news",
+        "low low lowest newest newer",
+        "the newest news is new",
+    ]
+    want = _python_bpe(texts, 6)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["left"], r["right"], r["n"])
+        for r in bpe_train(df, "text", n_merges=6).orderBy("rnk").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_train_greedy_within_round(spark):
+    from etl_pipeline_api_spark.operators.text import bpe_train
+
+    # 'aaaa' + '</w>': round 1 merges (a,a) greedily -> aa aa </w>;
+    # round 2 then merges (aa,aa). Counts: word repeated 3x.
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    out = [
+        (r["left"], r["right"], r["n"])
+        for r in bpe_train(df, "text", n_merges=2).orderBy("rnk").collect()
+    ]
+    # round 1: (a,a) adjacency count is 3 per word (9 total); greedy
+    # application yields [aa, aa, </w>]. Round 2 is a 3-3 tie between
+    # (aa, aa) and (aa, </w>) — lexicographic tie-break picks
+    # (aa, </w>) because '<' sorts before 'a'.
+    assert out[0] == ("a", "a", 9)
+    assert out[1] == ("aa", "</w>", 3)
