@@ -518,3 +518,51 @@ def bpe_train(
         [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
         "rnk int, left string, right string, merged string, n bigint",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode documents with a trained BPE merge table — the inference
+    half of :func:`bpe_train` (train once, encode the whole corpus;
+    at 100 TB the merge table is a few KB of literals baked into the
+    plan, the encode is a single row-local pass, zero shuffle).
+
+    Merges are applied in training order, each as the same greedy
+    Catalyst fold used during training, word by word (words are
+    independent under BPE, so the per-word fold chain is one nested
+    expression — for vocab-scale merge tables switch to a pandas_udf
+    with a trie, the documented fast path; the fold form keeps small
+    tables JVM-side and codegen'd).
+
+    Output per doc: (id, n_chars_tok, n_bpe_tok) — character-level vs
+    encoded token counts, the compression the tokenizer buys.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    sym = F.transform(
+        words,
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit("</w>"))),
+    )
+    n_chars = F.aggregate(
+        sym, F.lit(0), lambda acc, s: acc + F.size(s)
+    )
+    def _apply_one(a: str, b: str):
+        # closure factory, not default-arg lambdas: PySpark counts the
+        # lambda's parameters to bind higher-order-function variables,
+        # and default args would make this look like a 3-arg lambda
+        return lambda s: _bpe_apply_merge(s, a, b)
+
+    for a, b in merges:
+        sym = F.transform(sym, _apply_one(a, b))
+    n_bpe = F.aggregate(sym, F.lit(0), lambda acc, s: acc + F.size(s))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_tok"),
+        n_bpe.alias("n_bpe_tok"),
+    )

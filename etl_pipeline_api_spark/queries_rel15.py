@@ -160,3 +160,28 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bpe_train
 
     return bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=8)
+
+
+@query("op-bpe-encode")  # rows-only: consumes the trained (iterative) table
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-bpe-encode: train 8 merges, then encode the corpus with them —
+    the inference half of the tokenizer; one row-local pass, zero
+    shuffle, merge table baked into the plan as literals. Output: corpus
+    totals + the compression the merges bought
+    (operators/text.py bpe_encode)."""
+    from .operators.text import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, "text", n_merges=8).orderBy("rnk").collect()
+    ]
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars_tok").alias("char_tokens"),
+        F.sum("n_bpe_tok").alias("bpe_tokens"),
+        F.round(
+            F.sum("n_chars_tok") / F.sum("n_bpe_tok"), 4
+        ).alias("compression"),
+    )

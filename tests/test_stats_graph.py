@@ -526,3 +526,35 @@ def test_bpe_train_greedy_within_round(spark):
     # (aa, </w>) because '<' sorts before 'a'.
     assert out[0] == ("a", "a", 9)
     assert out[1] == ("aa", "</w>", 3)
+
+
+def test_bpe_encode_matches_python(spark):
+    from etl_pipeline_api_spark.operators.text import bpe_encode
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("er", "</w>")]
+
+    def enc_word(w):
+        sym = list(w) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            sym = out
+        return sym
+
+    texts = {1: "low lower", 2: "newer news", 3: "slow glow"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars_tok"], r["n_bpe_tok"])
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    for k, t in texts.items():
+        words = t.split()
+        want_chars = sum(len(w) + 1 for w in words)
+        want_bpe = sum(len(enc_word(w)) for w in words)
+        assert got[k] == (want_chars, want_bpe)
