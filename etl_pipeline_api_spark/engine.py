@@ -324,3 +324,58 @@ class Engine:
         from .operators.stats import bootstrap_mean_ci
 
         return bootstrap_mean_ci(df, id_col, value_col, **kwargs)
+
+    def psi_drift(
+        self, df: DataFrame, group_col: str, value_col: str, **kwargs
+    ) -> DataFrame:
+        from .operators.stats import psi_drift
+
+        return psi_drift(df, group_col, value_col, **kwargs)
+
+    def dp_counts(
+        self, df: DataFrame, group_col: str, epsilon: float = 1.0
+    ) -> DataFrame:
+        from .operators.stats import dp_noisy_counts
+
+        return dp_noisy_counts(df, group_col, epsilon)
+
+    def random_project(
+        self, df: DataFrame, id_col: str, vec_col: str, out_dim: int = 16
+    ) -> DataFrame:
+        from .operators.similarity import random_project
+
+        return random_project(df, id_col, vec_col, out_dim)
+
+    def bpe_train(
+        self, df: DataFrame, text_col: str, n_merges: int = 8
+    ) -> DataFrame:
+        from .operators.text import bpe_train
+
+        return bpe_train(df, text_col, n_merges)
+
+    def bpe_encode(
+        self, df: DataFrame, id_col: str, text_col: str,
+        merges: list[tuple[str, str]],
+    ) -> DataFrame:
+        from .operators.text import bpe_encode
+
+        return bpe_encode(df, id_col, text_col, merges)
+
+    def changelog_compact(self, changelog: DataFrame, **kwargs) -> DataFrame:
+        from .operators.dq import changelog_compact
+
+        return changelog_compact(changelog, **kwargs)
+
+    def dedup_payloads(
+        self, df: DataFrame, id_col: str, payload_col: str
+    ) -> DataFrame:
+        from .operators.multimodal import dedup_payloads
+
+        return dedup_payloads(df, id_col, payload_col)
+
+    def winsorize(
+        self, df: DataFrame, group_col: str, value_col: str, **kwargs
+    ) -> DataFrame:
+        from .operators.stats import winsorized_stats
+
+        return winsorized_stats(df, group_col, value_col, **kwargs)

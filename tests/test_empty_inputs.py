@@ -50,8 +50,9 @@ SUBSET = [
     "op-bootstrap-ci",
     # batch-14 ops
     "op-changelog-compact", "op-binary-dedup", "op-winsorize",
-    # batch-15 ops
-    "op-psi-drift", "op-dp-counts",
+    # batch-15 ops (op-random-project excluded: dim inference raises the
+    # documented loud error on an empty corpus, like the LSH ops)
+    "op-psi-drift", "op-dp-counts", "op-bpe-train", "op-bpe-encode",
 ]
 
 
