@@ -737,3 +737,59 @@ def dp_noisy_counts(
         F.round(F.col("__n") + noise, 4).alias("n_noisy"),
         F.lit(epsilon).alias("epsilon"),
     )
+
+
+def welch_t_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """Welch's unequal-variance t-test on a CONTINUOUS metric between
+    the deterministic user_id%2 variants — the companion to
+    :func:`ab_test` (proportions): "did the treatment move spend?",
+    not just "did it move conversion?".
+
+    One filtered scan → per-variant (n, mean, sample variance) in a
+    single map-combined agg, then the Welch statistic and its
+    Satterthwaite degrees of freedom on the 2-row frame:
+    ``t = (m₁ − m₀) / √(s₀²/n₀ + s₁²/n₁)``. NULL t (not a divide
+    error) when either side is empty/degenerate. Output one row:
+    (n_a, n_b, mean_a, mean_b, t, df).
+    """
+    m = events.where(F.col(type_col) == metric_type).select(
+        (F.col(user_col) % 2).cast("int").alias("variant"),
+        F.col(value_col).alias("v"),
+    )
+    by_v = m.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("v").alias("m"),
+        F.var_samp("v").alias("s2"),
+    )
+    wide = by_v.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("m"))).alias("m_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("m"))).alias("m_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("s2"))).alias("s2_b"),
+    )
+    se2 = F.col("s2_a") / F.col("n_a") + F.col("s2_b") / F.col("n_b")
+    df_w = (se2 * se2) / (
+        F.pow(F.col("s2_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("s2_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    ok = (
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0)
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(
+            F.when(ok, (F.col("m_b") - F.col("m_a")) / F.sqrt(se2)), 4
+        ).alias("t"),
+        F.round(F.when(ok, df_w), 2).alias("df"),
+    )

@@ -162,3 +162,44 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice",
         n_replicates=50,
     )
+
+
+@query(
+    "op-ab-welch",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant, value AS v
+      FROM events WHERE event_type = 'purchase'),
+    bv AS (
+      SELECT variant, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+      FROM m GROUP BY 1),
+    w AS (
+      SELECT sum(CASE WHEN variant = 0 THEN n END) AS n_a,
+             sum(CASE WHEN variant = 1 THEN n END) AS n_b,
+             max(CASE WHEN variant = 0 THEN m END) AS m_a,
+             max(CASE WHEN variant = 1 THEN m END) AS m_b,
+             max(CASE WHEN variant = 0 THEN s2 END) AS s2_a,
+             max(CASE WHEN variant = 1 THEN s2 END) AS s2_b
+      FROM bv)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+           round(CASE WHEN n_a > 1 AND n_b > 1
+                       AND s2_a / n_a + s2_b / n_b > 0
+                      THEN (m_b - m_a) / sqrt(s2_a / n_a + s2_b / n_b)
+                 END, 4) AS t,
+           round(CASE WHEN n_a > 1 AND n_b > 1
+                       AND s2_a / n_a + s2_b / n_b > 0
+                      THEN power(s2_a / n_a + s2_b / n_b, 2)
+                           / (power(s2_a / n_a, 2) / (n_a - 1)
+                              + power(s2_b / n_b, 2) / (n_b - 1))
+                 END, 2) AS df
+    FROM w
+    """,
+)
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-ab-welch: Welch unequal-variance t-test on purchase VALUE
+    between the deterministic user_id%2 variants — the continuous-
+    metric companion to op-ab-test's proportions z; one filtered
+    map-combined agg, Welch statistic + Satterthwaite df on the 2-row
+    frame, NULL-guarded (operators/stats.py welch_t_test)."""
+    return stats.welch_t_test(_t(spark, sf_dir, "events"))

@@ -558,3 +558,27 @@ def test_bpe_encode_matches_python(spark):
         want_chars = sum(len(w) + 1 for w in words)
         want_bpe = sum(len(enc_word(w)) for w in words)
         assert got[k] == (want_chars, want_bpe)
+
+
+def test_welch_t_closed_form_and_guard(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    # variant 0 (users 0,2): values 1,3 per user -> n=4, mean 2, s2=4/3
+    # variant 1 (users 1,3): values 5,9 per user -> n=4, mean 7, s2=16/3
+    rows, eid = [], 0
+    for u in range(4):
+        for v in ([1.0, 3.0] if u % 2 == 0 else [5.0, 9.0]):
+            rows.append((eid, T0, u, "purchase", v)); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = stats.welch_t_test(ev).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert (r["mean_a"], r["mean_b"]) == (2.0, 7.0)
+    se = math.sqrt((4 / 3) / 4 + (16 / 3) / 4)
+    assert r["t"] == pytest.approx(5.0 / se, abs=1e-3)
+    # one-sided-empty input -> NULL t, not a divide error
+    only_a = ev.filter("user_id % 2 = 0")
+    r = stats.welch_t_test(only_a).collect()[0]
+    assert r["t"] is None and r["n_b"] is None
