@@ -185,3 +185,76 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars_tok") / F.sum("n_bpe_tok"), 4
         ).alias("compression"),
     )
+
+
+@query(
+    "op-hll-intersect",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+    SELECT (SELECT count(*) FROM p) AS n_a,
+           (SELECT count(*) FROM v) AS n_b,
+           (SELECT count(*) FROM p JOIN v USING (user_id)) AS n_exact,
+           true AS within_tol
+    """,
+)
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-hll-intersect: audience-overlap estimation from PERSISTED
+    sketches via inclusion–exclusion — |A∩B| ≈ |A|+|B|−|A∪B| on HLL
+    estimates, tolerance-gated against the exact overlap. This is the
+    sketch-algebra completion of op-hll-merge (union): segment overlap
+    at 100 TB from two KB-sized sketches, no raw-data join. The
+    tolerance is wider than the union case (inclusion–exclusion
+    differences amplify relative error) — 10% of the smaller set or
+    ±10 absolute, whichever is larger."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("sk_b"),
+    ).select(
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_b")
+        ).alias("est_ab"),
+    )
+    exact = ev.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_b"),
+    )
+    exact_inter = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.where(F.col("event_type") == "view")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_ab")
+    tol = F.greatest(
+        F.lit(10.0),
+        0.10 * F.least(F.col("n_a"), F.col("n_b")),
+    )
+    return (
+        sk.crossJoin(exact)
+        .crossJoin(F.broadcast(exact_inter))
+        .select(
+            "n_a",
+            "n_b",
+            "n_exact",
+            (F.abs(est_inter - F.col("n_exact")) <= tol).alias("within_tol"),
+        )
+    )

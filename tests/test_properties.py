@@ -281,3 +281,58 @@ def test_changelog_compact_matches_replay(spark, changes):
         ).collect()
     }
     assert got == state
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(-5, 5), min_size=4, max_size=4),
+        min_size=6,
+        max_size=14,
+    ).filter(lambda vs: all(any(x != 0 for x in v) for v in vs))
+)
+def test_knn_classify_matches_bruteforce(spark, vecs):
+    """knn_classify == brute-force cosine top-k + majority vote with the
+    (votes desc, label asc) tie-break, on random small corpora."""
+    import math
+
+    from etl_pipeline_api_spark.operators import similarity
+
+    rows = [
+        (i, [float(x) for x in v], i % 3) for i, v in enumerate(vecs)
+    ]
+    corpus, queries = rows[2:], rows[:2]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    k = 3
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    want = {}
+    for qid, qv, _ in queries:
+        scored = sorted(
+            ((cos(qv, cv), cid, lab) for cid, cv, lab in corpus),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        votes: dict = {}
+        for _, _, lab in scored:
+            votes[lab] = votes.get(lab, 0) + 1
+        best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[qid] = best
+    got = {
+        r["query_id"]: (r["pred_label"], r["n_votes"])
+        for r in similarity.knn_classify(
+            df.filter("vec_id >= 2"),
+            df.filter("vec_id < 2"),
+            "vec_id",
+            "embedding",
+            "label",
+            k=k,
+        ).collect()
+    }
+    assert got == {q: (lab, n) for q, (lab, n) in want.items()}
