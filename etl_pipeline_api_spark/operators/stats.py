@@ -793,3 +793,65 @@ def welch_t_test(
         ).alias("t"),
         F.round(F.when(ok, df_w), 2).alias("df"),
     )
+
+
+def cuped_adjustment(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    metric_type: str = "purchase",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the third leg of
+    the experimentation toolkit beside :func:`ab_test` (proportions)
+    and :func:`welch_t_test` (means): use each user's PRE-period metric
+    as a control covariate so the experiment needs a fraction of the
+    traffic for the same power.
+
+    Pre/post split at the integer midpoint of the metric's time range
+    (deterministic); per user X = pre-period total, Y = post-period
+    total (one conditional-sum agg — the only fact pass); then
+    θ = cov(X,Y)/var(X) and the variance of Y_adj = Y − θ(X − X̄),
+    everything assembled from one |users|-frame agg of raw sums
+    (Σx, Σy, Σxy, Σx², Σy², n) so both engines share the arithmetic.
+    Output one row: (n_users, theta, var_y, var_yadj, reduction_pct).
+    """
+    m = events.where(F.col(type_col) == metric_type)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = m.agg(
+        ((F.min(us) + F.max(us)) / 2).cast("long").alias("mid")
+    )
+    tagged = m.crossJoin(F.broadcast(span))
+    per_user = tagged.groupBy(F.col(user_col).alias("u")).agg(
+        F.sum(
+            F.when(us < F.col("mid"), F.col(value_col)).otherwise(F.lit(0.0))
+        ).alias("x"),
+        F.sum(
+            F.when(us >= F.col("mid"), F.col(value_col)).otherwise(F.lit(0.0))
+        ).alias("y"),
+    )
+    sums = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    var_x = F.col("sxx") / n - F.pow(F.col("sx") / n, 2)
+    var_y = F.col("syy") / n - F.pow(F.col("sy") / n, 2)
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    theta = F.when(var_x > 0, cov / var_x)
+    # var(Y - θX) = var_y - cov²/var_x  (the CUPED identity)
+    var_adj = F.when(var_x > 0, var_y - cov * cov / var_x).otherwise(var_y)
+    return sums.select(
+        n.alias("n_users"),
+        F.round(theta, 4).alias("theta"),
+        F.round(var_y, 4).alias("var_y"),
+        F.round(var_adj, 4).alias("var_yadj"),
+        F.round(
+            F.when(var_y > 0, 100.0 * (1 - var_adj / var_y)), 2
+        ).alias("reduction_pct"),
+    )

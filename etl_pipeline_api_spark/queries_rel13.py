@@ -203,3 +203,46 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined agg, Welch statistic + Satterthwaite df on the 2-row
     frame, NULL-guarded (operators/stats.py welch_t_test)."""
     return stats.welch_t_test(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "op-cuped",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events
+      WHERE event_type = 'purchase'),
+    sp AS (SELECT (min(us) + max(us)) // 2 AS mid FROM m),
+    pu AS (
+      SELECT user_id,
+             sum(CASE WHEN us < mid THEN value ELSE 0.0 END) AS x,
+             sum(CASE WHEN us >= mid THEN value ELSE 0.0 END) AS y
+      FROM m, sp GROUP BY 1),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pu),
+    d AS (
+      SELECT n,
+             sxx / n - (sx / n) * (sx / n) AS var_x,
+             syy / n - (sy / n) * (sy / n) AS var_y,
+             sxy / n - (sx / n) * (sy / n) AS cov
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(CASE WHEN var_x > 0 THEN cov / var_x END, 4) AS theta,
+           round(var_y, 4) AS var_y,
+           round(CASE WHEN var_x > 0 THEN var_y - cov * cov / var_x
+                      ELSE var_y END, 4) AS var_yadj,
+           round(CASE WHEN var_y > 0
+                      THEN 100.0 * (1 - (CASE WHEN var_x > 0
+                                    THEN var_y - cov * cov / var_x
+                                    ELSE var_y END) / var_y) END, 2)
+             AS reduction_pct
+    FROM d
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-cuped: CUPED variance reduction for purchase value — pre-period
+    spend as the control covariate, theta = cov/var from one
+    |users|-frame agg of raw sums; var(Y-thetaX) = var_y - cov^2/var_x
+    (operators/stats.py cuped_adjustment)."""
+    return stats.cuped_adjustment(_t(spark, sf_dir, "events"))

@@ -47,7 +47,7 @@ SUBSET = [
     "op-interval-overlap", "op-peak-concurrency",
     # batch-13 stats ops
     "op-grouped-trend", "op-seasonality", "op-k-anonymity",
-    "op-bootstrap-ci", "op-ab-welch",
+    "op-bootstrap-ci", "op-ab-welch", "op-cuped",
     # batch-14 ops
     "op-changelog-compact", "op-binary-dedup", "op-winsorize",
     # batch-15 ops (op-random-project excluded: dim inference raises the

@@ -582,3 +582,40 @@ def test_welch_t_closed_form_and_guard(spark):
     only_a = ev.filter("user_id % 2 = 0")
     r = stats.welch_t_test(only_a).collect()[0]
     assert r["t"] is None and r["n_b"] is None
+
+
+def test_cuped_perfect_and_zero_correlation(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    # Y perfectly predicted by X (post = 2x pre): variance reduction ~100%.
+    rows, eid = [], 0
+    for u in range(20):
+        pre = float(1 + u)
+        rows.append((eid, T0, u, "purchase", pre)); eid += 1
+        rows.append(
+            (eid, T0 + dt.timedelta(hours=10), u, "purchase", 2 * pre)
+        ); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = stats.cuped_adjustment(ev).collect()[0]
+    assert r["n_users"] == 20
+    assert r["theta"] == pytest.approx(2.0)
+    assert r["reduction_pct"] == pytest.approx(100.0)
+    # Constant pre-period (var_x = 0): theta NULL, no divide error,
+    # var unchanged.
+    rows2 = []
+    eid = 0
+    for u in range(10):
+        rows2.append((eid, T0, u, "purchase", 5.0)); eid += 1
+        rows2.append(
+            (eid, T0 + dt.timedelta(hours=10), u, "purchase", float(u))
+        ); eid += 1
+    ev2 = spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = stats.cuped_adjustment(ev2).collect()[0]
+    assert r["theta"] is None
+    assert r["var_yadj"] == r["var_y"]
