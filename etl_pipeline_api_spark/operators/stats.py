@@ -855,3 +855,53 @@ def cuped_adjustment(
             F.when(var_y > 0, 100.0 * (1 - var_adj / var_y)), 2
         ).alias("reduction_pct"),
     )
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a labeled prediction
+    frame — the evaluation harness for any classifier op in the engine
+    (langid vs the corpus's true lang, the hashed quality classifier
+    vs curation labels, k-NN vs held-out labels).
+
+    One map-combined confusion groupBy is the only pass over the data;
+    per-class totals are window sums over the |classes|² confusion
+    frame. Classes are the TRUE labels (a prediction never seen as a
+    truth contributes to false-positive counts, not its own row).
+    Guards: precision/F1 NULL when the class is never predicted.
+    Output per class: (label, n_true, n_pred, tp, precision, recall, f1).
+    """
+    conf = df.groupBy(
+        F.col(label_col).alias("y"), F.col(pred_col).alias("p")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # predicted totals live on a separate tiny frame: a class predicted
+    # ONLY for other true classes has no (y, y) cell, so a window over
+    # the y-grouped rows could never see its prediction count
+    pred_totals = conf.groupBy(F.col("p").alias("label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    per_class = conf.groupBy(F.col("y").alias("label")).agg(
+        F.sum("n").alias("n_true"),
+        F.coalesce(
+            F.sum(F.when(F.col("p") == F.col("y"), F.col("n"))), F.lit(0)
+        ).alias("tp"),
+    )
+    joined = per_class.join(F.broadcast(pred_totals), "label", "left")
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.col("tp") / F.col("n_true")
+    return joined.select(
+        "label",
+        "n_true",
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        "tp",
+        F.round(prec, 4).alias("precision"),
+        F.round(rec, 4).alias("recall"),
+        F.round(
+            F.when(
+                prec.isNotNull() & (prec + rec > 0),
+                2 * prec * rec / (prec + rec),
+            ),
+            4,
+        ).alias("f1"),
+    )

@@ -258,3 +258,66 @@ def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(est_inter - F.col("n_exact")) <= tol).alias("within_tol"),
         )
     )
+
+
+@query(
+    "op-langid-eval",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\s+') AS tokens,
+             greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1) AS n
+      FROM documents),
+    rates AS (
+      SELECT doc_id, lang,
+        len(list_filter(tokens, t -> list_contains(['the','and','of'], t))) * 1.0 / n AS r_en,
+        len(list_filter(tokens, t -> list_contains(['el','la','los','de'], t))) * 1.0 / n AS r_es,
+        len(list_filter(tokens, t -> list_contains(['le','les','des','une'], t))) * 1.0 / n AS r_fr,
+        len(list_filter(tokens, t -> list_contains(['der','die','und','das'], t))) * 1.0 / n AS r_de,
+        len(list_filter(tokens, t -> list_contains(['的','是','了'], t))) * 1.0 / n AS r_zh
+      FROM tok),
+    pred AS (
+      SELECT lang AS y,
+             CASE WHEN greatest(r_en, r_es, r_fr, r_de, r_zh) = 0 THEN 'unknown'
+                  WHEN r_en = greatest(r_en, r_es, r_fr, r_de, r_zh) THEN 'en'
+                  WHEN r_es = greatest(r_en, r_es, r_fr, r_de, r_zh) THEN 'es'
+                  WHEN r_fr = greatest(r_en, r_es, r_fr, r_de, r_zh) THEN 'fr'
+                  WHEN r_de = greatest(r_en, r_es, r_fr, r_de, r_zh) THEN 'de'
+                  ELSE 'zh' END AS p
+      FROM rates),
+    conf AS (SELECT y, p, count(*) AS n FROM pred GROUP BY 1, 2),
+    pt AS (SELECT p AS label, sum(n) AS n_pred FROM conf GROUP BY 1),
+    pc AS (
+      SELECT y AS label, sum(n) AS n_true,
+             coalesce(sum(CASE WHEN p = y THEN n END), 0) AS tp
+      FROM conf GROUP BY 1),
+    j AS (SELECT pc.*, pt.n_pred FROM pc LEFT JOIN pt USING (label))
+    SELECT label, CAST(n_true AS BIGINT) AS n_true,
+           CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred END, 4)
+             AS precision,
+           round(tp * 1.0 / n_true, 4) AS recall,
+           round(CASE WHEN n_pred > 0
+                       AND tp * 1.0 / n_pred + tp * 1.0 / n_true > 0
+                      THEN 2 * (tp * 1.0 / n_pred) * (tp * 1.0 / n_true)
+                           / (tp * 1.0 / n_pred + tp * 1.0 / n_true)
+                 END, 4) AS f1
+    FROM j
+    """,
+)
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-langid-eval: per-class precision/recall/F1 of the langid
+    heuristic against the corpus's TRUE lang column — the generic
+    classification_report harness (one confusion groupBy + tiny joined
+    totals) applied to a real labeled prediction
+    (operators/stats.py classification_report; predictor:
+    operators/text.py langid)."""
+    from .operators import text
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = text.langid(docs, "doc_id", "text").select(
+        "doc_id", "lang_guess"
+    )
+    labeled = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return stats.classification_report(labeled, "lang", "lang_guess")

@@ -53,7 +53,7 @@ SUBSET = [
     # batch-15 ops (op-random-project excluded: dim inference raises the
     # documented loud error on an empty corpus, like the LSH ops)
     "op-psi-drift", "op-dp-counts", "op-bpe-train", "op-bpe-encode",
-    "op-hll-intersect",
+    "op-hll-intersect", "op-langid-eval",
 ]
 
 

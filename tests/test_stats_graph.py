@@ -619,3 +619,25 @@ def test_cuped_perfect_and_zero_correlation(spark):
     r = stats.cuped_adjustment(ev2).collect()[0]
     assert r["theta"] is None
     assert r["var_yadj"] == r["var_y"]
+
+
+def test_classification_report_hand_confusion(spark):
+    from etl_pipeline_api_spark.operators import stats
+
+    # true a: 3 (2 pred a, 1 pred b); true b: 2 (both pred b);
+    # true c: 1 (pred b) — c never predicted -> precision/f1 NULL.
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+         ("c", "b")],
+        "y string, p string",
+    )
+    out = {r["label"]: r for r in
+           stats.classification_report(df, "y", "p").collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["n_true"], a["n_pred"], a["tp"]) == (3, 2, 2)
+    assert a["precision"] == 1.0 and a["recall"] == pytest.approx(0.6667)
+    # b predicted 4 times (2 tp + 1 from a + 1 from c)
+    assert (b["n_true"], b["n_pred"], b["tp"]) == (2, 4, 2)
+    assert b["precision"] == 0.5 and b["recall"] == 1.0
+    assert (c["n_true"], c["n_pred"], c["tp"]) == (1, 0, 0)
+    assert c["precision"] is None and c["f1"] is None and c["recall"] == 0.0
