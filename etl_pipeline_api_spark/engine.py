@@ -379,3 +379,20 @@ class Engine:
         from .operators.stats import winsorized_stats
 
         return winsorized_stats(df, group_col, value_col, **kwargs)
+
+    def welch_t_test(self, events: DataFrame, **kwargs) -> DataFrame:
+        from .operators.stats import welch_t_test
+
+        return welch_t_test(events, **kwargs)
+
+    def cuped(self, events: DataFrame, **kwargs) -> DataFrame:
+        from .operators.stats import cuped_adjustment
+
+        return cuped_adjustment(events, **kwargs)
+
+    def classification_report(
+        self, df: DataFrame, label_col: str, pred_col: str
+    ) -> DataFrame:
+        from .operators.stats import classification_report
+
+        return classification_report(df, label_col, pred_col)
