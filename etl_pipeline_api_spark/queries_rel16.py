@@ -1,0 +1,86 @@
+"""Relational batch 16 — versioned-table mechanics (SURVEY.md §2.9).
+
+The reference overwrites its medallion parquet layers in place
+(/root/reference/proj-eng-dados/main.py:152-157, 259-264, 314-319):
+no isolation from concurrent readers, no history. These queries drive
+sources/versioned_table.py — a miniature manifest-based table format
+(atomic rename commits, append = manifest union, time travel,
+rollback) — through the incremental-load story the reference runs
+every month.
+
+- op-table-versioned: commit half the orders, APPEND the other half,
+  read latest — must equal the plain full table (append never rewrote
+  the first half; the oracle is the full-table projection).
+- op-time-travel-diff: diff version 1 → latest with dq.table_diff's
+  CDC summary — exactly the second half appears as `added`.
+
+Both DuckDB-oracle-gated: the halves split on ``o_orderkey % 2``, so
+the oracle reproduces each version's content with plain SQL.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, query
+from .sources.versioned_table import VersionedTable
+
+
+def _two_version_table(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    vt = VersionedTable(tempfile.mkdtemp(prefix="vtable_"))
+    vt.commit(orders.where(F.col("o_orderkey") % 2 == 0), mode="overwrite")
+    vt.commit(orders.where(F.col("o_orderkey") % 2 == 1), mode="append")
+    return vt
+
+
+@query(
+    "op-table-versioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def q_table_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-table-versioned: overwrite-commit the even-key orders, then
+    APPEND the odd-key half (manifest union — the first half's files
+    are not rewritten); the latest read must equal the plain full
+    table (sources/versioned_table.py)."""
+    return _two_version_table(spark, sf_dir).read(spark)
+
+
+@query(
+    "op-time-travel-diff",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS added,
+           CAST(0 AS BIGINT) AS removed,
+           CAST(0 AS BIGINT) AS changed,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS unchanged
+    FROM orders
+    """,
+)
+def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-time-travel-diff: time-travel read of version 1 diffed against
+    the latest via dq.table_diff — the append half shows as `added`,
+    nothing removed or changed; the audit query a versioned table
+    exists to answer (sources/versioned_table.py read(version=...))."""
+    from .operators.dq import table_diff
+
+    vt = _two_version_table(spark, sf_dir)
+    old = vt.read(spark, version=1)
+    new = vt.read(spark)
+    d = table_diff(old, new, ["o_orderkey"], ["o_custkey", "o_totalprice"])
+    return d.groupBy().agg(
+        F.sum((F.col("status") == "added").cast("bigint")).alias("added"),
+        F.sum((F.col("status") == "removed").cast("bigint")).alias("removed"),
+        F.sum((F.col("status") == "changed").cast("bigint")).alias("changed"),
+        F.sum((F.col("status") == "unchanged").cast("bigint")).alias(
+            "unchanged"
+        ),
+    )

@@ -1,0 +1,139 @@
+"""Miniature manifest-based table format: versioned commits, snapshot
+isolation, time travel, and rollback over plain parquet — the lakehouse
+mechanics (Iceberg/Delta's core ideas) in ~100 lines, built only on an
+atomic rename.
+
+Why it exists here: the reference's medallion layers
+(/root/reference/proj-eng-dados/main.py:104-319) overwrite parquet
+directories in place — a reader racing a writer sees a half-written
+table, and yesterday's state is gone. At 100 TB both are disqualifying.
+The fix is the standard one:
+
+- **Data is immutable.** Every commit writes a NEW data directory
+  (``d<N>/``); nothing is ever modified in place.
+- **A commit is one atomic rename.** The table state is the highest
+  ``_commits/<N>.json``; the file is staged with a temp name and
+  ``os.rename``d into place (atomic on POSIX), so readers see either
+  the old version or the new one, never a torn state. A crashed writer
+  leaves an orphan data dir that no commit references — invisible.
+- **Appends are manifest unions, not rewrites.** A commit's manifest
+  lists the data dirs that compose the version; append = previous
+  manifest + one new dir. Reading version N is
+  ``spark.read.parquet(*manifest)`` — Spark's multi-path reader plans
+  one scan over all listed dirs, so a year of daily appends is one
+  commit file of paths, zero data movement.
+- **Time travel / rollback are manifest operations.** ``read(v)``
+  resolves any committed manifest; ``rollback(v)`` writes a NEW commit
+  whose manifest equals version v's — history is never destroyed
+  (an audit can still read the rolled-back state).
+
+Scale notes: the commit log is O(versions) tiny JSON files and the
+manifest O(dirs) paths — driver-side metadata, exactly like a real
+table format's metadata layer; the data path stays fully distributed.
+Compaction = read latest + one overwrite commit (op-compact-files'
+sizing applies).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    """A parquet table with an atomic commit log.
+
+    Layout::
+
+        <root>/d1/, d2/, ...          immutable data directories
+        <root>/_commits/1.json, ...   {"version": N, "manifest": [dirs],
+                                       "mode": "overwrite|append|rollback"}
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+
+    # ---- commit log -------------------------------------------------
+
+    def versions(self) -> list[int]:
+        cdir = os.path.join(self.root, "_commits")
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(cdir)
+            if f.endswith(".json")
+        )
+
+    def _commit_meta(self, version: int) -> dict:
+        with open(
+            os.path.join(self.root, "_commits", f"{version}.json")
+        ) as f:
+            return json.load(f)
+
+    def _write_commit(self, meta: dict) -> int:
+        """Stage the commit json and atomically rename it into place."""
+        cdir = os.path.join(self.root, "_commits")
+        version = meta["version"]
+        fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.rename(tmp, os.path.join(cdir, f"{version}.json"))
+        return version
+
+    def _next_version(self) -> int:
+        vs = self.versions()
+        return (vs[-1] + 1) if vs else 1
+
+    # ---- writes -----------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """Write a new version. ``overwrite``: manifest = the new dir
+        only. ``append``: manifest = previous manifest + the new dir
+        (no rewrite of existing data)."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        version = self._next_version()
+        data_dir = f"d{version}"
+        df.write.parquet(os.path.join(self.root, data_dir))
+        manifest = [data_dir]
+        if mode == "append" and version > 1:
+            manifest = self._commit_meta(version - 1)["manifest"] + manifest
+        self._write_commit(
+            {"version": version, "manifest": manifest, "mode": mode}
+        )
+        return version
+
+    def rollback(self, to_version: int) -> int:
+        """New commit whose manifest equals an earlier version's —
+        history stays readable; nothing is deleted."""
+        if to_version not in self.versions():
+            raise ValueError(f"version {to_version} was never committed")
+        version = self._next_version()
+        self._write_commit(
+            {
+                "version": version,
+                "manifest": self._commit_meta(to_version)["manifest"],
+                "mode": "rollback",
+            }
+        )
+        return version
+
+    # ---- reads ------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Latest committed version, or time-travel to ``version``.
+        Only COMMITTED data dirs are visible: an orphan dir from a
+        crashed writer is never listed in any manifest."""
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"{self.root}: no committed versions")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise ValueError(f"version {v} was never committed")
+        manifest = self._commit_meta(v)["manifest"]
+        return spark.read.parquet(
+            *[os.path.join(self.root, d) for d in manifest]
+        )

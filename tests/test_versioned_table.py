@@ -1,0 +1,78 @@
+"""Unit tests for sources/versioned_table.py — the commit-log
+invariants: snapshot isolation (orphan data invisible), append as
+manifest union, time travel, non-destructive rollback."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_pipeline_api_spark.sources.versioned_table import VersionedTable
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, i * 10.0) for i in ids], "id long, v double")
+
+
+def test_commit_append_time_travel_rollback(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    v1 = vt.commit(_df(spark, [1, 2]), mode="overwrite")
+    v2 = vt.commit(_df(spark, [3]), mode="append")
+    assert (v1, v2) == (1, 2)
+    assert {r.id for r in vt.read(spark).collect()} == {1, 2, 3}
+    # time travel: version 1 is still exactly the first commit
+    assert {r.id for r in vt.read(spark, version=1).collect()} == {1, 2}
+    # overwrite starts a fresh manifest
+    vt.commit(_df(spark, [9]), mode="overwrite")
+    assert {r.id for r in vt.read(spark).collect()} == {9}
+    # rollback: new version with v2's manifest; nothing destroyed
+    v4 = vt.rollback(2)
+    assert v4 == 4
+    assert {r.id for r in vt.read(spark).collect()} == {1, 2, 3}
+    assert {r.id for r in vt.read(spark, version=3).collect()} == {9}
+    assert vt.versions() == [1, 2, 3, 4]
+
+
+def test_orphan_data_dir_is_invisible(spark, tmp_path):
+    """A crashed writer = data dir with no commit marker. Readers must
+    never see it — the atomic-rename commit is the visibility point."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.commit(_df(spark, [1]), mode="overwrite")
+    # simulate a crash: data written, commit marker never landed
+    _df(spark, [777]).write.parquet(str(tmp_path / "t" / "d99"))
+    assert {r.id for r in vt.read(spark).collect()} == {1}
+    # and the next commit does not resurrect it
+    vt.commit(_df(spark, [2]), mode="append")
+    assert {r.id for r in vt.read(spark).collect()} == {1, 2}
+
+
+def test_invalid_operations_raise(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no committed versions"):
+        vt.read(spark)
+    vt.commit(_df(spark, [1]))
+    with pytest.raises(ValueError, match="never committed"):
+        vt.read(spark, version=5)
+    with pytest.raises(ValueError, match="never committed"):
+        vt.rollback(7)
+    with pytest.raises(ValueError, match="unknown commit mode"):
+        vt.commit(_df(spark, [2]), mode="merge")
+
+
+def test_append_does_not_rewrite_existing_files(spark, tmp_path):
+    """Append must be a manifest union: the first version's files are
+    byte-identical afterwards (mtime+size unchanged)."""
+    root = str(tmp_path / "t")
+    vt = VersionedTable(root)
+    vt.commit(_df(spark, list(range(50))), mode="overwrite")
+    before = {
+        f: os.path.getmtime(os.path.join(root, "d1", f))
+        for f in os.listdir(os.path.join(root, "d1"))
+    }
+    vt.commit(_df(spark, [100]), mode="append")
+    after = {
+        f: os.path.getmtime(os.path.join(root, "d1", f))
+        for f in os.listdir(os.path.join(root, "d1"))
+    }
+    assert before == after
