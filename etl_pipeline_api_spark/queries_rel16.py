@@ -84,3 +84,52 @@ def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unchanged"
         ),
     )
+
+
+@query(
+    "op-stream-versioned-sink",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value FROM events
+    """,
+)
+def q_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-versioned-sink: the events stream landed into the
+    versioned table EXACTLY-ONCE — events split into 8 files, each
+    micro-batch commit_keyed(batch_id) appends one manifest entry
+    (a replay would REPLACE its own attempt, not double-append; the
+    interleaving is unit-pinned in tests/test_versioned_table.py).
+    The final table read must equal the full static table
+    (sources/versioned_table.py KeyedVersionedTable)."""
+    from .streaming import events as sev
+    from .sources.versioned_table import KeyedVersionedTable
+
+    src = tempfile.mkdtemp(prefix="vsink_src_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    vt = KeyedVersionedTable(tempfile.mkdtemp(prefix="vsink_"))
+
+    def land(df: DataFrame, batch_id: int) -> None:
+        vt.commit_keyed(df, key=batch_id)
+
+    import os as _os
+    import uuid as _uuid
+
+    ckpt = _os.path.join(
+        tempfile.gettempdir(), f"ckpt_vsink_{_uuid.uuid4().hex[:10]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return vt.read(spark)

@@ -137,3 +137,65 @@ class VersionedTable:
         return spark.read.parquet(
             *[os.path.join(self.root, d) for d in manifest]
         )
+
+
+class KeyedVersionedTable(VersionedTable):
+    """VersionedTable + idempotent keyed commits — the exactly-once
+    STREAMING sink contract: ``commit_keyed(df, key=batch_id)`` lands a
+    batch so that a replayed batch (failure before the checkpoint
+    advanced) REPLACES its own previous attempt instead of appending
+    twice.
+
+    Replay safety without torn reads: every attempt writes a FRESH data
+    directory (``k<key>_a<attempt>``); the commit json — the only
+    visibility point — is atomically renamed over the previous
+    attempt's, so a reader resolves either the old attempt's dir or the
+    new one, never a half-rewritten directory.
+
+    Scope guard: Structured Streaming replays only the LATEST
+    unacknowledged batch (single sequential writer), so a keyed commit
+    must target a new key or the most recent one; rewriting an interior
+    version would desynchronize later manifests that already embed its
+    dirs, and is rejected loudly.
+    """
+
+    def commit_keyed(self, df: DataFrame, key: int) -> int:
+        metas = [self._commit_meta(v) for v in self.versions()]
+        keyed = {m.get("key"): m for m in metas if "key" in m}
+        if key in keyed:
+            meta = keyed[key]
+            if meta["version"] != (self.versions() or [None])[-1]:
+                raise ValueError(
+                    f"keyed commit {key} is not the latest version; "
+                    "interior replays are not supported (streaming "
+                    "replays only the last batch)"
+                )
+            attempt = meta.get("attempt", 1) + 1
+            version = meta["version"]
+            base = meta["base_manifest"]
+        else:
+            if keyed and key < max(keyed):
+                raise ValueError(
+                    f"keyed commits must be monotonic: got {key} after "
+                    f"{max(keyed)}"
+                )
+            attempt = 1
+            version = self._next_version()
+            base = (
+                self._commit_meta(version - 1)["manifest"]
+                if version > 1
+                else []
+            )
+        data_dir = f"k{key}_a{attempt}"
+        df.write.parquet(os.path.join(self.root, data_dir))
+        self._write_commit(
+            {
+                "version": version,
+                "manifest": base + [data_dir],
+                "mode": "append",
+                "key": key,
+                "attempt": attempt,
+                "base_manifest": base,
+            }
+        )
+        return version

@@ -76,3 +76,27 @@ def test_append_does_not_rewrite_existing_files(spark, tmp_path):
         for f in os.listdir(os.path.join(root, "d1"))
     }
     assert before == after
+
+
+def test_keyed_commit_replay_replaces_not_duplicates(spark, tmp_path):
+    from etl_pipeline_api_spark.sources.versioned_table import (
+        KeyedVersionedTable,
+    )
+
+    vt = KeyedVersionedTable(str(tmp_path / "t"))
+    vt.commit_keyed(_df(spark, [1, 2]), key=0)
+    vt.commit_keyed(_df(spark, [3]), key=1)
+    # replay of the LATEST batch (failure before checkpoint advanced):
+    # same key, possibly different content — must REPLACE, not append
+    vt.commit_keyed(_df(spark, [3, 4]), key=1)
+    assert {r.id for r in vt.read(spark).collect()} == {1, 2, 3, 4}
+    assert vt.versions() == [1, 2]  # replay reused version 2
+    # interior replay is rejected (streaming never does this)
+    vt.commit_keyed(_df(spark, [5]), key=2)
+    with pytest.raises(ValueError, match="interior"):
+        vt.commit_keyed(_df(spark, [9]), key=1)
+    # non-monotonic new keys are rejected
+    with pytest.raises(ValueError, match="monotonic"):
+        vt.commit_keyed(_df(spark, [9]), key=-5)
+    # time travel still works across keyed commits
+    assert {r.id for r in vt.read(spark, version=1).collect()} == {1, 2}
