@@ -199,3 +199,33 @@ class KeyedVersionedTable(VersionedTable):
             }
         )
         return version
+
+
+def vacuum(table: VersionedTable, retain_last: int = 2) -> list[str]:
+    """Physically delete data directories no RETAINED version references
+    — the only destructive operation in the format, and the reason
+    rollback/time-travel have a horizon.
+
+    Keeps every dir referenced by the manifests of the last
+    ``retain_last`` versions; removes the rest AND any orphan dir from
+    a crashed writer (never referenced by any commit). Commit jsons for
+    expired versions are kept as tombstone history but reading them
+    raises once their data is gone — matching real table formats'
+    "time travel limited by retention" contract. Returns the deleted
+    dir names (driver-side metadata op; data deletion is per-dir)."""
+    import shutil
+
+    vs = table.versions()
+    retained = vs[-retain_last:] if retain_last > 0 else []
+    keep: set[str] = set()
+    for v in retained:
+        keep.update(table._commit_meta(v)["manifest"])
+    deleted = []
+    for entry in os.listdir(table.root):
+        p = os.path.join(table.root, entry)
+        if entry == "_commits" or not os.path.isdir(p):
+            continue
+        if entry not in keep:
+            shutil.rmtree(p)
+            deleted.append(entry)
+    return sorted(deleted)

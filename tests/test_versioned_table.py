@@ -100,3 +100,28 @@ def test_keyed_commit_replay_replaces_not_duplicates(spark, tmp_path):
         vt.commit_keyed(_df(spark, [9]), key=-5)
     # time travel still works across keyed commits
     assert {r.id for r in vt.read(spark, version=1).collect()} == {1, 2}
+
+
+def test_vacuum_retains_referenced_dirs_only(spark, tmp_path):
+    from etl_pipeline_api_spark.sources.versioned_table import (
+        VersionedTable,
+        vacuum,
+    )
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.commit(_df(spark, [1]), mode="overwrite")       # v1 -> d1
+    vt.commit(_df(spark, [2]), mode="append")          # v2 -> d1, d2
+    vt.commit(_df(spark, [9]), mode="overwrite")       # v3 -> d3
+    vt.commit(_df(spark, [10]), mode="append")         # v4 -> d3, d4
+    # orphan from a crashed writer
+    _df(spark, [777]).write.parquet(str(tmp_path / "t" / "d99"))
+    deleted = vacuum(vt, retain_last=2)
+    # v3/v4 reference d3, d4; d1, d2 and the orphan go
+    assert deleted == ["d1", "d2", "d99"]
+    assert {r.id for r in vt.read(spark).collect()} == {9, 10}
+    assert {r.id for r in vt.read(spark, version=3).collect()} == {9}
+    # expired time travel now fails at read (data gone, tombstone kept)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        vt.read(spark, version=1).collect()
