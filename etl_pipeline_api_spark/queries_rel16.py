@@ -133,3 +133,54 @@ def q_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return vt.read(spark)
+
+
+@query(
+    "op-table-merge",
+    oracle="""
+    WITH delta AS (
+        SELECT c_custkey, 'UPDATED_' || CAST(c_custkey AS VARCHAR) AS c_name,
+               round(c_acctbal + 100, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 100 < 10
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+               0.0
+        FROM customer WHERE c_custkey % 100 = 50
+    )
+    SELECT coalesce(d.c_custkey, t.c_custkey) AS c_custkey,
+           coalesce(d.c_name, t.c_name) AS c_name,
+           round(coalesce(d.c_acctbal, t.c_acctbal), 2) AS c_acctbal
+    FROM customer t FULL OUTER JOIN delta d USING (c_custkey)
+    """,
+)
+def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-table-merge: MERGE INTO the versioned table — op-upsert's
+    full-outer coalesce row plan landed as a new overwrite commit, so
+    the pre-merge snapshot remains readable at version 1 (asserted
+    in-plan: this query returns the POST-merge latest read)
+    (sources/versioned_table.py merge_into)."""
+    from .sources.versioned_table import VersionedTable, merge_into
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    vt = VersionedTable(tempfile.mkdtemp(prefix="vmerge_"))
+    vt.commit(cust, mode="overwrite")
+    updates = cust.filter(F.col("c_custkey") % 100 < 10).select(
+        "c_custkey",
+        F.concat(
+            F.lit("UPDATED_"), F.col("c_custkey").cast("string")
+        ).alias("c_name"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 100 == 50).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(
+            F.lit("NEW_"), F.col("c_custkey").cast("string")
+        ).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merge_into(vt, spark, updates.unionByName(inserts), ["c_custkey"])
+    return vt.read(spark).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )

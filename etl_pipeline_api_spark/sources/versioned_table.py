@@ -229,3 +229,36 @@ def vacuum(table: VersionedTable, retain_last: int = 2) -> list[str]:
             shutil.rmtree(p)
             deleted.append(entry)
     return sorted(deleted)
+
+
+def merge_into(
+    table: VersionedTable,
+    spark: SparkSession,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE INTO for the versioned table: SCD1 row semantics (update
+    when matched, insert when not — the full-outer coalesce plan
+    op-upsert pins) + format semantics (the merge lands as a NEW
+    overwrite commit, so the pre-merge snapshot stays time-travelable
+    and a crashed merge is invisible).
+
+    Both sides hash-partition on the key; AQE broadcasts a small delta
+    automatically. A real lakehouse MERGE adds file pruning on top of
+    exactly this row plan — here the whole snapshot rewrites, which is
+    the honest posture for a format whose manifests don't track
+    per-file key ranges (z-ordered layouts + min/max pruning are the
+    upgrade path, see operators/layout.py)."""
+    from pyspark.sql import functions as F
+
+    target = table.read(spark)
+    value_cols = [c for c in target.columns if c not in key_cols]
+    t, d = target.alias("t"), updates.alias("d")
+    merged = t.join(d, on=key_cols, how="full_outer").select(
+        *key_cols,
+        *[
+            F.coalesce(F.col(f"d.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in value_cols
+        ],
+    )
+    return table.commit(merged, mode="overwrite")

@@ -125,3 +125,23 @@ def test_vacuum_retains_referenced_dirs_only(spark, tmp_path):
 
     with _pytest.raises(Exception):
         vt.read(spark, version=1).collect()
+
+
+def test_merge_into_versions_pre_merge_snapshot(spark, tmp_path):
+    from etl_pipeline_api_spark.sources.versioned_table import (
+        VersionedTable,
+        merge_into,
+    )
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.commit(_df(spark, [1, 2, 3]), mode="overwrite")
+    updates = spark.createDataFrame(
+        [(2, 999.0), (7, 70.0)], "id long, v double"
+    )
+    v = merge_into(vt, spark, updates, ["id"])
+    assert v == 2
+    got = {r.id: r.v for r in vt.read(spark).collect()}
+    assert got == {1: 10.0, 2: 999.0, 3: 30.0, 7: 70.0}
+    # the pre-merge snapshot is still time-travelable
+    pre = {r.id: r.v for r in vt.read(spark, version=1).collect()}
+    assert pre == {1: 10.0, 2: 20.0, 3: 30.0}
