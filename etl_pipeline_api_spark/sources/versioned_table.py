@@ -89,20 +89,57 @@ class VersionedTable:
 
     # ---- writes -----------------------------------------------------
 
+    @staticmethod
+    def _merge_schema(base_json: str | None, df: DataFrame) -> str:
+        """Commit-time schema tracking: append may ADD columns (old
+        files read them as null — parquet's missing-column contract)
+        but may not change an existing column's type; conflicts fail
+        the commit, not some later read."""
+        from pyspark.sql.types import StructType
+
+        new = df.schema
+        if base_json is None:
+            return new.json()
+        base = StructType.fromJson(json.loads(base_json))
+        by_name = {f.name: f for f in base.fields}
+        out = list(base.fields)
+        for f in new.fields:
+            old = by_name.get(f.name)
+            if old is None:
+                out.append(f)
+            elif old.dataType != f.dataType:
+                raise ValueError(
+                    f"schema conflict on column {f.name!r}: "
+                    f"{old.dataType.simpleString()} vs "
+                    f"{f.dataType.simpleString()}"
+                )
+        return StructType(out).json()
+
     def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
         """Write a new version. ``overwrite``: manifest = the new dir
         only. ``append``: manifest = previous manifest + the new dir
-        (no rewrite of existing data)."""
+        (no rewrite of existing data). The commit records the version's
+        READ schema, so empty tables stay readable and appends may add
+        columns (schema evolution) without a type conflict ever
+        reaching a reader."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unknown commit mode {mode!r}")
         version = self._next_version()
         data_dir = f"d{version}"
-        df.write.parquet(os.path.join(self.root, data_dir))
         manifest = [data_dir]
+        schema = df.schema.json()
         if mode == "append" and version > 1:
-            manifest = self._commit_meta(version - 1)["manifest"] + manifest
+            prev = self._commit_meta(version - 1)
+            manifest = prev["manifest"] + manifest
+            schema = self._merge_schema(prev.get("schema"), df)
+        df.write.parquet(os.path.join(self.root, data_dir))
         self._write_commit(
-            {"version": version, "manifest": manifest, "mode": mode}
+            {
+                "version": version,
+                "manifest": manifest,
+                "mode": mode,
+                "schema": schema,
+            }
         )
         return version
 
@@ -133,9 +170,19 @@ class VersionedTable:
         v = vs[-1] if version is None else version
         if v not in vs:
             raise ValueError(f"version {v} was never committed")
-        manifest = self._commit_meta(v)["manifest"]
-        return spark.read.parquet(
-            *[os.path.join(self.root, d) for d in manifest]
+        meta = self._commit_meta(v)
+        reader = spark.read
+        if meta.get("schema"):
+            # the commit's recorded schema: empty versions read with the
+            # right columns, and files predating an added column fill it
+            # with nulls (parquet's missing-column contract)
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(meta["schema"]))
+            )
+        return reader.parquet(
+            *[os.path.join(self.root, d) for d in meta["manifest"]]
         )
 
 
@@ -187,6 +234,12 @@ class KeyedVersionedTable(VersionedTable):
                 else []
             )
         data_dir = f"k{key}_a{attempt}"
+        base_schema = (
+            self._commit_meta(version - 1).get("schema")
+            if version > 1
+            else None
+        )
+        schema = self._merge_schema(base_schema, df)
         df.write.parquet(os.path.join(self.root, data_dir))
         self._write_commit(
             {
@@ -196,6 +249,7 @@ class KeyedVersionedTable(VersionedTable):
                 "key": key,
                 "attempt": attempt,
                 "base_manifest": base,
+                "schema": schema,
             }
         )
         return version

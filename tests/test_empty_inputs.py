@@ -54,6 +54,9 @@ SUBSET = [
     # documented loud error on an empty corpus, like the LSH ops)
     "op-psi-drift", "op-dp-counts", "op-bpe-train", "op-bpe-encode",
     "op-hll-intersect", "op-langid-eval",
+    # batch-16 versioned-table ops (commits record schema, so empty
+    # tables stay readable)
+    "op-table-versioned", "op-time-travel-diff", "op-table-merge",
 ]
 
 

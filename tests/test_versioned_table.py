@@ -145,3 +145,23 @@ def test_merge_into_versions_pre_merge_snapshot(spark, tmp_path):
     # the pre-merge snapshot is still time-travelable
     pre = {r.id: r.v for r in vt.read(spark, version=1).collect()}
     assert pre == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_schema_evolution_and_empty_commit(spark, tmp_path):
+    from etl_pipeline_api_spark.sources.versioned_table import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    # empty overwrite commit is READABLE (schema recorded in the commit)
+    vt.commit(_df(spark, []), mode="overwrite")
+    out = vt.read(spark)
+    assert out.count() == 0 and set(out.columns) == {"id", "v"}
+    # append that ADDS a column: old rows read the new column as null
+    vt.commit(_df(spark, [1]), mode="append")
+    wide = spark.createDataFrame([(2, 20.0, "x")], "id long, v double, tag string")
+    vt.commit(wide, mode="append")
+    rows = {r.id: (r.v, r.tag) for r in vt.read(spark).collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, "x")}
+    # type conflict fails the COMMIT, never a later read
+    bad = spark.createDataFrame([(3, "oops")], "id long, v string")
+    with pytest.raises(ValueError, match="schema conflict"):
+        vt.commit(bad, mode="append")
