@@ -396,3 +396,8 @@ class Engine:
         from .operators.stats import classification_report
 
         return classification_report(df, label_col, pred_col)
+
+    def versioned_table(self, root: str):
+        from .sources.versioned_table import VersionedTable
+
+        return VersionedTable(root)

@@ -165,3 +165,34 @@ def test_schema_evolution_and_empty_commit(spark, tmp_path):
     bad = spark.createDataFrame([(3, "oops")], "id long, v string")
     with pytest.raises(ValueError, match="schema conflict"):
         vt.commit(bad, mode="append")
+
+
+def test_random_history_matches_model(spark, tmp_path):
+    """Randomized op sequences vs a pure-Python commit-log model: every
+    committed version remains readable with exactly the modeled content
+    (no vacuum here — full history)."""
+    import random
+
+    from etl_pipeline_api_spark.sources.versioned_table import VersionedTable
+
+    rng = random.Random(42)
+    vt = VersionedTable(str(tmp_path / "t"))
+    model: dict[int, frozenset] = {}
+    next_id = 0
+    for step in range(12):
+        ops = ["overwrite", "append"] + (["rollback"] if model else [])
+        op = rng.choice(ops)
+        v = max(model) + 1 if model else 1
+        if op == "rollback":
+            target = rng.choice(sorted(model))
+            assert vt.rollback(target) == v
+            model[v] = model[target]
+        else:
+            ids = [next_id + i for i in range(rng.randint(1, 3))]
+            next_id += len(ids)
+            assert vt.commit(_df(spark, ids), mode=op) == v
+            base = model[v - 1] if (op == "append" and v > 1) else frozenset()
+            model[v] = base | frozenset(ids)
+    for v, want in model.items():
+        got = frozenset(r.id for r in vt.read(spark, version=v).collect())
+        assert got == want, f"version {v}"
