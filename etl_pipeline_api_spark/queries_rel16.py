@@ -184,3 +184,51 @@ def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(spark).select(
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
     )
+
+
+@query(
+    "op-stream-cdc-apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) AS v0, o_orderkey AS v1,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice
+      FROM orders),
+    last AS (
+      SELECT * FROM log
+      QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY v0 DESC, v1 DESC) = 1)
+    SELECT o_custkey, o_totalprice
+    FROM last WHERE op != 'D'
+    """,
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-stream-cdc-apply: the orders changelog STREAMED (8 files, one
+    per micro-batch) into a continuously-maintained current snapshot —
+    latest-version-wins with tombstones surviving between batches so an
+    older update can never resurrect a deleted key; final state must
+    equal the one-shot changelog_compact (= op-changelog-compact's
+    oracle) (streaming/events.py run_incremental_compact)."""
+    from .streaming import events as sev
+
+    log = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("v0"),
+        F.col("o_orderkey").alias("v1"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "o_totalprice",
+    )
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    log.repartition(8).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return sev.run_incremental_compact(
+        stream, ["o_custkey"], ["v0", "v1"], "op", ["o_totalprice"]
+    )

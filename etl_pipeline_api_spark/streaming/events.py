@@ -468,3 +468,74 @@ def run_incremental_state(
     q.awaitTermination()
     vs = versions()
     return spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
+
+
+def run_incremental_compact(
+    result: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Streaming CDC APPLY: each micro-batch of change rows is merged
+    into the maintained current-snapshot table with latest-version-wins
+    /delete semantics — the streaming twin of
+    operators.dq.changelog_compact, closing the loop with
+    operators.dq.table_diff (which PRODUCES such feeds).
+
+    Unlike :func:`run_incremental_state` (additive counts/sums), the
+    merge here is an ARGMAX per key, so deletes must survive between
+    batches: the state table keeps every key's latest change INCLUDING
+    tombstones (op = delete), and only the final read filters them out —
+    dropping a tombstone early would let an older update resurrect the
+    key in a later batch. State stays O(|keys|); versioned ``v=<batch>``
+    dirs give the same deterministic-replay exactly-once contract as
+    the additive variant. Returns the final live snapshot.
+    """
+    from ..operators import dq as _dq
+
+    root = tempfile.mkdtemp(prefix="inc_cdc_")
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ckpt_cdc_{uuid.uuid4().hex[:10]}"
+    )
+    spark = result.sparkSession
+
+    def versions() -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("v=")
+        )
+
+    def merge_batch(df: DataFrame, batch_id: int) -> None:
+        prior = [v for v in versions() if v < batch_id]
+        merged_src = df
+        if prior:
+            prev = spark.read.parquet(os.path.join(root, f"v={prior[-1]}"))
+            merged_src = prev.unionByName(df)
+        # keep tombstones in state (delete_op chosen to match nothing,
+        # so the argmax retains every key's latest change row) AND keep
+        # the version columns — the next batch's merge must compare its
+        # changes against the state's versions, not start from zero
+        state = _dq.changelog_compact(
+            merged_src,
+            key_cols,
+            version_cols,
+            op_col,
+            version_cols + payload_cols + [op_col],
+            delete_op="(never)",
+        )
+        state.write.mode("overwrite").parquet(
+            os.path.join(root, f"v={batch_id}")
+        )
+
+    q = (
+        result.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = versions()
+    final = spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
+    return final.where(F.col(op_col) != "D").drop(op_col, *version_cols)

@@ -115,3 +115,36 @@ def test_incremental_state_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 3  # compact: one row per key, not per batch
+
+
+def test_incremental_cdc_tombstone_survives_batches(spark, tmp_path):
+    """A delete in batch 1 must NOT be resurrected by an OLDER update
+    arriving in batch 2 (late data) — the reason tombstones live in the
+    state between batches."""
+    from etl_pipeline_api_spark.streaming import events as sev
+
+    b1 = [(1, 10, 1, "U", 100.0), (1, 20, 2, "D", None),
+          (2, 10, 3, "U", 200.0)]
+    b2 = [(1, 15, 4, "U", 999.0),   # older than the delete -> stays dead
+          (2, 30, 5, "U", 250.0),   # newer update -> wins
+          (3, 5, 6, "U", 300.0)]    # new key
+    schema = "k long, v0 long, v1 long, op string, amt double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sev.run_incremental_compact(
+        stream, ["k"], ["v0", "v1"], "op", ["amt"]
+    )
+    got = {r["k"]: r["amt"] for r in out.collect()}
+    assert got == {2: 250.0, 3: 300.0}  # key 1 stays deleted
