@@ -174,3 +174,50 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             4,
         ).alias("clustering_coeff"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Unweighted shortest-path distances from ``source`` over an
+    undirected (a<c) edge set, bounded by ``max_depth`` — the
+    reachability/radius primitive beside pagerank (influence) and
+    triangles (cohesion).
+
+    Frontier-expansion form: each round joins the CURRENT frontier
+    (nodes first reached last round) against the symmetrized edges and
+    anti-joins already-visited nodes — so each round's work is
+    O(edges touching the frontier), not O(all pairs), and a node is
+    finalized the first time it is seen (BFS optimality).
+    ``localCheckpoint`` per round truncates lineage. Output:
+    (node, dist) for every node within ``max_depth`` hops, source
+    included at dist 0.
+    """
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("c").alias("dst")
+    ).unionByName(
+        edges.select(F.col("c").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0)], "node long, dist int"
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            directed.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -232,3 +232,44 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sev.run_incremental_compact(
         stream, ["o_custkey"], ["v0", "v1"], "op", ["o_totalprice"]
     )
+
+
+@query(
+    "op-graph-bfs",
+    oracle="""
+    WITH RECURSIVE
+    bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT x.i AS a, y.i AS c
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    dirs AS (SELECT a AS src, c AS dst FROM edges
+             UNION ALL SELECT c, a FROM edges),
+    s AS (SELECT min(a) AS s FROM edges),
+    walk(node, d) AS (
+      SELECT s, 0 FROM s
+      UNION
+      SELECT dirs.dst, walk.d + 1
+      FROM walk JOIN dirs ON dirs.src = walk.node
+      WHERE walk.d < 3)
+    SELECT CAST(d AS INT) AS dist, count(*) AS n_nodes
+    FROM (SELECT node, min(d) AS d FROM walk GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-graph-bfs: breadth-first distances (≤3 hops) from the smallest
+    node of the co-purchase graph, summarized as nodes-per-level —
+    frontier-expansion joins with visited anti-join (work is
+    O(frontier-touching edges) per round, lineage checkpointed); the
+    oracle walks the same graph with a bounded recursive CTE
+    (operators/graph.py bfs_distances)."""
+    from .operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    src = edges.agg(F.min("a")).collect()[0][0]
+    dists = graph.bfs_distances(edges, source=int(src), max_depth=3)
+    return dists.groupBy(F.col("dist")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

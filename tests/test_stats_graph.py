@@ -641,3 +641,20 @@ def test_classification_report_hand_confusion(spark):
     assert b["precision"] == 0.5 and b["recall"] == 1.0
     assert (c["n_true"], c["n_pred"], c["tp"]) == (1, 0, 0)
     assert c["precision"] is None and c["f1"] is None and c["recall"] == 0.0
+
+
+def test_bfs_distances_path_and_depth_bound(spark):
+    # path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1 via shortcut, dist(5)=2.
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)])
+    out = {r["node"]: r["dist"] for r in
+           graph.bfs_distances(e, source=1, max_depth=4).collect()}
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # depth bound respected: from 5 with max_depth=1 only 4 is reached
+    out = {r["node"]: r["dist"] for r in
+           graph.bfs_distances(e, source=5, max_depth=1).collect()}
+    assert out == {5: 0, 4: 1}
+    # disconnected node never appears
+    e2 = _edges(spark, [(1, 2), (8, 9)])
+    out = {r["node"] for r in
+           graph.bfs_distances(e2, source=1, max_depth=4).collect()}
+    assert out == {1, 2}
