@@ -269,6 +269,9 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
     src = edges.agg(F.min("a")).collect()[0][0]
+    if src is None:
+        # empty graph: schema-correct zero rows, not an int(None) crash
+        return spark.createDataFrame([], "dist int, n_nodes bigint")
     dists = graph.bfs_distances(edges, source=int(src), max_depth=3)
     return dists.groupBy(F.col("dist")).agg(
         F.count(F.lit(1)).alias("n_nodes")
