@@ -221,3 +221,90 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Degree distribution summary + discrete power-law exponent MLE —
+    the first diagnostic on any mined graph (is this scale-free? where
+    do the hubs start? is a pagerank/BFS even meaningful?).
+
+    One degree aggregation over the symmetrized edge list, then one
+    global agg: ``alpha = 1 + n / Σ ln(d / (dmin − 0.5))`` (the standard
+    discrete-MLE approximation, Clauset-Shalizi-Newman 2009 eq. 3.7 —
+    public formula) with dmin = 1. Output one row:
+    (n_nodes, n_edges, max_degree, avg_degree, alpha_mle).
+    """
+    und_deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return und_deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.max("deg").alias("max_degree"),
+        F.round(F.avg("deg"), 4).alias("avg_degree"),
+        F.round(
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("deg") / F.lit(0.5))),
+            4,
+        ).alias("alpha_mle"),
+    )
+
+
+def lpa_communities(
+    edges: DataFrame, iters: int = 5
+) -> DataFrame:
+    """Community detection by synchronous label propagation — the
+    cheap-and-parallel complement to the exact connected components in
+    operators/dedup.py (CC answers "which nodes touch at all"; LPA
+    answers "which nodes cluster densely").
+
+    Every node starts labeled with its own id; each round it adopts the
+    label carried by the PLURALITY of its neighbors (ties toward the
+    smallest label — deterministic, and the reason the result is
+    rerun-stable where classic random-order LPA is not). Each round is
+    one co-partitioned edge join + one (node, label) count + one
+    struct-argmax — linear in edges; lineage checkpointed per round.
+    Output: (node, community) with community = the final label.
+    Iterative feedback → rows-only checked; unit tests pin two cliques
+    joined by a bridge separating into two communities.
+    """
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("c").alias("dst")
+    ).unionByName(
+        edges.select(F.col("c").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iters):
+        neigh = (
+            directed.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("label").alias("nlabel"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), F.col("nlabel"))
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = (
+            neigh.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("votes").alias("v"),
+                        (-F.col("nlabel")).alias("neg"),
+                    )
+                ).alias("top")
+            )
+            .select("node", (-F.col("top.neg")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -276,3 +276,55 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dists.groupBy(F.col("dist")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+@query(
+    "op-degree-stats",
+    oracle="""
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT x.i AS a, y.i AS c
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT c FROM edges)
+      GROUP BY 1)
+    SELECT count(*) AS n_nodes,
+           CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+           max(deg) AS max_degree,
+           round(avg(deg), 4) AS avg_degree,
+           round(1.0 + count(*) / sum(ln(deg / 0.5)), 4) AS alpha_mle
+    FROM deg
+    """,
+)
+def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-degree-stats: degree distribution summary + discrete
+    power-law exponent MLE (Clauset-Shalizi-Newman eq. 3.7, dmin=1) of
+    the co-purchase graph — one degree agg, one global agg
+    (operators/graph.py degree_stats)."""
+    from .operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return graph.degree_stats(edges)
+
+
+@query("op-lpa-communities")  # rows-only: iterative label feedback
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-lpa-communities: deterministic synchronous label propagation
+    over the co-purchase graph (plurality vote, ties to the smallest
+    label) — community sizes as the output frame; unit tests pin the
+    two-cliques-and-a-bridge separation (operators/graph.py
+    lpa_communities)."""
+    from .operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    comm = graph.lpa_communities(edges, iters=5)
+    return (
+        comm.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), F.col("community"))
+        .limit(20)
+    )

@@ -57,7 +57,7 @@ SUBSET = [
     # batch-16 versioned-table ops (commits record schema, so empty
     # tables stay readable)
     "op-table-versioned", "op-time-travel-diff", "op-table-merge",
-    "op-graph-bfs",
+    "op-graph-bfs", "op-degree-stats", "op-lpa-communities",
 ]
 
 

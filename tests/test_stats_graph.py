@@ -658,3 +658,22 @@ def test_bfs_distances_path_and_depth_bound(spark):
     out = {r["node"] for r in
            graph.bfs_distances(e2, source=1, max_depth=4).collect()}
     assert out == {1, 2}
+
+
+def test_lpa_two_cliques_and_degree_stats(spark):
+    # two 4-cliques joined by one bridge edge: LPA must separate them
+    # into two communities (each labeled by its smallest member).
+    clique = lambda base: [
+        (base + i, base + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    e = _edges(spark, clique(1) + clique(10) + [(4, 10)])
+    out = {r["node"]: r["community"] for r in
+           graph.lpa_communities(e, iters=5).collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (10, 11, 12, 13)} == {10}
+    # degree stats on a star: hub degree 4, leaves 1; alpha finite
+    star = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    r = graph.degree_stats(star).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["max_degree"]) == (5, 4, 4)
+    assert r["avg_degree"] == pytest.approx(1.6)
+    assert r["alpha_mle"] > 1.0
