@@ -328,3 +328,83 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), F.col("community"))
         .limit(20)
     )
+
+
+@query(
+    "op-ppr-recommend",
+    oracle="""
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT x.i AS a, y.i AS c
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    dir AS (SELECT a AS src, c AS dst FROM edges
+            UNION ALL SELECT c, a FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY 1),
+    nodes AS (SELECT src AS node FROM deg),
+    s AS (
+      SELECT node AS sn FROM deg JOIN nodes ON node = src
+      ORDER BY deg DESC, node ASC LIMIT 1),
+    r0 AS (
+      SELECT node, CASE WHEN node = (SELECT sn FROM s)
+                        THEN 1.0 ELSE 0.0 END AS rank
+      FROM nodes),
+    r1 AS (
+      SELECT nd.node,
+             0.15 * (CASE WHEN nd.node = (SELECT sn FROM s)
+                          THEN 1.0 ELSE 0.0 END)
+             + 0.85 * coalesce(sum(r0.rank / deg.deg), 0) AS rank
+      FROM nodes nd
+      LEFT JOIN dir ON dir.dst = nd.node
+      LEFT JOIN deg ON deg.src = dir.src
+      LEFT JOIN r0  ON r0.node = dir.src
+      GROUP BY 1),
+    r2 AS (
+      SELECT nd.node,
+             0.15 * (CASE WHEN nd.node = (SELECT sn FROM s)
+                          THEN 1.0 ELSE 0.0 END)
+             + 0.85 * coalesce(sum(r1.rank / deg.deg), 0) AS rank
+      FROM nodes nd
+      LEFT JOIN dir ON dir.dst = nd.node
+      LEFT JOIN deg ON deg.src = dir.src
+      LEFT JOIN r1  ON r1.node = dir.src
+      GROUP BY 1),
+    r3 AS (
+      SELECT nd.node,
+             0.15 * (CASE WHEN nd.node = (SELECT sn FROM s)
+                          THEN 1.0 ELSE 0.0 END)
+             + 0.85 * coalesce(sum(r2.rank / deg.deg), 0) AS rank
+      FROM nodes nd
+      LEFT JOIN dir ON dir.dst = nd.node
+      LEFT JOIN deg ON deg.src = dir.src
+      LEFT JOIN r2  ON r2.node = dir.src
+      GROUP BY 1)
+    SELECT node, round(rank, 6) AS score, CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT r3.*, row_number() OVER (ORDER BY rank DESC, node ASC) AS rn
+      FROM r3 WHERE node != (SELECT sn FROM s))
+    WHERE rn <= 10
+    """,
+)
+def q_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-ppr-recommend: "items related to X" — personalized PageRank
+    (3 iterations, restart mass on the highest-degree part) over the
+    co-purchase graph, top-10 excluding the source; same
+    edge-partitioned round shape as op-pagerank with a concentrated
+    teleport (operators/graph.py personalized_pagerank)."""
+    from .operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    top = deg.orderBy(F.col("d").desc(), F.col("n").asc()).limit(1).collect()
+    if not top:
+        return spark.createDataFrame([], "node long, score double, rnk int")
+    return graph.personalized_pagerank(
+        edges, source=int(top[0]["n"]), iters=3, k=10
+    )

@@ -677,3 +677,21 @@ def test_lpa_two_cliques_and_degree_stats(spark):
     assert (r["n_nodes"], r["n_edges"], r["max_degree"]) == (5, 4, 4)
     assert r["avg_degree"] == pytest.approx(1.6)
     assert r["alpha_mle"] > 1.0
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    # barbell: clique {1,2,3} - bridge 3-10 - clique {10,11,12}.
+    # PPR from 1 must score its own clique above the far clique, and
+    # exclude the source from the output.
+    e = _edges(
+        spark,
+        [(1, 2), (1, 3), (2, 3), (3, 10), (10, 11), (10, 12), (11, 12)],
+    )
+    out = {r["node"]: r["score"] for r in
+           graph.personalized_pagerank(e, source=1, iters=4, k=10).collect()}
+    assert 1 not in out
+    assert out[2] > out[11] and out[3] > out[12]
+    # determinism
+    again = {r["node"]: r["score"] for r in
+             graph.personalized_pagerank(e, source=1, iters=4, k=10).collect()}
+    assert again == out
