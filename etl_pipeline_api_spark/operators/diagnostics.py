@@ -95,3 +95,64 @@ def mad_outliers(
             F.round(F.first("mad_value"), 4).alias("mad_value"),
         )
     )
+
+
+def join_advisor(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    broadcast_row_limit: int = 100_000,
+    skew_ratio_limit: float = 8.0,
+) -> DataFrame:
+    """Pre-flight join planner: measure both sides and emit the strategy
+    a 100 TB join should use — the decision procedure this module's
+    skew_report exists to feed, packaged as one operator.
+
+    Rules (in priority order, mirroring what a human plans):
+    1. a side under ``broadcast_row_limit`` rows → BROADCAST it
+       (no shuffle at all; Spark's own autoBroadcastJoinThreshold is
+       bytes-based, rows are the engine-independent proxy here);
+    2. otherwise if the BUILD-side key distribution is skewed
+       (max/avg per-key count > ``skew_ratio_limit``) → SALTED join
+       (operators.joins.salted_join) or AQE skew splitting;
+    3. otherwise → plain co-partitioned SHUFFLE join.
+
+    Cost: two row counts + two map-combined key histograms — all
+    linear, safe on the full input. Output one row:
+    (left_rows, right_rows, left_keys, right_keys, left_skew,
+    right_skew, strategy, build_side).
+    """
+    def side_stats(df: DataFrame, name: str) -> DataFrame:
+        counts = df.groupBy(F.col(key_col)).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return counts.agg(
+            F.sum("n").alias(f"{name}_rows"),
+            F.count(F.lit(1)).alias(f"{name}_keys"),
+            F.round(F.max("n") / F.avg("n"), 2).alias(f"{name}_skew"),
+        )
+    stats = side_stats(left, "left").crossJoin(
+        F.broadcast(side_stats(right, "right"))
+    )
+    smaller_is_right = F.col("right_rows") <= F.col("left_rows")
+    small_rows = F.least("left_rows", "right_rows")
+    big_skew = F.when(
+        smaller_is_right, F.col("left_skew")
+    ).otherwise(F.col("right_skew"))
+    strategy = (
+        F.when(small_rows <= broadcast_row_limit, F.lit("broadcast"))
+        .when(big_skew > skew_ratio_limit, F.lit("salted"))
+        .otherwise(F.lit("shuffle"))
+    )
+    return stats.select(
+        "left_rows",
+        "right_rows",
+        "left_keys",
+        "right_keys",
+        "left_skew",
+        "right_skew",
+        strategy.alias("strategy"),
+        F.when(smaller_is_right, F.lit("right"))
+        .otherwise(F.lit("left"))
+        .alias("build_side"),
+    )

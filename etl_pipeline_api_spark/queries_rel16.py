@@ -408,3 +408,46 @@ def q_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.personalized_pagerank(
         edges, source=int(top[0]["n"]), iters=3, k=10
     )
+
+
+@query(
+    "op-join-advisor",
+    oracle="""
+    WITH l AS (
+      SELECT sum(n) AS left_rows, count(*) AS left_keys,
+             round(max(n) * 1.0 / avg(n), 2) AS left_skew
+      FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)),
+    r AS (
+      SELECT sum(n) AS right_rows, count(*) AS right_keys,
+             round(max(n) * 1.0 / avg(n), 2) AS right_skew
+      FROM (SELECT c_custkey, count(*) AS n FROM customer GROUP BY 1))
+    SELECT CAST(left_rows AS BIGINT) AS left_rows,
+           CAST(right_rows AS BIGINT) AS right_rows,
+           left_keys, right_keys, left_skew, right_skew,
+           CASE WHEN least(left_rows, right_rows) <= 100000
+                THEN 'broadcast'
+                WHEN (CASE WHEN right_rows <= left_rows
+                           THEN left_skew ELSE right_skew END) > 8.0
+                THEN 'salted' ELSE 'shuffle' END AS strategy,
+           CASE WHEN right_rows <= left_rows THEN 'right' ELSE 'left' END
+             AS build_side
+    FROM l, r
+    """,
+)
+def q_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-join-advisor: the pre-flight join planner — row counts + key
+    histograms on both sides feed the broadcast/salted/shuffle decision
+    and the build side, all linear map-combined passes
+    (operators/diagnostics.py join_advisor; here orders ⋈ customer on
+    custkey, which lands on 'broadcast customer')."""
+    from .operators.diagnostics import join_advisor
+
+    return join_advisor(
+        _t(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "custkey"
+        ),
+        _t(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "custkey"
+        ),
+        "custkey",
+    )

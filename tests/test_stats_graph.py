@@ -695,3 +695,30 @@ def test_personalized_pagerank_localizes_mass(spark):
     again = {r["node"]: r["score"] for r in
              graph.personalized_pagerank(e, source=1, iters=4, k=10).collect()}
     assert again == out
+
+
+def test_join_advisor_rules(spark):
+    from etl_pipeline_api_spark.operators.diagnostics import join_advisor
+
+    big_uniform = spark.createDataFrame(
+        [(i % 1000, i) for i in range(5000)], "k long, x long"
+    )
+    tiny = spark.createDataFrame([(i, i) for i in range(10)], "k long, y long")
+    r = join_advisor(big_uniform, tiny, "k").collect()[0]
+    assert r["strategy"] == "broadcast" and r["build_side"] == "right"
+    # both big (limit lowered), probe side skewed -> salted
+    hot = spark.createDataFrame(
+        [(0, i) for i in range(900)] + [(i, i) for i in range(1, 101)],
+        "k long, x long",
+    )
+    uniform = spark.createDataFrame(
+        [(i % 100, i) for i in range(1000)], "k long, y long"
+    )
+    r = join_advisor(hot, uniform, "k", broadcast_row_limit=100).collect()[0]
+    assert r["strategy"] == "salted"
+    assert r["left_skew"] > 8.0
+    # both big, both uniform -> plain shuffle
+    r = join_advisor(
+        big_uniform, uniform, "k", broadcast_row_limit=100
+    ).collect()[0]
+    assert r["strategy"] == "shuffle"
