@@ -451,3 +451,66 @@ def q_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "custkey",
     )
+
+
+@query(
+    "op-lsh-tuning",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tokens
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(tokens)-2, 0)),
+                    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+               AS shingle
+      FROM tok),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT count(*) AS n_exact FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5)
+    SELECT band_rows, CAST(n_exact AS BIGINT) AS n_exact,
+           true AS recall_floor_ok
+    FROM exact, (VALUES (2), (4), (8)) t(band_rows)
+    ORDER BY band_rows
+    """,
+)
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-lsh-tuning: the LSH recall dial MEASURED — MinHash candidate
+    generation at band_rows ∈ {2, 4, 8} (wider bands = fewer, more
+    precise candidates), each verified against the exact n-gram Jaccard
+    pair set. The gate: per config, verified recall must clear the
+    s-curve-implied floor (band_rows=2 is near-exhaustive at J≥0.5;
+    8 may legitimately drop pairs) — encoded as a boolean the oracle
+    pins TRUE, with the exact pair count hash-checked alongside
+    (operators/dedup.py minhash_lsh_pairs + ngram_jaccard_pairs)."""
+    from .operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    rows = []
+    for band_rows in (2, 4, 8):
+        found = (
+            dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.5,
+                num_hashes=32, band_rows=band_rows,
+            )
+            .select("id_a", "id_b")
+            .join(exact, ["id_a", "id_b"])
+            .count()
+        )
+        floor = 1.0 if band_rows == 2 else (0.8 if band_rows == 4 else 0.4)
+        rows.append(
+            (band_rows, n_exact, bool(n_exact == 0 or found >= floor * n_exact))
+        )
+    return spark.createDataFrame(
+        rows, "band_rows int, n_exact bigint, recall_floor_ok boolean"
+    )
