@@ -514,3 +514,71 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "band_rows int, n_exact bigint, recall_floor_ok boolean"
     )
+
+
+@query(
+    "op-ivf-tuning",
+    oracle="""
+    WITH exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                 c.vec_id) <= 5)
+    SELECT n_probe, (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           true AS recall_floor_ok, true AS monotone_ok
+    FROM (VALUES (1), (2), (4), (8)) t(n_probe)
+    ORDER BY n_probe
+    """,
+)
+def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-ivf-tuning: the IVF n_probe dial MEASURED — recall of the
+    probed search vs the exact top-5 universe at n_probe ∈ {1,2,4,8}
+    (scan fraction n_probe/16 of the corpus per query). Gates: each
+    config clears a conservative floor (1 probe ≥ 20%, 8 probes ≥ 60%
+    of exact hits) and recall never DECREASES as probes widen — the
+    property that makes n_probe a usable dial (queries_ext's
+    op-sim-search-ivf pins one operating point; this sweeps the curve)
+    (operators/similarity.py ivf_topk)."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(
+        emb, queries, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    floors = {1: 0.2, 2: 0.3, 4: 0.4, 8: 0.6}
+    hits = {}
+    for n_probe in (1, 2, 4, 8):
+        hits[n_probe] = (
+            similarity.ivf_topk(
+                emb, queries, "vec_id", "embedding", k=5,
+                n_centroids=16, n_probe=n_probe,
+            )
+            .select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+    rows = []
+    probes = [1, 2, 4, 8]
+    for i, p in enumerate(probes):
+        monotone = all(
+            hits[probes[j]] <= hits[probes[j + 1]]
+            for j in range(len(probes) - 1)
+        )
+        rows.append(
+            (
+                p,
+                n_exact,
+                bool(n_exact == 0 or hits[p] >= floors[p] * n_exact),
+                bool(monotone),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "n_probe int, n_exact bigint, recall_floor_ok boolean, "
+        "monotone_ok boolean",
+    )
