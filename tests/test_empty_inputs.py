@@ -58,7 +58,8 @@ SUBSET = [
     # tables stay readable)
     "op-table-versioned", "op-time-travel-diff", "op-table-merge",
     "op-graph-bfs", "op-degree-stats", "op-lpa-communities",
-    "op-ppr-recommend", "op-join-advisor",
+    "op-ppr-recommend", "op-join-advisor", "op-lsh-tuning",
+    "op-ivf-tuning",
 ]
 
 
