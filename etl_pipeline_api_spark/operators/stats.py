@@ -544,8 +544,12 @@ def bootstrap_mean_ci(
         rep.withColumn("w", w)
         .groupBy("r")
         .agg(
-            (
-                F.sum(F.col("__v") * F.col("w")) / F.sum("w")
+            # a replicate can draw all-zero weights (probability e^-n —
+            # real only for tiny n, but the guard costs nothing): its
+            # mean is NULL and the percentile/avg below skip it
+            F.when(
+                F.sum("w") > 0,
+                F.sum(F.col("__v") * F.col("w")) / F.sum("w"),
             ).alias("m")
         )
     )

@@ -336,3 +336,75 @@ def test_knn_classify_matches_bruteforce(spark, vecs):
         ).collect()
     }
     assert got == {q: (lab, n) for q, (lab, n) in want.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.floats(1.0, 100.0, allow_nan=False), min_size=3, max_size=20)
+)
+def test_bootstrap_ci_matches_python_replay(spark, values):
+    """The Poisson bootstrap is a pure function of row ids — a Python
+    replay of the same Knuth-mix arithmetic must produce the identical
+    replicate means, mean, and CI."""
+    from etl_pipeline_api_spark.operators import stats
+
+    R = 10
+    POIS = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+            0.9810118431238462, 0.9963401531726563)
+
+    def weight(uid, r):
+        key = ((uid * R + r) * 2654435761) % 2**32
+        u = key / 2**32
+        for w, t in enumerate(POIS):
+            if u < t:
+                return w
+        return 5
+
+    means = []
+    for r in range(R):
+        num = sum(v * weight(i, r) for i, v in enumerate(values))
+        den = sum(weight(i, r) for i, v in enumerate(values))
+        means.append(num / den if den else None)
+    ms = sorted(m for m in means if m is not None)
+
+    def pct(q):
+        # linear interpolation, matching Spark percentile / quantile_cont
+        if not ms:
+            return None
+        pos = (len(ms) - 1) * q
+        lo, hi = int(pos), min(int(pos) + 1, len(ms) - 1)
+        return ms[lo] + (ms[hi] - ms[lo]) * (pos - lo)
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id long, v double"
+    )
+    r = stats.bootstrap_mean_ci(df, "id", "v", n_replicates=R).collect()[0]
+    valid = [m for m in means if m is not None]
+    assert r["n_replicates"] == R
+    assert abs(r["mean"] - sum(valid) / len(valid)) < 1e-3
+    assert abs(r["ci_lo"] - pct(0.025)) < 1e-3
+    assert abs(r["ci_hi"] - pct(0.975)) < 1e-3
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100), st.integers(1, 50)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_peak_concurrency_matches_bruteforce(spark, spans):
+    from etl_pipeline_api_spark.operators import behavioral
+
+    iv = [(i, s * 1_000_000, (s + d) * 1_000_000) for i, (s, d) in enumerate(spans)]
+    # brute force: evaluate concurrency just after every start instant
+    # (half-open [s, e): peak is attained at some start point)
+    peak = 0
+    for _, s, _e in iv:
+        c = sum(1 for _, s2, e2 in iv if s2 <= s < e2)
+        peak = max(peak, c)
+    df = spark.createDataFrame(iv, "id long, s_us long, e_us long")
+    r = behavioral.peak_concurrency(df, "s_us", "e_us").collect()[0]
+    assert r["n_intervals"] == len(iv)
+    assert r["peak"] == peak
