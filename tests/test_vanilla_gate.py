@@ -32,6 +32,12 @@ SUBSET = [
     "op-date-funcs",
     # round-5 class: NTZ epoch-µs window math + exposed timestamp bounds
     "op-sessionize",
+    # round-5 second wave: decimal-widened deterministic resampling,
+    # generated-literal oracle (projection matrix), and the versioned
+    # table's atomic-commit filesystem layer
+    "op-bootstrap-ci",
+    "op-random-project",
+    "op-table-versioned",
 ]
 
 
