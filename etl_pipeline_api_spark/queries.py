@@ -81,6 +81,13 @@ BENCH_QUERIES: list[str] = [
     "op-knn-classify",
     "op-interval-overlap",
     "op-revenue-concentration",
+    # round-5 second-wave representatives (monitoring, resampling,
+    # graph traversal, experimentation, robust metrics)
+    "op-psi-drift",
+    "op-bootstrap-ci",
+    "op-graph-bfs",
+    "op-cuped",
+    "op-winsorize",
 ]
 
 
