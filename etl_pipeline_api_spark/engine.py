@@ -401,3 +401,34 @@ class Engine:
         from .sources.versioned_table import VersionedTable
 
         return VersionedTable(root)
+
+    # ---- graph traversal / recommendations / planning ----
+
+    def bfs(self, edges: DataFrame, source: int, **kwargs) -> DataFrame:
+        from .operators.graph import bfs_distances
+
+        return bfs_distances(edges, source, **kwargs)
+
+    def communities(self, edges: DataFrame, **kwargs) -> DataFrame:
+        from .operators.graph import lpa_communities
+
+        return lpa_communities(edges, **kwargs)
+
+    def degree_stats(self, edges: DataFrame) -> DataFrame:
+        from .operators.graph import degree_stats
+
+        return degree_stats(edges)
+
+    def related_items(
+        self, edges: DataFrame, source: int, **kwargs
+    ) -> DataFrame:
+        from .operators.graph import personalized_pagerank
+
+        return personalized_pagerank(edges, source, **kwargs)
+
+    def join_advisor(
+        self, left: DataFrame, right: DataFrame, key_col: str, **kwargs
+    ) -> DataFrame:
+        from .operators.diagnostics import join_advisor
+
+        return join_advisor(left, right, key_col, **kwargs)
