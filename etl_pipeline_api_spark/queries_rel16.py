@@ -582,3 +582,68 @@ def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_probe int, n_exact bigint, recall_floor_ok boolean, "
         "monotone_ok boolean",
     )
+
+
+@query(
+    "op-lsh-planes-tuning",
+    oracle="""
+    WITH exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                 c.vec_id) <= 5)
+    SELECT band_width,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           true AS recall_floor_ok, true AS narrower_not_worse
+    FROM (VALUES (2), (3), (4)) t(band_width)
+    ORDER BY band_width
+    """,
+)
+def q_lsh_planes_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-lsh-planes-tuning: the sign-LSH band-WIDTH dial measured —
+    12 hyperplanes split into bands of width 2/3/4 bits (6/4/3 bands),
+    recall vs the exact top-5 universe. Gates: per-config floors from
+    the 1−(1−p^w)^b curve at this corpus's neighbor angles, and the
+    structural expectation that NARROWER bands never recall less
+    (more, shorter bands ⇒ more candidate collisions). Completes the
+    tuning-harness triple: MinHash bands (op-lsh-tuning), IVF probes
+    (op-ivf-tuning), hyperplane width (operators/similarity.py
+    lsh_topk)."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(
+        emb, queries, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    hits = {}
+    for width in (2, 3, 4):
+        hits[width] = (
+            similarity.lsh_topk(
+                emb, queries, "vec_id", "embedding", k=5,
+                n_planes=12, n_bands=12 // width,
+            )
+            .select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+    floors = {2: 0.4, 3: 0.25, 4: 0.15}
+    rows = []
+    for width in (2, 3, 4):
+        rows.append(
+            (
+                width,
+                n_exact,
+                bool(n_exact == 0 or hits[width] >= floors[width] * n_exact),
+                bool(hits[2] >= hits[3] >= hits[4] or n_exact == 0),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "band_width int, n_exact bigint, recall_floor_ok boolean, "
+        "narrower_not_worse boolean",
+    )

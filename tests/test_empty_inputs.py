@@ -59,7 +59,7 @@ SUBSET = [
     "op-table-versioned", "op-time-travel-diff", "op-table-merge",
     "op-graph-bfs", "op-degree-stats", "op-lpa-communities",
     "op-ppr-recommend", "op-join-advisor", "op-lsh-tuning",
-    "op-ivf-tuning",
+    "op-ivf-tuning", "op-lsh-planes-tuning",
 ]
 
 
