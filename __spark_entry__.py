@@ -42,6 +42,7 @@ import etl_pipeline_api_spark.queries_rel13  # noqa: E402,F401  (registers relat
 import etl_pipeline_api_spark.queries_rel14  # noqa: E402,F401  (registers relational batch 14)
 import etl_pipeline_api_spark.queries_rel15  # noqa: E402,F401  (registers relational batch 15)
 import etl_pipeline_api_spark.queries_rel16  # noqa: E402,F401  (registers relational batch 16)
+import etl_pipeline_api_spark.queries_rel17  # noqa: E402,F401  (registers relational batch 17: partsupp TPC-H four)
 
 
 def entry(spark: SparkSession) -> DataFrame:
