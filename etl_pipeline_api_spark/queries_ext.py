@@ -449,25 +449,56 @@ def q_multimodal_col(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("op-multimodal-decode")  # rows-only: decoder is the injected stub
+# The stub decoder is sha256(payload)[:8]/255.0 (multimodal.py::fake_decode),
+# which DuckDB can replicate exactly: sha256() yields the same lowercase hex,
+# and each digest byte is two hex digits decoded via strpos arithmetic. The
+# divisions are IEEE-identical on both sides (same integer / 255.0), so the
+# eight feature columns compare bit-exact; only feat_norm needs the shared
+# round-to-6dp (sqrt addition order ulps).
+def _digest_byte(i: int) -> str:
+    hexd = "'0123456789abcdef'"
+    return (
+        f"(strpos({hexd}, substr(hx, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos({hexd}, substr(hx, {2 * i + 2}, 1)) - 1)"
+    )
+
+
+_DECODE_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, sha256(coalesce(text, '')) AS hx FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             {", ".join(f"CAST({_digest_byte(i)} AS DOUBLE) / 255.0 AS f{i}" for i in range(8))}
+      FROM h
+    )
+    SELECT doc_id,
+           round(sqrt({" + ".join(f"f{i} * f{i}" for i in range(8))}), 6) AS feat_norm,
+           {", ".join(f"f{i}" for i in range(8))}
+    FROM f
+"""
+
+
+@query("op-multimodal-decode", oracle=_DECODE_ORACLE)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-multimodal-col decode path: Arrow-batched mapInPandas feature
-    extraction through the injected (stub) decoder."""
+    extraction through the injected (stub) decoder. The decoder runs in
+    Python workers (numpy over Arrow batches); the oracle recomputes the
+    same sha256-derived features in pure SQL, so the whole mapInPandas
+    plumbing — batch shape, schema, ordering — is value-checked, closing
+    the last rows-only gap in the driver's 50-query gate."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "payload", F.encode("text", "utf-8")
     )
     wrapped = multimodal.attach_payload(docs, "payload", "image", "application/octet-stream")
     feats = multimodal.decode_features(wrapped, "doc_id")
-    # Project the array<double> features to scalars for the harness: the
-    # driver's pandas canonicalizer sorts every column and crashes on list
-    # cells. The operator API keeps the raw array; the query returns a
-    # deterministic digest instead.
+    # Project the array<double> features to scalar columns for the harness:
+    # the driver's pandas canonicalizer sorts every column and crashes on
+    # list cells. The operator API keeps the raw array.
     return feats.select(
         "doc_id",
         "feat_norm",
-        F.xxhash64(
-            F.concat_ws(",", F.transform("features", lambda x: F.format_string("%.6f", x)))
-        ).alias("features_digest"),
+        *[F.col("features").getItem(i).alias(f"f{i}") for i in range(8)],
     )
 
 
