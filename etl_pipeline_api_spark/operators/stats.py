@@ -513,43 +513,90 @@ def bootstrap_mean_ci(
     sampling.det_key mixer, decimal-widened so 100 TB id regimes don't
     overflow), inverse-CDF'd to a Poisson count — both engines replay
     the identical resample, so the CI is oracle-checkable, not just
-    plausible. One explode (×R rows), one (replicate) agg, percentiles
-    over the R-row means frame. Output one row:
-    (n_replicates, mean, ci_lo, ci_hi).
+    plausible.
+
+    ONE PASS, NO EXPLODE, NO BIGDECIMAL: the r5 shape exploded ×R rows
+    (R·n row materializations) and mixed the key in decimal(20,0) —
+    22.5M BigDecimal multiplies at sf0.1. Both are gone: the weight
+    array is built once per row by an int64-only mix (id mod 2³² first,
+    then the Knuth multiply mod 2³² via a 16-bit split — every
+    intermediate < 2⁴⁹, so the arithmetic is exact and identical to the
+    decimal form for the non-negative ids the contract assumes), and
+    each replicate's (Σw·v, Σw) pair is one conditional-sum pair in a
+    single global aggregate — 2R agg expressions over array slots,
+    map-side partial, a 1-row exchange — then the R means are unstacked
+    from the 1×2R row (driver-free, R-row frame) for the percentile
+    agg. Same weights, same math, so the DuckDB oracle (which still
+    writes the explode as a CROSS JOIN range(R) over a plain modulo)
+    is unchanged. Output one row: (n_replicates, mean, ci_lo, ci_hi).
     """
+    from ..session import fan_out
     from .sampling import KNUTH, M32
 
-    rep = df.select(
-        F.col(id_col).alias("__id"), F.col(value_col).alias("__v")
-    ).withColumn(
-        "r", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1)))
+    # R weight draws per row are CPU-bound: spread a small-on-disk scan
+    # across the cluster (no-op at real scale where the scan already has
+    # more partitions than cores).
+    base = fan_out(
+        df.select(F.col(id_col).alias("__id"), F.col(value_col).alias("__v"))
     )
-    mixed = (
-        F.col("__id").cast("decimal(20,0)") * n_replicates + F.col("r")
-    ).cast("decimal(20,0)")
-    key = (
-        (mixed * F.lit(KNUTH).cast("decimal(10,0)"))
-        % F.lit(M32).cast("decimal(11,0)")
-    ).cast("long")
-    u = key / F.lit(float(M32))
-    w = (
-        F.when(u < _POIS[0], 0)
-        .when(u < _POIS[1], 1)
-        .when(u < _POIS[2], 2)
-        .when(u < _POIS[3], 3)
-        .when(u < _POIS[4], 4)
-        .otherwise(5)
+
+    def w_lambda(r: F.Column) -> F.Column:
+        # (idm·R + r) mod 2³² with idm = id mod 2³² equals
+        # (id·R + r) mod 2³² — multiples of 2³² drop out of the product.
+        m = F.pmod(
+            F.pmod(F.col("__id"), F.lit(M32)) * n_replicates + r,
+            F.lit(M32),
+        )
+        # (m·K) mod 2³² without overflow: m = m1·2¹⁶ + m0, so
+        # m·K ≡ ((m1·K mod 2³²)·2¹⁶ + m0·K) (mod 2³²); m1·K < 2⁴⁸.
+        m1, m0 = F.shiftright(m, 16), m.bitwiseAND(F.lit(65535))
+        key = F.pmod(
+            F.pmod(m1 * F.lit(KNUTH), F.lit(M32)) * F.lit(65536)
+            + m0 * F.lit(KNUTH),
+            F.lit(M32),
+        )
+        u = key / F.lit(float(M32))
+        return (
+            F.when(u < _POIS[0], 0)
+            .when(u < _POIS[1], 1)
+            .when(u < _POIS[2], 2)
+            .when(u < _POIS[3], 3)
+            .when(u < _POIS[4], 4)
+            .otherwise(5)
+        )
+
+    witharr = base.withColumn(
+        "warr",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1)), w_lambda
+        ),
     )
+    aggs = []
+    for r in range(n_replicates):
+        aggs.append(
+            F.sum(F.col("__v") * F.col("warr")[r]).alias(f"s{r}")
+        )
+        aggs.append(F.sum(F.col("warr")[r]).alias(f"c{r}"))
+    wide = witharr.agg(*aggs)
     means = (
-        rep.withColumn("w", w)
-        .groupBy("r")
-        .agg(
-            # a replicate can draw all-zero weights (probability e^-n —
-            # real only for tiny n, but the guard costs nothing): its
-            # mean is NULL and the percentile/avg below skip it
+        wide.select(
+            F.expr(
+                "stack({n}, {cols}) AS (s, c)".format(
+                    n=n_replicates,
+                    cols=", ".join(
+                        f"s{r}, c{r}" for r in range(n_replicates)
+                    ),
+                )
+            )
+        )
+        # empty input → sums are NULL → drop, matching the exploded
+        # shape where zero groups existed; a replicate CAN draw all-zero
+        # weights (probability e^-n): its mean is NULL and the
+        # percentile/avg below skip it
+        .filter(F.col("c").isNotNull())
+        .select(
             F.when(
-                F.sum("w") > 0,
-                F.sum(F.col("__v") * F.col("w")) / F.sum("w"),
+                F.col("c") > 0, F.col("s") / F.col("c")
             ).alias("m")
         )
     )
