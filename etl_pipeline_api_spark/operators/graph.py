@@ -39,20 +39,36 @@ def basket_edges(
 ) -> DataFrame:
     """Undirected co-occurrence edges (a<b) with support pruning.
 
-    Distinct (basket, item) pairs self-join on the basket key — the
-    shuffle is co-partitioned on the basket, so the quadratic blow-up
-    is per-basket only. Support ≥ ``min_support`` prunes the long tail
-    before anything iterates over the graph.
+    ONE shuffle, no self-join: group each basket to its sorted distinct
+    item set (collect_set dedups (basket, item) in the same agg), then
+    expand the C(k,2) ordered pairs JVM-side with nested array
+    transforms — the r5 shape self-joined two full (basket, item)
+    frames, paying two shuffle-sorts and an SMJ for the same per-basket
+    quadratic expansion. Skew story is unchanged (a pathological basket
+    lands in one task either way); support ≥ ``min_support`` prunes the
+    long tail before anything iterates over the graph.
     """
-    bi = df.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
-    x, y = bi.alias("x"), bi.alias("y")
+    bi = df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+    baskets = bi.groupBy("b").agg(
+        F.sort_array(F.collect_set("i")).alias("items")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, idx: F.transform(
+                        # items is sorted+distinct, so pairing each element
+                        # with its strict suffix yields exactly the a<c pairs
+                        F.slice(F.col("items"), idx + 2, F.size(F.col("items"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("c")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.c")
     return (
-        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.i") < F.col("y.i")))
-        .groupBy(
-            F.col("x.i").alias("a"), F.col("y.i").alias("c")
-        )
+        pairs.groupBy("a", "c")
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
     )
@@ -89,29 +105,40 @@ def pagerank(
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"))
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-    # (1-row) node count rides a broadcast cross join — no collect.
+    # (1-row) node count rides a broadcast cross join — no collect; the
+    # (1−d)/N teleport base is carried as a ranks COLUMN so no round
+    # re-broadcasts the count.
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        "node",
+        (F.lit(1.0) / F.col("n")).alias("rank"),
+        (F.lit(1.0 - damping) / F.col("n")).alias("base"),
     )
-    out = directed.join(deg, "src")
-    for _ in range(iters):
+    # degree-joined edges feed EVERY round: checkpoint once (the r5
+    # shape re-ran the directed⋈deg join per iteration); ranks itself
+    # is checkpointed only every 8th round — for the common small
+    # iteration counts the whole loop stays ONE Catalyst plan with no
+    # per-round barrier, while unbounded runs still truncate lineage.
+    out = directed.join(deg, "src").localCheckpoint(eager=False)
+    for it in range(iters):
         contrib = (
-            out.join(ranks, out["src"] == ranks["node"])
+            out.join(ranks.select("node", "rank"), out["src"] == F.col("node"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inbound"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n_nodes))
+            ranks.select("node", "base")
+            .join(contrib, "node", "left")
             .select(
                 "node",
                 (
-                    (1.0 - damping) / F.col("n")
+                    F.col("base")
                     + damping * F.coalesce(F.col("inbound"), F.lit(0.0))
                 ).alias("rank"),
+                "base",
             )
-            .localCheckpoint(eager=False)
         )
+        if it % 8 == 7:
+            ranks = ranks.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     # orderBy().limit(k) lowers to TakeOrderedAndProject (per-partition
@@ -178,32 +205,56 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
 def bfs_distances(
     edges: DataFrame,
-    source: int,
+    source: "int | DataFrame",
     max_depth: int = 4,
+    early_exit: bool | None = None,
 ) -> DataFrame:
     """Unweighted shortest-path distances from ``source`` over an
     undirected (a<c) edge set, bounded by ``max_depth`` — the
     reachability/radius primitive beside pagerank (influence) and
     triangles (cohesion).
 
+    ``source`` is a node id, or a 1-column (node) DataFrame so a
+    data-derived seed ("the smallest node", "every flagged account")
+    stays IN-PLAN — no driver collect between picking the source and
+    walking from it, and an empty seed yields an empty result instead
+    of needing a caller-side guard.
+
     Frontier-expansion form: each round joins the CURRENT frontier
     (nodes first reached last round) against the symmetrized edges and
     anti-joins already-visited nodes — so each round's work is
     O(edges touching the frontier), not O(all pairs), and a node is
     finalized the first time it is seen (BFS optimality).
-    ``localCheckpoint`` per round truncates lineage. Output:
-    (node, dist) for every node within ``max_depth`` hops, source
-    included at dist 0.
+
+    ``early_exit`` controls the loop discipline: True materializes each
+    frontier eagerly and stops when one comes up empty — right when
+    ``max_depth`` may exceed the graph's radius; False chains all
+    rounds into ONE lazy plan (non-eager checkpoints still cache each
+    frontier's blocks within the single job, so shared subplans aren't
+    recomputed) — right for shallow probes, where per-round driver
+    round-trips dominate. Default: auto (eager beyond depth 4; an
+    empty-frontier join is near-free under AQE's empty-relation
+    propagation, so shallow lazy unrolls waste nothing even past the
+    radius). Output: (node, dist) for every node within ``max_depth``
+    hops, source included at dist 0.
     """
+    if early_exit is None:
+        early_exit = max_depth > 4
     directed = edges.select(
         F.col("a").alias("src"), F.col("c").alias("dst")
     ).unionByName(
         edges.select(F.col("c").alias("src"), F.col("a").alias("dst"))
     ).localCheckpoint(eager=False)
     spark = edges.sparkSession
-    visited = spark.createDataFrame(
-        [(source, 0)], "node long, dist int"
-    )
+    if isinstance(source, DataFrame):
+        visited = source.select(
+            F.col(source.columns[0]).cast("long").alias("node"),
+            F.lit(0).alias("dist"),
+        )
+    else:
+        visited = spark.createDataFrame(
+            [(source, 0)], "node long, dist int"
+        )
     frontier = visited
     for depth in range(1, max_depth + 1):
         nxt = (
@@ -215,10 +266,13 @@ def bfs_distances(
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(depth).alias("dist"))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        nxt = nxt.localCheckpoint(eager=early_exit)
+        if early_exit and nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # no checkpoint on visited: both union children are already
+        # checkpointed, so the lineage stays one union node per round —
+        # checkpointing it again cost a full copy-job every round
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
@@ -337,24 +391,26 @@ def personalized_pagerank(
     nodes = deg.select(F.col("src").alias("node"))
     teleport = F.when(F.col("node") == source, 1.0).otherwise(0.0)
     ranks = nodes.select("node", teleport.alias("rank"))
-    out = directed.join(deg, "src")
-    for _ in range(iters):
+    # same loop discipline as pagerank: the degree-joined edge frame is
+    # checkpointed once (not re-joined per round) and ranks only
+    # truncates lineage every 8th round, so small iteration counts run
+    # as one barrier-free Catalyst plan.
+    out = directed.join(deg, "src").localCheckpoint(eager=False)
+    for it in range(iters):
         contrib = (
             out.join(ranks, out["src"] == ranks["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inbound"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    (1.0 - damping) * teleport
-                    + damping * F.coalesce(F.col("inbound"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                (1.0 - damping) * teleport
+                + damping * F.coalesce(F.col("inbound"), F.lit(0.0))
+            ).alias("rank"),
         )
+        if it % 8 == 7:
+            ranks = ranks.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     top = (

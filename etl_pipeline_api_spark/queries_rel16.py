@@ -263,16 +263,18 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier-expansion joins with visited anti-join (work is
     O(frontier-touching edges) per round, lineage checkpointed); the
     oracle walks the same graph with a bounded recursive CTE
-    (operators/graph.py bfs_distances)."""
+    (operators/graph.py bfs_distances). The source pick stays IN-PLAN
+    (a 1-row min aggregate seed frame), so the whole query is one
+    action and the basket join materializes exactly once — an empty
+    graph flows through as an empty seed, no driver-side guard."""
     from .operators import graph
 
     li = _t(spark, sf_dir, "lineitem")
-    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
-    src = edges.agg(F.min("a")).collect()[0][0]
-    if src is None:
-        # empty graph: schema-correct zero rows, not an int(None) crash
-        return spark.createDataFrame([], "dist int, n_nodes bigint")
-    dists = graph.bfs_distances(edges, source=int(src), max_depth=3)
+    edges = graph.basket_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).localCheckpoint(eager=False)
+    seed = edges.agg(F.min("a").alias("node")).where(F.col("node").isNotNull())
+    dists = graph.bfs_distances(edges, source=seed, max_depth=3)
     return dists.groupBy(F.col("dist")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
