@@ -88,6 +88,11 @@ BENCH_QUERIES: list[str] = [
     "op-graph-bfs",
     "op-cuped",
     "op-winsorize",
+    # round-6: the partsupp four complete TPC-H 22/22
+    "op-tpch-q2",
+    "op-tpch-q11",
+    "op-tpch-q16",
+    "op-tpch-q20",
 ]
 
 

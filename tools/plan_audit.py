@@ -68,6 +68,48 @@ TRIAGE = {
                         "and Jaccard join on data-sized sides — linear "
                         "equi-joins, the correct strategy when neither side "
                         "is broadcastable.",
+    "op-knn-classify": "BNLJ = crossJoin(broadcast(16 query vectors)) — the "
+                       "same bounded-query top-k search shape as "
+                       "op-sim-search; the vote itself is two tiny hash "
+                       "joins.",
+    "op-interval-overlap": "BNLJ = crossJoin(broadcast(1-row pair-count "
+                           "aggregate)) assembling the one-row summary; the "
+                           "overlap join itself lowers to hash joins on the "
+                           "cell key (plan-asserted in tests/test_plans.py).",
+    "op-revenue-concentration": "BNLJ = crossJoin(broadcast(1-row (n, total) "
+                                "aggregate)) — the Gini constants attached "
+                                "to every ranked row; the rank itself is the "
+                                "range-partitioned global_row_index shape, "
+                                "no single-task sort.",
+    "op-cuped": "BNLJ = crossJoin(broadcast(1-row midpoint frame)) tagging "
+                "each metric row pre/post — the scalar-constant shape; "
+                "everything else is one map-combined user agg + a 1-row "
+                "sums agg.",
+    "op-tpch-q11": "BNLJ = crossJoin(broadcast(1-row total-value aggregate)) "
+                   "— the HAVING-share threshold attached to every per-part "
+                   "row (exact integer cents compare); the data joins are "
+                   "broadcasts of supplier/nation.",
+    "op-bootstrap-ci": "BNLJ (if present) = the 1×2R wide row unstacking "
+                       "into the R-row means frame — constant-sized frames "
+                       "only; the data pass is one map-combined global "
+                       "aggregate.",
+    "op-pagerank": "BNLJ = the initial ranks' crossJoin(broadcast(1-row "
+                   "node-count aggregate)), re-printed once per unrolled "
+                   "round in the AQE plan string; each round's data joins "
+                   "are the bhj/smj entries on node-sized frames.",
+    "op-tpch-q2": "BNLJ = the derived-partsupp build: part crossJoin "
+                  "broadcast(4-row replicate range) crossJoin broadcast("
+                  "1-row supplier count) — a narrow constant fan-out map "
+                  "over part, re-printed per reuse; all data joins are "
+                  "dimension broadcasts.",
+    "op-tpch-q16": "BNLJ = the same derived-partsupp constant fan-out "
+                   "(4-row range + 1-row supplier count broadcasts) as "
+                   "op-tpch-q2; the exclusion is a broadcast LEFT ANTI, "
+                   "the rollup one shuffle.",
+    "op-tpch-q20": "BNLJ = the same derived-partsupp constant fan-out "
+                   "(4-row range + 1-row supplier count broadcasts) as "
+                   "op-tpch-q2; lineitem pre-aggregates once and every "
+                   "other join broadcasts.",
 }
 
 

@@ -1,16 +1,27 @@
-"""Round-start drift check: compare /root/testdata parquet physical schemas
-against the recorded expectations in tools/testdata_schemas.json.
+"""Round-start drift check + physical-plan gate.
 
+1. Testdata drift: compare /root/testdata parquet physical schemas
+against the recorded expectations in tools/testdata_schemas.json.
 The round driver owns the testdata and can regenerate it between rounds
 with CHANGED physical types — that exact event (events.ts int64-nanos →
 timestamp[us] between rounds 2 and 3) silently broke three operators and
-the whole bench. Run this FIRST each round:
+the whole bench.
 
-    python tools/roundcheck.py            # compare, exit 1 on drift
+2. Plan gate: audit the latest committed PLANS_r*.md snapshot (written
+by tools/plan_audit.py). Fails on any untriaged **FLAGS** line, any
+CartesianProduct not explicitly triaged as deliberate, any audit ERROR
+block, and duplicated triage lines (the r5 hand-edit artifact) — making
+the "plans I'd accept at 100× scale" bar self-enforcing instead of a
+per-round reading exercise.
+
+Run FIRST each round:
+
+    python tools/roundcheck.py            # both checks, exit 1 on failure
     python tools/roundcheck.py --record   # re-record current schemas
+    python tools/roundcheck.py --plans F  # gate a specific plans file
 
-On drift: every consumer of the drifted column must branch on the actual
-dtype (see queries._t / streaming.events.normalize_event_ts and
+On schema drift: every consumer of the drifted column must branch on the
+actual dtype (see queries._t / streaming.events.normalize_event_ts and
 tests/test_ts_canary.py), then re-record.
 """
 
@@ -47,7 +58,73 @@ def snapshot() -> dict[str, dict[str, str]]:
     return out
 
 
+def latest_plans_file(root: str) -> str | None:
+    import glob
+    import re as _re
+
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(root, "PLANS_r*.md")):
+        m = _re.search(r"PLANS_r(\d+)\.md$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    return best
+
+
+def check_plans(path: str) -> list[str]:
+    """Gate a plan_audit snapshot. Returns a list of problems (empty = ok).
+
+    Rules:
+    - every query block whose stats line carries **FLAGS** must contain at
+      least one ``- triage:`` line explaining why the plan is right;
+    - a CARTESIAN flag fails even when triaged, unless the triage contains
+      the literal phrase "deliberate cartesian" (a data-sized cartesian is
+      never right at scale; saying the phrase is the explicit sign-off);
+    - ERROR blocks fail (the audit could not even run the query);
+    - a triage line repeated within one block fails (generator/hand-edit
+      artifact that hides real diffs round-over-round).
+    """
+    import re as _re
+
+    problems: list[str] = []
+    text = open(path).read()
+    for block in _re.split(r"^## ", text, flags=_re.M)[1:]:
+        name = block.split("\n", 1)[0].strip()
+        triages = _re.findall(r"^- triage: (.*)$", block, flags=_re.M)
+        flags = _re.search(r"\*\*FLAGS: ([^*]*)\*\*", block)
+        if "\nERROR:" in block or block.startswith("ERROR:"):
+            problems.append(f"{name}: audit ERROR block")
+        if flags and not triages:
+            problems.append(f"{name}: untriaged FLAGS ({flags.group(1).strip()})")
+        if flags and "CARTESIAN" in flags.group(1) and not any(
+            "deliberate cartesian" in t.lower() for t in triages
+        ):
+            problems.append(f"{name}: CartesianProduct without explicit sign-off")
+        if len(triages) != len(set(triages)):
+            problems.append(f"{name}: duplicated triage line")
+    return problems
+
+
+def run_plans_gate(path: str | None) -> int:
+    if path is None:
+        print("plans: no PLANS_r*.md snapshot found (run tools/plan_audit.py)")
+        return 0
+    problems = check_plans(path)
+    if problems:
+        print(f"plans gate FAILED on {os.path.basename(path)}:")
+        for p in problems:
+            print(f"  - {p}")
+        return 1
+    print(f"ok: plans gate clean ({os.path.basename(path)})")
+    return 0
+
+
 def main() -> int:
+    if "--plans" in sys.argv:
+        i = sys.argv.index("--plans")
+        path = sys.argv[i + 1] if len(sys.argv) > i + 1 else latest_plans_file(
+            os.path.dirname(HERE)
+        )
+        return run_plans_gate(path)
     cur = snapshot()
     if "--record" in sys.argv:
         with open(RECORD, "w") as f:
@@ -75,7 +152,7 @@ def main() -> int:
         print(f"\n{len(drift)} drift(s) — audit every consumer, then --record")
         return 1
     print(f"ok: {sum(len(v) for v in cur.values())} schemas match the record")
-    return 0
+    return run_plans_gate(latest_plans_file(os.path.dirname(HERE)))
 
 
 if __name__ == "__main__":
