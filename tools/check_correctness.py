@@ -16,15 +16,20 @@ it builds a bare SparkSession and compares PANDAS frames, sorting every column
   cell normalization (floats format as .6f, ints as ints).
 
 Usage: python tools/check_correctness.py [name ...]
+       CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_correctness.py
+(the env override runs the same Spark-vs-DuckDB parity at another scale
+factor — the per-round FULLSWEEP records both sf0.01 and sf0.1, closing
+the "right at sf0.01, subtly wrong under sf0.1 AQE behavior" window)
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
