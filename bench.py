@@ -94,7 +94,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_min": timings_min,
+        # scalar floor only — a second 51-entry per-query dict made the
+        # line long enough that the driver's r5 tail capture truncated it
+        "value_min": round(sum(timings_min.values()), 3),
         "sf": sf,
     }
     if errors:

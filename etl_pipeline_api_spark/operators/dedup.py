@@ -390,10 +390,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return bit_sums.select(F.col("__id").alias(id_col), fp.alias("simhash"))
 
 
-def simhash_band_candidates(fp_df: DataFrame, id_col: str, n_bands: int = 4) -> DataFrame:
+def simhash_band_candidates(
+    fp_df: DataFrame,
+    id_col: str,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs: equal 16-bit band of the simhash (hamming
     distance <= n_bands-1 guarantees a shared band). Join is on (band_idx,
-    band_value) — linear shuffle, not quadratic."""
+    band_value) — linear shuffle, not quadratic.
+
+    ``max_bucket`` is the same skew guard as ``minhash_lsh_pairs``: a band
+    value shared by B fingerprints emits B^2/2 pairs, and on templated
+    corpora whole clusters collapse onto one 16-bit band value, which
+    reintroduces the quadratic blowup (measured: 46x docs raw candidates on
+    the sf0.1 documents table, vs 4.7x with the guard). Oversized buckets
+    are dropped before the self-join via one count-aggregate on the SAME
+    (band, val) key — co-partitions with the join, no new shuffle pattern.
+    Pairs whose every shared band is oversized are lost; those are
+    >max_bucket near-identical clusters, the exact-dedup/line-dedup case,
+    and the recall gate in op-dedup-simhash measures the loss."""
     band_w = 64 // n_bands
     bands = fp_df.select(
         F.col(id_col).alias("__id"),
@@ -409,6 +425,14 @@ def simhash_band_candidates(fp_df: DataFrame, id_col: str, n_bands: int = 4) -> 
             ])
         ).alias("bv"),
     ).select("__id", "simhash", "bv.band", "bv.val")
+    if max_bucket is not None:
+        bands = (
+            bands.withColumn(
+                "__bn", F.count(F.lit(1)).over(Window.partitionBy("band", "val"))
+            )
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a = bands.select(F.col("__id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "val")
     b = bands.select(F.col("__id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "val")
     return (

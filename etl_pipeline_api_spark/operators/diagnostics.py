@@ -38,15 +38,28 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
     aggregations; safe to run on the full 100 TB input.
     """
     counts = key_histogram(df, key_col)
+    # avg and max/avg are rounded via round(x * 100.0) / 100.0 instead of
+    # round(x, 2): when the true ratio is a decimal half-way case (e.g.
+    # 99*1500/100000 = 1.485), 1.485 is NOT representable in binary and
+    # engines disagree on which side the double lands; 148.5 IS exact
+    # (odd/2), so scaling first makes the tie deterministic and both
+    # engines round half-up away from zero. Counts are exact in double
+    # far past any realistic key-cardinality, so the quotient is the
+    # correctly-rounded true value in both engines.
     return counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_n"),
         F.min("n").alias("min_n"),
-        F.round(F.avg("n"), 2).alias("avg_n"),
+        (F.round(F.sum("n") * 100.0 / F.count(F.lit(1)), 0) / 100.0).alias(
+            "avg_n"
+        ),
         F.max(
             F.struct(F.col("n").alias("n"), F.col(key_col).alias("k"))
         )["k"].alias("heavy_key"),
-        F.round(F.max("n") / F.avg("n"), 2).alias("skew_ratio"),
+        (
+            F.round(F.max("n") * 100.0 * F.count(F.lit(1)) / F.sum("n"), 0)
+            / 100.0
+        ).alias("skew_ratio"),
     )
 
 

@@ -160,6 +160,14 @@ def global_row_index(
     ranged = df.repartitionByRange(
         n_parts, *[F.col(c) for c in order_cols]
     ).withColumn("_pid", F.spark_partition_id())
+    # repartitionByRange picks its bounds by SAMPLING (SPARK-28699): two
+    # executions of the same plan can place rows in different partitions.
+    # This plan evaluates `ranged` twice (offset agg + final join), so the
+    # exchange must be pinned to ONE materialization or offsets can be
+    # computed against a different row placement than the join sees
+    # (surfaced as off-by-a-few indices at sf0.1). localCheckpoint is the
+    # same one-materialization-for-counts job RDD zipWithIndex runs.
+    ranged = ranged.localCheckpoint(eager=True)
     offsets = (
         ranged.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -121,24 +121,52 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-approx-aggregates",
     oracle="""
     SELECT count(DISTINCT user_id) AS exact_users,
-           round(quantile_disc(value, 0.5), 2) AS median_value
+           round(quantile_cont(value, 0.5) * 100.0) / 100.0 AS median_value,
+           CAST(1 AS INTEGER) AS users_ok,
+           CAST(1 AS INTEGER) AS median_ok
     FROM events
     """,
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path aggregates. The oracle pins the EXACT answers —
-    quantile_disc, because percentile_approx returns a real data element
-    (no interpolation), exactly when n <= accuracy. Sketch sizes are
-    deliberately moderate: rsd=0.002 (~2 MB HLL registers) and
-    accuracy=10000 — cranking them higher for "exactness" serialized
-    ~90 MB sketch buffers into every task binary, the opposite of the
-    bounded-memory point of approximate aggregation at 100 TB."""
+    """Scale-path sketch aggregates, GATED against their exact twins in
+    one pass: the hash pins the exact answers (count distinct, R-7
+    interpolated median — bit-identical formula in both engines), while
+    the sketches are asserted within tolerance and emitted as 0/1 flags
+    the oracle pins to 1. Bit-equality of a sketch to the exact answer is
+    scale-dependent luck (HLL at rsd=0.002 was off by 1/1500 at sf0.1);
+    the gates are the honest contract: HLL within 5% (5x its rsd), and
+    the KLL/GK median within the ±1%-rank value window [p49, p51]
+    (accuracy=10000 guarantees 0.01% rank error — 100x margin). Sketch
+    sizes stay moderate: rsd=0.01 (2^14 registers, 0.9s) and
+    accuracy=10000 — the previous rsd=0.002 (2^19 registers) spent
+    18-20s GC-thrashing a vanilla 1g driver for ONE aggregate (and
+    OOM'd it outright in isolation; rsd=0.005 still cost 4.3s in
+    register-buffer overhead); bounded-memory is the entire point of
+    sketching at 100 TB, so the sketch must stay small enough to ride
+    in every task."""
     ev = _t(spark, sf_dir, "events")
-    approx = ev.agg(
-        F.approx_count_distinct("user_id", rsd=0.002).alias("exact_users"),
-        F.round(F.percentile_approx("value", 0.5, 10000), 2).alias("median_value"),
+    r = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_a_users"),
+        F.expr("percentile(value, array(0.49D, 0.5D, 0.51D))").alias("_p"),
+        F.percentile_approx("value", 0.5, 10000).alias("_a_med"),
     )
-    return approx
+    return r.select(
+        "exact_users",
+        (F.round(F.col("_p")[1] * 100.0, 0) / 100.0).alias("median_value"),
+        (
+            F.abs(F.col("_a_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("users_ok"),
+        (
+            (F.col("_a_med") >= F.col("_p")[0])
+            & (F.col("_a_med") <= F.col("_p")[2])
+        )
+        .cast("int")
+        .alias("median_ok"),
+    )
 
 
 @query(
@@ -386,7 +414,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM t)
-    SELECT vec_id, round(v[1] / nrm, 4) AS e0, round(v[64] / nrm, 4) AS e63
+    SELECT vec_id, round(v[1] / nrm, 4) + 0.0 AS e0, round(v[64] / nrm, 4) + 0.0 AS e63
     FROM n
     """,
 )
@@ -399,10 +427,11 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: one scan partition at small SF would serialize the per-row
     # norm+divide on a single core (no-op at real scale)
     emb = l2_normalize(fan_out(_t(spark, sf_dir, "embeddings")), "embedding")
+    # + 0.0 canonicalizes IEEE -0.0 → 0.0 after round (both sides)
     return emb.select(
         "vec_id",
-        F.round(F.col("unit")[0], 4).alias("e0"),
-        F.round(F.col("unit")[63], 4).alias("e63"),
+        (F.round(F.col("unit")[0], 4) + F.lit(0.0)).alias("e0"),
+        (F.round(F.col("unit")[63], 4) + F.lit(0.0)).alias("e63"),
     )
 
 

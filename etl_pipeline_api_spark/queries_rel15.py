@@ -114,10 +114,10 @@ def _rp_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
     WITH t AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT vec_id,
-           round({coord(0)}, 4) AS p0,
-           round({coord(out_dim - 1)}, 4) AS p{out_dim - 1},
+           round({coord(0)}, 4) + 0.0 AS p0,
+           round({coord(out_dim - 1)}, 4) + 0.0 AS p{out_dim - 1},
            round(sqrt(list_sum(list_transform([{all_coords}],
-                 x -> x * x))), 4) AS pnorm
+                 x -> x * x))), 4) + 0.0 AS pnorm
     FROM t
     """
 
@@ -136,15 +136,19 @@ def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = similarity.random_project(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", out_dim=16
     )
+    # + 0.0 canonicalizes IEEE -0.0 → 0.0 after round (both sides)
     return proj.select(
         "vec_id",
-        F.round(F.col("proj")[0], 4).alias("p0"),
-        F.round(F.col("proj")[15], 4).alias("p15"),
-        F.round(
-            F.sqrt(
-                F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x)
-            ),
-            4,
+        (F.round(F.col("proj")[0], 4) + F.lit(0.0)).alias("p0"),
+        (F.round(F.col("proj")[15], 4) + F.lit(0.0)).alias("p15"),
+        (
+            F.round(
+                F.sqrt(
+                    F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x)
+                ),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("pnorm"),
     )
 

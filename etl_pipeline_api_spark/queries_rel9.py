@@ -125,9 +125,12 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_keys,
            max(n) AS max_n,
            min(n) AS min_n,
-           round(avg(n), 2) AS avg_n,
+           -- scale-then-round: decimal half-way cases (1.485) are inexact
+           -- in double but 148.5 is exact, so both engines tie-break the
+           -- same way (matches operators/diagnostics.py skew_report)
+           round(sum(n) * 100.0 / count(*)) / 100.0 AS avg_n,
            (SELECT user_id FROM c ORDER BY n DESC, user_id DESC LIMIT 1) AS heavy_key,
-           round(max(n) / avg(n), 2) AS skew_ratio
+           round(max(n) * 100.0 * count(*) / sum(n)) / 100.0 AS skew_ratio
     FROM c
     """,
 )

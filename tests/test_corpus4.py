@@ -50,10 +50,22 @@ def test_global_row_index_contiguous_and_ordered(spark):
 
 
 def test_global_row_index_no_full_table_single_partition_sort(spark):
-    """The scale property: the data path is range-partitioned; the only
-    SinglePartition step is the k-row offset aggregation, never a sort of
-    the full table."""
+    """The scale property: the only SinglePartition step is the k-row
+    offset aggregation, never a sort of the full table. (The range
+    exchange itself happens inside the localCheckpoint materialization
+    job — SPARK-28699 nondeterministic sampling forces the pin, see
+    global_row_index — so the downstream plan starts from the
+    checkpointed RDD and re-clusters by _pid with a balanced hash
+    exchange.)"""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
     plan = global_row_index(docs, "doc_id", n_parts=8)._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    # the full-table window partitions by _pid — never an empty
+    # partition spec (which would be the single-task global window)
+    assert "windowspecdefinition(_pid" in plan
+    # exactly one SinglePartition exchange: the k-row offsets frame
+    assert plan.count("Exchange SinglePartition") == 1
+    # every Sort is within-partition (global flag false)
+    for line in plan.splitlines():
+        if "+- Sort [" in line:
+            assert "], false, 0" in line, line
