@@ -756,6 +756,11 @@ def peak_concurrency(
     ranged = deltas.repartitionByRange(
         n_parts, F.col("us"), F.col("d")
     ).withColumn("_pid", F.spark_partition_id())
+    # Same pin as layout.global_row_index: repartitionByRange bounds are
+    # SAMPLED (SPARK-28699) and this plan evaluates `ranged` twice
+    # (offsets agg + join) — without a single materialization the two
+    # executions can place rows differently and the offsets misalign.
+    ranged = ranged.localCheckpoint(eager=True)
     offsets = (
         ranged.groupBy("_pid")
         .agg(F.sum("d").alias("_sum"))
