@@ -221,6 +221,164 @@ def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang").orderBy("doc_id")
 
 
+# The full composition, ORACLE-GATED on the exact-Jaccard path: every
+# stage of op-corpus-curate-full re-derived in one DuckDB query — PII
+# scrub, langid, quality, line-dedup over the filtered set, fingerprint
+# dedup, exact near-dup components (recursive CTE), decontamination
+# against the raw eval slice. op-corpus-curate-full itself stays on the
+# MinHash scale path (and stays rows-only: LSH recall on this corpus is
+# 2650/2651 survivors at sf0.1 — pinning it to the exact set would be
+# the same corpus-luck trap as the old simhash 4x-docs bound); this twin
+# proves the COMPOSITION, the LSH swap is covered by op-dedup-minhash's
+# recall gate.
+_CURATE_COMPOSED_ORACLE = rf"""
+WITH RECURSIVE train0 AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{text.PII_EMAIL}', '[EMAIL]', 'g'),
+           '{text.PII_PHONE}', '[PHONE]', 'g'),
+           '{text.PII_IPV4}', '[IP]', 'g') AS text
+  FROM documents WHERE doc_id % 50 != 0),
+tok0 AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS tokens
+  FROM train0),
+rates AS (
+  SELECT doc_id,
+    len(list_filter(tokens, t -> list_contains(['the','and','of'], t))) * 1.0
+      / greatest(len(tokens), 1) AS r_en,
+    len(list_filter(tokens, t -> list_contains(['el','la','los','de'], t))) * 1.0
+      / greatest(len(tokens), 1) AS r_es,
+    len(list_filter(tokens, t -> list_contains(['le','les','des','une'], t))) * 1.0
+      / greatest(len(tokens), 1) AS r_fr,
+    len(list_filter(tokens, t -> list_contains(['der','die','und','das'], t))) * 1.0
+      / greatest(len(tokens), 1) AS r_de,
+    len(list_filter(tokens, t -> list_contains(['的','是','了'], t))) * 1.0
+      / greatest(len(tokens), 1) AS r_zh
+  FROM tok0),
+lang_keep AS (
+  SELECT doc_id FROM rates
+  WHERE greatest(r_en, r_es, r_fr, r_de, r_zh) > 0
+    AND r_en = greatest(r_en, r_es, r_fr, r_de, r_zh)),
+quality_keep AS (
+  SELECT doc_id FROM tok0
+  WHERE round(
+      0.4 * least(length(text) / 200.0, 1.0)
+    + 0.3 * least((len(list_filter(tokens, t -> list_contains(
+          ['the','a','of','to','and','in','is','for','on','with'], t)))
+          * 1.0 / greatest(len(tokens), 1)) / 0.08, 1.0)
+    + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+          * 1.0 / greatest(length(text), 1)), 4) >= 0.5),
+filtered AS (
+  SELECT t.doc_id, t.tokens FROM tok0 t
+  JOIN lang_keep USING (doc_id) JOIN quality_keep USING (doc_id)),
+ls AS (
+  SELECT doc_id, list_transform(
+           generate_series(0, CAST(ceil(len(tokens)/10.0) AS INT) - 1),
+           i -> array_to_string(tokens[i*10+1:i*10+10], ' ')) AS arr
+  FROM filtered),
+lines AS (
+  SELECT doc_id, unnest(arr) AS line,
+         unnest(generate_series(0, len(arr)-1)) AS pos
+  FROM ls),
+ldf AS (SELECT line, count(DISTINCT doc_id) AS line_docs FROM lines GROUP BY 1),
+kept AS (
+  SELECT l.* FROM lines l JOIN ldf USING (line) WHERE line_docs <= 1),
+clean AS (
+  SELECT f.doc_id,
+         coalesce(string_agg(k.line, ' ' ORDER BY k.pos), '') AS text
+  FROM filtered f LEFT JOIN kept k USING (doc_id)
+  GROUP BY f.doc_id),
+fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(t)),
+                            i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM clean)),
+exact_survivors AS (
+  SELECT c.doc_id, c.text FROM clean c
+  WHERE c.doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fingerprint)),
+tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tokens
+  FROM exact_survivors),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tokens)-2, 0)),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
+  FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING min(comp) < node),
+nd_survivors AS (
+  SELECT doc_id, text FROM exact_survivors
+  WHERE doc_id NOT IN (SELECT node FROM losers)),
+surv4 AS (
+  SELECT DISTINCT s.doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks)-3, 0)),
+           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS shingle
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM nd_survivors) s),
+ev4 AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, greatest(len(toks)-3, 0)),
+           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3])) AS shingle
+  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE doc_id % 50 = 0)),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM surv4 s JOIN ev4 USING (shingle))
+SELECT d.doc_id, d.source, d.lang
+FROM nd_survivors n JOIN documents d USING (doc_id)
+WHERE n.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@query("op-corpus-curate-composed", oracle=_CURATE_COMPOSED_ORACLE)
+def q_corpus_curate_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME full composition as op-corpus-curate-full but on the
+    exact-Jaccard near-dup path, so the whole five-stage pipeline — PII
+    scrub folded into the filter projection, langid + quality filter,
+    boilerplate line-dedup scoped to the filtered set, fingerprint exact
+    dedup, connected-component near-dup removal, benchmark
+    decontamination — is pinned by ONE DuckDB twin end to end (stage
+    interactions included, e.g. line-dedup emptying a doc before
+    fingerprinting, or decontamination running over line-deduped text
+    against RAW eval text). op-corpus-curate-full keeps the MinHash
+    scale path for the bench; its LSH-vs-exact delta is covered by
+    op-dedup-minhash's recall gate."""
+    from .plans.corpus import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    out = curate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        quality_min=0.5,
+        scale_path=False,
+        redact_pii=True,
+        line_max_df=1,
+        decontam_eval=ev,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
 # ---------------------------------------------------------------------
 # Repetition quality signals (Gopher-style) + domain mixture
 # ---------------------------------------------------------------------
