@@ -760,14 +760,27 @@ def q_text_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("op-multimodal-framesample")  # rows-only: synthetic payload sampling
+@query(
+    "op-multimodal-framesample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           round(i / 2.0, 3) AS t_s
+    FROM documents, generate_series(0, 3) t(i)
+    WHERE doc_id < 200
+    """,
+)
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-multimodal-col companion: deterministic frame sampling over opaque
     binary payloads (every k-th frame offset; the decode itself is the
-    stubbed codec — Spark plumbing, schema, and batch shape are real)."""
+    stubbed codec — Spark plumbing, schema, and batch shape are real).
+    duration_s=2.0 at fps=2.0 ⇒ 4 frames per payload, which the DuckDB
+    twin re-derives arithmetically — the oracle pins the sampling plan
+    (frame count from metadata duration, timestamps) end to end. The doc
+    subset is doc_id < 200, not limit(200): an un-ordered limit is an
+    arbitrary subset and would be engine-dependent."""
     from .operators import multimodal
 
-    docs = _t(spark, sf_dir, "documents").limit(200).select(
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
         "doc_id", F.encode("text", "utf-8").alias("raw")
     )
     payloads = multimodal.attach_payload(

@@ -134,13 +134,22 @@ def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op-file-lineage: hidden _metadata provenance
 # ---------------------------------------------------------------------
 
-@query("op-file-lineage")  # rows-only: file names are engine-internal
+@query(
+    "op-file-lineage",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+)
 def q_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source-file row counts via the hidden `_metadata` struct — free
     provenance on every file-based scan (no extra column stored, the
     reader injects it). The audit primitive for 'which input file
-    produced these bad rows'. Multi-file semantics pinned in
-    tests/test_rel7.py over a sharded write."""
+    produced these bad rows'. The driver testdata ships each table as ONE
+    parquet file, so the oracle can pin both the surfaced file name and
+    its row count (scale-free — holds at every sf dir); multi-file
+    semantics are pinned in tests/test_rel7.py over a sharded write."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.select(F.col("_metadata.file_name").alias("file_name"))
