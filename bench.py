@@ -20,29 +20,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# __spark_entry__ imports EVERY query-registering module (it is the
+# driver contract, so it can never be allowed to drift) — reusing it
+# here means bench.py cannot miss a newly added module the way a
+# hand-maintained import list did (r6: queries_rel17 missing KeyError'd
+# the whole bench).
+import __spark_entry__  # noqa: E402,F401
 from etl_pipeline_api_spark.queries import BENCH_QUERIES, QUERIES  # noqa: E402
-import etl_pipeline_api_spark.queries_ext  # noqa: E402,F401  (registers extension queries)
-import etl_pipeline_api_spark.queries_rel  # noqa: E402,F401  (registers relational-breadth queries)
-import etl_pipeline_api_spark.queries_rel2  # noqa: E402,F401  (registers second breadth batch)
-import etl_pipeline_api_spark.queries_corpus  # noqa: E402,F401  (registers corpus-curation batch 2)
-import etl_pipeline_api_spark.queries_corpus2  # noqa: E402,F401  (registers corpus-layout batch 3)
-import etl_pipeline_api_spark.queries_rel3  # noqa: E402,F401  (registers relational batch 3)
-import etl_pipeline_api_spark.queries_rel4  # noqa: E402,F401  (registers relational batch 4)
-import etl_pipeline_api_spark.queries_layout  # noqa: E402,F401  (registers physical-layout queries)
-import etl_pipeline_api_spark.queries_rel5  # noqa: E402,F401  (registers relational batch 5)
-import etl_pipeline_api_spark.queries_corpus3  # noqa: E402,F401  (registers corpus-quality batch 4)
-import etl_pipeline_api_spark.queries_corpus4  # noqa: E402,F401  (registers corpus batch 5)
-import etl_pipeline_api_spark.queries_rel6  # noqa: E402,F401  (registers relational batch 6)
-import etl_pipeline_api_spark.queries_rel7  # noqa: E402,F401  (registers relational batch 7)
-import etl_pipeline_api_spark.queries_rel8  # noqa: E402,F401  (registers relational batch 8)
-import etl_pipeline_api_spark.queries_rel9  # noqa: E402,F401  (registers relational batch 9)
-import etl_pipeline_api_spark.queries_rel10  # noqa: E402,F401  (registers relational batch 10)
-import etl_pipeline_api_spark.queries_rel11  # noqa: E402,F401  (registers relational batch 11)
-import etl_pipeline_api_spark.queries_rel12  # noqa: E402,F401  (registers relational batch 12)
-import etl_pipeline_api_spark.queries_rel13  # noqa: E402,F401  (registers relational batch 13)
-import etl_pipeline_api_spark.queries_rel14  # noqa: E402,F401  (registers relational batch 14)
-import etl_pipeline_api_spark.queries_rel15  # noqa: E402,F401  (registers relational batch 15)
-import etl_pipeline_api_spark.queries_rel16  # noqa: E402,F401  (registers relational batch 16)
 from etl_pipeline_api_spark.session import get_spark  # noqa: E402
 
 
@@ -74,8 +58,11 @@ def main() -> None:
     timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
         try:
+            # inside the try: an unregistered name (a missing module
+            # import) must report as that query's error, not kill the
+            # whole bench before a single timing is emitted
+            fn = QUERIES[name]
             force(fn(spark, sf_dir))  # warmup
             runs = []
             for _ in range(3):
