@@ -49,6 +49,27 @@ def test_global_row_index_contiguous_and_ordered(spark):
     assert [r.idx for r in by_doc] == list(range(n))  # index follows key order
 
 
+def test_global_row_index_correct_at_volume(spark):
+    """Regression for the SPARK-28699 class: repartitionByRange bounds are
+    SAMPLED, and before the localCheckpoint pin the offsets aggregate and
+    the final join could execute the exchange with different bounds —
+    correct at toy sizes, off-by-a-few at sf0.1 (50k rows). Assert exact
+    idx == rank on a 200k-row skewed frame, twice (two full plans, two
+    checkpoint materializations — both must agree with the rank)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200_000).select(
+        # non-uniform key distribution so sampled range bounds are uneven
+        (F.col("id") * F.col("id") % 1_000_003).alias("k"),
+        F.col("id"),
+    )
+    for _ in range(2):
+        out = global_row_index(df, ["k", "id"], n_parts=16).withColumn(
+            "rk", F.expr("rank() over (order by k, id)") - 1
+        )
+        assert out.filter(F.col("idx") != F.col("rk")).count() == 0
+
+
 def test_global_row_index_no_full_table_single_partition_sort(spark):
     """The scale property: the only SinglePartition step is the k-row
     offset aggregation, never a sort of the full table. (The range
