@@ -102,3 +102,49 @@ def test_latest_plans_file_picks_highest_round(tmp_path):
     (tmp_path / "PLANS_r2.md").write_text(GOOD)
     (tmp_path / "PLANS_r10.md").write_text(GOOD)
     assert roundcheck.latest_plans_file(str(tmp_path)).endswith("PLANS_r10.md")
+
+
+# ---------------------------------------------------------------------
+# bench regression gate (tools/bench_regress.py)
+# ---------------------------------------------------------------------
+
+def _bench_regress():
+    import importlib
+    import sys as _sys
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
+    return importlib.import_module("bench_regress")
+
+
+def test_bench_regress_flags_seeded_regression(tmp_path):
+    br = _bench_regress()
+    import json
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"op-a": 1.0, "op-b": 0.5}}))
+    new.write_text(json.dumps({"queries": {"op-a": 2.0, "op-b": 0.52}}))
+    qo, qn = br.load_queries(str(old)), br.load_queries(str(new))
+    regs = br.compare(qo, qn)
+    assert len(regs) == 1 and regs[0].startswith("op-a")  # b within wobble
+
+
+def test_bench_regress_parses_truncated_driver_tail(tmp_path):
+    br = _bench_regress()
+    import json
+    p = tmp_path / "r.json"
+    # the r5 shape: parsed null, raw line in "tail", cut mid-number
+    p.write_text(json.dumps({
+        "parsed": None,
+        "tail": '{"queries": {"op-a": 1.25, "op-b": 0.75, "op-c": 0.',
+    }))
+    q = br.load_queries(str(p))
+    assert q == {"op-a": 1.25, "op-b": 0.75}  # pair cut mid-number dropped
+
+
+def test_bench_regress_passes_on_improvement(tmp_path):
+    br = _bench_regress()
+    import json
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"op-a": 2.0}}))
+    new.write_text(json.dumps({"queries": {"op-a": 1.0, "op-new": 9.9}}))
+    assert br.compare(br.load_queries(str(old)), br.load_queries(str(new))) == []

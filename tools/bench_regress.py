@@ -1,0 +1,116 @@
+"""Bench regression gate: diff the two latest BENCH_r*.json snapshots.
+
+The plans gate makes "plans I'd accept at 100x" self-enforcing; this does
+the same for "no query got slower without a reason". It compares per-query
+medians between the two most recent driver-recorded bench rounds and
+reports:
+
+- REGRESSION: > max(35%, 0.3 s) slower than the previous round — exits
+  non-zero (the r4->r5 board showed zero regressions >10%, so 35% is far
+  outside scheduler wobble on a warm median-of-3);
+- new/removed queries (informational — coverage changes are deliberate).
+
+The driver wraps bench output as {"n", "rc", "cpus", "sf", "tail",
+"parsed"}; "parsed" is the JSON line when it parsed, else null with the
+raw line in "tail" (the r5 truncation case) — per-query pairs are then
+recovered with a regex, which tolerates a cut-off tail.
+
+Usage:
+    python tools/bench_regress.py                 # two latest BENCH_r*.json
+    python tools/bench_regress.py A.json B.json   # explicit old new
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ABS_FLOOR_S = 0.3
+REL_FLOOR = 0.35
+
+
+def load_queries(path: str) -> dict[str, float]:
+    """Per-query medians from a driver BENCH record or a raw bench line."""
+    d = json.load(open(path))
+    if isinstance(d, dict) and "queries" in d:  # raw bench.py output
+        return {k: float(v) for k, v in d["queries"].items()}
+    parsed = d.get("parsed")
+    if parsed and "queries" in parsed:
+        return {k: float(v) for k, v in parsed["queries"].items()}
+    # truncated tail: recover what survives; the LAST pair may be cut
+    # mid-number, which the regex naturally drops
+    tail = d.get("tail", "")
+    pairs = re.findall(r'"(op-[a-z0-9-]+)": ([0-9]+\.[0-9]+)', tail)
+    return {k: float(v) for k, v in pairs}
+
+
+def latest_two() -> tuple[str, str] | None:
+    files = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            files.append((int(m.group(1)), p))
+    files.sort()
+    if len(files) < 2:
+        return None
+    return files[-2][1], files[-1][1]
+
+
+def compare(old: dict[str, float], new: dict[str, float]) -> list[str]:
+    regressions = []
+    for k, v in sorted(new.items()):
+        if k not in old:
+            continue
+        o = old[k]
+        if v > o * (1 + REL_FLOOR) and v - o > ABS_FLOOR_S:
+            regressions.append(f"{k}: {o:.2f}s -> {v:.2f}s (+{(v / o - 1) * 100:.0f}%)")
+    return regressions
+
+
+def main() -> int:
+    if len(sys.argv) == 3:
+        old_p, new_p = sys.argv[1], sys.argv[2]
+    else:
+        pair = latest_two()
+        if pair is None:
+            print("bench-regress: fewer than two BENCH_r*.json records; nothing to diff")
+            return 0
+        old_p, new_p = pair
+    old, new = load_queries(old_p), load_queries(new_p)
+    shared = sorted(set(old) & set(new))
+    if not shared:
+        print(
+            f"bench-regress: no shared queries between "
+            f"{os.path.basename(old_p)} and {os.path.basename(new_p)}"
+        )
+        return 0
+    regs = compare(old, new)
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    tot_old = sum(old[k] for k in shared)
+    tot_new = sum(new[k] for k in shared)
+    print(
+        f"bench-regress: {os.path.basename(old_p)} -> {os.path.basename(new_p)}: "
+        f"{len(shared)} shared, total {tot_old:.1f}s -> {tot_new:.1f}s"
+    )
+    if added:
+        print(f"  new queries ({len(added)}): {', '.join(added[:8])}"
+              + (" ..." if len(added) > 8 else ""))
+    if removed:
+        print(f"  removed queries ({len(removed)}): {', '.join(removed)}")
+    if regs:
+        print(f"bench-regress FAILED ({len(regs)} regressions > "
+              f"max({REL_FLOOR:.0%}, {ABS_FLOOR_S}s)):")
+        for r in regs:
+            print(f"  - {r}")
+        return 1
+    print("ok: no per-query regression beyond threshold")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -152,7 +152,13 @@ def main() -> int:
         print(f"\n{len(drift)} drift(s) — audit every consumer, then --record")
         return 1
     print(f"ok: {sum(len(v) for v in cur.values())} schemas match the record")
-    return run_plans_gate(latest_plans_file(os.path.dirname(HERE)))
+    rc = run_plans_gate(latest_plans_file(os.path.dirname(HERE)))
+    # bench regression gate: same self-enforcement for "no query got
+    # slower without a reason" (tools/bench_regress.py; diffs the two
+    # latest driver-recorded BENCH_r*.json)
+    import bench_regress
+
+    return rc or bench_regress.main()
 
 
 if __name__ == "__main__":
