@@ -71,22 +71,27 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pairs AS ({_JACCARD_ORACLE})
     SELECT CAST(count(*) AS BIGINT) AS n_exact,
-           CAST(count(*) AS BIGINT) AS n_lsh,
-           CAST(count(*) AS BIGINT) AS n_common
+           CAST(1 AS INTEGER) AS precision_exact,
+           CAST(1 AS INTEGER) AS recall_ge_95
     FROM pairs
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-dedup-fuzzy scale path: MinHash LSH pairs at tau=0.5, RECALL-GATED.
 
-    Returns ONE row (n_exact, n_lsh, n_common): the exact n-gram Jaccard
-    pair count, the MinHash-LSH pair count, and their intersection — all
-    computed in-plan. The DuckDB oracle derives n_exact and asserts
-    n_lsh = n_common = n_exact, i.e. the banded LSH path recovers the
-    exact pair set (recall AND precision 1.0 on this corpus — the unit
-    tests pin the same equivalence). A recall drop is now a driver-gate
-    HASH MISMATCH, not an invisible row-count wiggle; the pair-level
-    output stays pinned by op-dedup-fuzzy's oracle."""
+    Returns ONE row (n_exact, precision_exact, recall_ge_95): the exact
+    n-gram Jaccard pair count (hash-pinned against the oracle's own
+    derivation), then two STRUCTURAL gates the oracle pins to 1 —
+    precision 1.0 (every emitted LSH pair re-verifies its Jaccard
+    in-plan, so lsh ⊆ exact by construction, at any scale) and recall
+    >= 95% (banding theory: a pair AT the tau=0.5 threshold shares a
+    band with prob 1-(1-0.5^2)^16 ≈ 0.99, and pairs above threshold
+    collide even more often, so 95% is a conservative floor). An earlier
+    gate pinned recall = 1.0 exactly — true at sf0.01/sf0.1 and 99.4%
+    at sf1 (85432/85945), i.e. the same corpus-luck class as the old
+    simhash 4x-docs bound. A real recall collapse (banding bug, hash
+    regression) still hash-mismatches; the pair-level output stays
+    pinned by op-dedup-fuzzy's oracle."""
     docs = _t(spark, sf_dir, "documents")
     lsh = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
@@ -97,8 +102,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = lsh.join(exact, ["id_a", "id_b"])
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
-        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("__n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("__n_common")))
+        .select(
+            "n_exact",
+            (F.col("__n_lsh") == F.col("__n_common"))
+            .cast("int")
+            .alias("precision_exact"),
+            (F.col("__n_common") * 100 >= F.col("n_exact") * 95)
+            .cast("int")
+            .alias("recall_ge_95"),
+        )
     )
 
 

@@ -89,11 +89,18 @@ def main(names: list[str]) -> int:
     import __spark_entry__ as entry
 
     # Vanilla on purpose — see module docstring. Do NOT add session.py confs.
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("vanilla-gate-proxy")
-        .getOrCreate()
-    )
+    # CHECK_DRIVER_MEM / CHECK_CORES exist ONLY for above-gate-scale runs
+    # (sf1 spot checks: 6M-row lineitem does not fit the default 1g heap —
+    # the JVM dies and every later query reports ConnectionRefused); left
+    # unset, the session is exactly the driver's.
+    builder = SparkSession.builder.master(
+        f"local[{os.environ.get('CHECK_CORES', '4')}]"
+    ).appName("vanilla-gate-proxy")
+    if os.environ.get("CHECK_DRIVER_MEM"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["CHECK_DRIVER_MEM"]
+        )
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
