@@ -98,6 +98,12 @@ BENCH_QUERIES: list[str] = [
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # a duplicate name silently SHADOWS the earlier query (import
+        # order wins) — exactly how queries_rel2's orders ORC round-trip
+        # disappeared behind queries_rel9's events one for four rounds;
+        # fail loudly instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -448,7 +454,7 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INT)  AS ano,
            CAST(month(o_orderdate) AS INT) AS mes,
            count(*)                        AS n,
-           round(sum(o_totalprice), 2)     AS total
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders GROUP BY 1, 2
     """,
 )
@@ -469,7 +475,10 @@ def q_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.groupBy(F.col("ano").cast("int").alias("ano"),
                      F.col("mes").cast("int").alias("mes"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        # exact-integer-cents sum: order-independent (see op-rollup)
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              / 100.0).alias("total"))
     )
 
 

@@ -635,7 +635,8 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-join-broadcast",
     oracle="""
-    SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    SELECT r_name, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -655,8 +656,10 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
+        # exact-integer-cents sum: order-independent (see op-rollup)
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             (F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              / 100.0).alias("revenue"))
     )
 
 

@@ -37,17 +37,30 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-rollup",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup: hierarchical subtotals ((a,b), (a), ()) in one pass —
-    Spark expands grouping sets map-side, still a single shuffle."""
+    Spark expands grouping sets map-side, still a single shuffle.
+
+    Money totals use the exact-integer-cents discipline (queries_rel4):
+    round(sum(double), 2) diverged between engines at sf1 on the GRAND
+    TOTAL row only — 1.5M-row double summation at 1e11 magnitude differs
+    by summation order beyond the 2-dp rounding boundary. Summing exact
+    cents as longs is order-independent, and the final /100.0 of an
+    integer < 2^53 is the same double in both engines."""
     return (
         _t(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("total"),
+        )
     )
 
 

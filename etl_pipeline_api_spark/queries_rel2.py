@@ -344,18 +344,24 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @query(
-    "op-orc-roundtrip",
+    "op-orc-orders-roundtrip",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders GROUP BY 1
     """,
 )
-def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC source/sink round-trip: write orders as ORC (the other
-    columnar lake format; same predicate-pushdown + column-pruning
+def q_orc_orders_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip on ORDERS (date + money columns; the
+    events twin is queries_rel9's op-orc-roundtrip — this one was
+    registered under the same name and silently shadowed until the
+    registry learned to reject duplicates). Write orders as ORC (the
+    other columnar lake format; same predicate-pushdown + column-pruning
     contract as parquet in Spark's DSv2 reader), read it back, aggregate.
-    The oracle computes the identical aggregate from the parquet
-    original — equality proves the format round-trip is lossless."""
+    The oracle computes the identical aggregate from the parquet original
+    — equality proves the format round-trip is lossless. Money totals use
+    the exact-integer-cents discipline (order-independent; see op-rollup
+    for the sf1 double-summation divergence this avoids)."""
     import tempfile
 
     out = tempfile.mkdtemp(prefix="orc_rt_")
@@ -363,7 +369,9 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0
+        ).alias("total"),
     )
 
 
