@@ -148,3 +148,13 @@ def test_bench_regress_passes_on_improvement(tmp_path):
     old.write_text(json.dumps({"queries": {"op-a": 2.0}}))
     new.write_text(json.dumps({"queries": {"op-a": 1.0, "op-new": 9.9}}))
     assert br.compare(br.load_queries(str(old)), br.load_queries(str(new))) == []
+
+
+def test_query_registry_rejects_duplicate_names():
+    import pytest as _pytest
+    from etl_pipeline_api_spark import queries as q
+
+    with _pytest.raises(ValueError, match="duplicate query name"):
+        q.query("op-groupby-sum")(lambda spark, sf_dir: None)
+    # registry unchanged: the original callable is still registered
+    assert callable(q.QUERIES["op-groupby-sum"])
