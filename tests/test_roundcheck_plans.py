@@ -123,8 +123,9 @@ def test_bench_regress_flags_seeded_regression(tmp_path):
     old.write_text(json.dumps({"queries": {"op-a": 1.0, "op-b": 0.5}}))
     new.write_text(json.dumps({"queries": {"op-a": 2.0, "op-b": 0.52}}))
     qo, qn = br.load_queries(str(old)), br.load_queries(str(new))
-    regs = br.compare(qo, qn)
+    regs, waived = br.compare(qo, qn)
     assert len(regs) == 1 and regs[0].startswith("op-a")  # b within wobble
+    assert waived == []
 
 
 def test_bench_regress_parses_truncated_driver_tail(tmp_path):
@@ -147,7 +148,7 @@ def test_bench_regress_passes_on_improvement(tmp_path):
     new = tmp_path / "new.json"
     old.write_text(json.dumps({"queries": {"op-a": 2.0}}))
     new.write_text(json.dumps({"queries": {"op-a": 1.0, "op-new": 9.9}}))
-    assert br.compare(br.load_queries(str(old)), br.load_queries(str(new))) == []
+    assert br.compare(br.load_queries(str(old)), br.load_queries(str(new))) == ([], [])
 
 
 def test_query_registry_rejects_duplicate_names():
@@ -158,3 +159,11 @@ def test_query_registry_rejects_duplicate_names():
         q.query("op-groupby-sum")(lambda spark, sf_dir: None)
     # registry unchanged: the original callable is still registered
     assert callable(q.QUERIES["op-groupby-sum"])
+
+
+def test_bench_regress_waiver_downgrades_known_slowdown(tmp_path, monkeypatch):
+    br = _bench_regress()
+    monkeypatch.setitem(br.WAIVERS, "op-w", "deliberate tradeoff")
+    regs, waived = br.compare({"op-w": 1.0, "op-x": 1.0}, {"op-w": 2.0, "op-x": 2.0})
+    assert len(regs) == 1 and regs[0].startswith("op-x")
+    assert len(waived) == 1 and "deliberate tradeoff" in waived[0]

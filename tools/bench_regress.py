@@ -32,6 +32,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ABS_FLOOR_S = 0.3
 REL_FLOOR = 0.35
 
+# Known, deliberate slowdowns: query -> reason. Printed as WAIVED, not
+# counted as failures. Keep entries only while the comparison window
+# still spans the round that introduced the change, then delete.
+WAIVERS = {
+    # r6: round(sum(double),2) diverged from DuckDB at sf1 magnitudes
+    # (summation order); the fix sums exact integer cents, which costs a
+    # per-row round+cast (~0.46s -> ~0.77s at sf0.1). Correctness at
+    # scale over local latency.
+    "op-join-broadcast": "r6 exact-integer-cents money sums (see op-rollup)",
+}
+
 
 def load_queries(path: str) -> dict[str, float]:
     """Per-query medians from a driver BENCH record or a raw bench line."""
@@ -60,15 +71,22 @@ def latest_two() -> tuple[str, str] | None:
     return files[-2][1], files[-1][1]
 
 
-def compare(old: dict[str, float], new: dict[str, float]) -> list[str]:
-    regressions = []
+def compare(
+    old: dict[str, float], new: dict[str, float]
+) -> tuple[list[str], list[str]]:
+    """(regressions, waived) — each entry a human-readable line."""
+    regressions, waived = [], []
     for k, v in sorted(new.items()):
         if k not in old:
             continue
         o = old[k]
         if v > o * (1 + REL_FLOOR) and v - o > ABS_FLOOR_S:
-            regressions.append(f"{k}: {o:.2f}s -> {v:.2f}s (+{(v / o - 1) * 100:.0f}%)")
-    return regressions
+            line = f"{k}: {o:.2f}s -> {v:.2f}s (+{(v / o - 1) * 100:.0f}%)"
+            if k in WAIVERS:
+                waived.append(f"{line} — waived: {WAIVERS[k]}")
+            else:
+                regressions.append(line)
+    return regressions, waived
 
 
 def main() -> int:
@@ -88,7 +106,7 @@ def main() -> int:
             f"{os.path.basename(old_p)} and {os.path.basename(new_p)}"
         )
         return 0
-    regs = compare(old, new)
+    regs, waived = compare(old, new)
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     tot_old = sum(old[k] for k in shared)
@@ -102,6 +120,8 @@ def main() -> int:
               + (" ..." if len(added) > 8 else ""))
     if removed:
         print(f"  removed queries ({len(removed)}): {', '.join(removed)}")
+    for w in waived:
+        print(f"  WAIVED {w}")
     if regs:
         print(f"bench-regress FAILED ({len(regs)} regressions > "
               f"max({REL_FLOOR:.0%}, {ABS_FLOOR_S}s)):")
