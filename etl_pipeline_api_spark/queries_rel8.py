@@ -108,8 +108,13 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-sql-params",
     oracle="""
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             / 100.0 AS total
+           -- NO re-CAST around the sum: BIGINT / 100.0 routes DuckDB into
+           -- DECIMAL division (100.0 parses as DECIMAL) whose result
+           -- converts to float64 one ulp off Spark's double division at
+           -- sf1 magnitudes; leaving the sum as HUGEINT keeps the /100.0
+           -- on the double path, bit-identical to Spark (same form as
+           -- op-rollup / op-orc-orders-roundtrip, both sf1-green)
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
     FROM orders
     WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'F'
     GROUP BY o_orderpriority
@@ -125,7 +130,14 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS n,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+               -- CAST(100 AS DOUBLE): in Spark SQL text `100.0` parses as
+               -- DECIMAL(4,1), routing this into decimal division whose
+               -- 6-scale result formats one ulp off DuckDB's double
+               -- division at sf1 magnitudes; the PySpark-API twin queries
+               -- (op-rollup et al.) get double division from the Python
+               -- float literal automatically
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS total
         FROM orders_p
         WHERE o_totalprice >= :min_price AND o_orderstatus = :status
         GROUP BY o_orderpriority
