@@ -409,6 +409,18 @@ def q_upper_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCRATCH = "/root/repo/.scratch"
 
 
+def _hive_scratch(sf_dir: str) -> str:
+    """Scratch path for the shared orders hive layout, KEYED BY INPUT: the
+    scan-side query reuses the sink's materialization via an exists-check,
+    and an unkeyed path silently served a stale layout written at a
+    DIFFERENT scale factor (caught by the sf1 spot-check: 23022 rows read
+    against an oracle expecting 230220). A cache without the input
+    identity in its key is wrong at any scale."""
+    return os.path.join(
+        _SCRATCH, f"orders_hive_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
 @query(
     "op-json-scan",
     oracle="SELECT doc_id, lang, source FROM documents",
@@ -465,7 +477,7 @@ def q_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive the round trip exactly."""
     from .sources import parquet_source
 
-    out = os.path.join(_SCRATCH, "orders_hive")
+    out = _hive_scratch(sf_dir)
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice",
         F.year("o_orderdate").alias("ano"), F.month("o_orderdate").alias("mes"),
@@ -496,7 +508,7 @@ def q_parquet_scan_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout; re-materializes if absent."""
     from .sources import parquet_source
 
-    out = os.path.join(_SCRATCH, "orders_hive")
+    out = _hive_scratch(sf_dir)
     if not os.path.exists(out):
         q_parquet_partitioned_sink(spark, sf_dir).count()
     back = parquet_source.scan_parquet(spark, out)
