@@ -487,9 +487,14 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation at band_rows ∈ {2, 4, 8} (wider bands = fewer, more
     precise candidates), each verified against the exact n-gram Jaccard
     pair set. The gate: per config, verified recall must clear the
-    s-curve-implied floor (band_rows=2 is near-exhaustive at J≥0.5;
-    8 may legitimately drop pairs) — encoded as a boolean the oracle
-    pins TRUE, with the exact pair count hash-checked alongside
+    S-CURVE floor AT THE THRESHOLD — P(catch | J=0.5) = 1-(1-0.5^r)^b
+    = 0.99 / 0.40 / 0.016 for r=2/4/8 — with margin below (0.9 / 0.3 /
+    0.01). Recall can only exceed this worst case (the s-curve is
+    monotone in J), so the floors hold on ANY corpus; an earlier floor
+    set {1.0, 0.8, 0.4} encoded the gate corpora's high-similarity pair
+    mass and failed on the sf1 replica where most pairs sit near the
+    threshold (measured 0.994 / 0.492 / 0.054 there — all s-curve-
+    consistent). Exact pair count stays hash-checked alongside
     (operators/dedup.py minhash_lsh_pairs + ngram_jaccard_pairs)."""
     from .operators import dedup
 
@@ -509,7 +514,7 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(exact, ["id_a", "id_b"])
             .count()
         )
-        floor = 1.0 if band_rows == 2 else (0.8 if band_rows == 4 else 0.4)
+        floor = 0.9 if band_rows == 2 else (0.3 if band_rows == 4 else 0.01)
         rows.append(
             (band_rows, n_exact, bool(n_exact == 0 or found >= floor * n_exact))
         )
