@@ -101,8 +101,15 @@ def query(name: str, oracle: str | None = None):
         # a duplicate name silently SHADOWS the earlier query (import
         # order wins) — exactly how queries_rel2's orders ORC round-trip
         # disappeared behind queries_rel9's events one for four rounds;
-        # fail loudly instead
-        if name in QUERIES:
+        # fail loudly instead. Re-registration of the SAME function (the
+        # module imported again under a second identity via sys.path
+        # aliasing or importlib.reload in tests) is an idempotent no-op,
+        # not an error — only a genuinely different callable collides.
+        prev = QUERIES.get(name)
+        if prev is not None and (
+            getattr(prev, "__module__", None) != fn.__module__
+            or getattr(prev, "__qualname__", None) != fn.__qualname__
+        ):
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
@@ -415,9 +422,24 @@ def _hive_scratch(sf_dir: str) -> str:
     and an unkeyed path silently served a stale layout written at a
     DIFFERENT scale factor (caught by the sf1 spot-check: 23022 rows read
     against an oracle expecting 230220). A cache without the input
-    identity in its key is wrong at any scale."""
+    identity in its key is wrong at any scale.
+
+    The key is basename + a short hash of (absolute path, source orders
+    parquet mtime+size): two different directories sharing a basename
+    (e.g. a custom GEN_DST also named sf0.1) get distinct scratch dirs,
+    and regenerating the SAME path in place rotates the key too."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        ident = os.path.abspath(sf_dir)
+    tag = hashlib.sha256(ident.encode()).hexdigest()[:10]
     return os.path.join(
-        _SCRATCH, f"orders_hive_{os.path.basename(sf_dir.rstrip('/'))}"
+        _SCRATCH,
+        f"orders_hive_{os.path.basename(sf_dir.rstrip('/'))}_{tag}",
     )
 
 

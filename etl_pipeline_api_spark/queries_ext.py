@@ -34,15 +34,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
+def _jaccard_oracle(max_df: int | None = None) -> str:
+    """DuckDB twin of ``dedup.ngram_jaccard_pairs`` — same 3-gram shingle
+    sets, same Jaccard, and (when ``max_df`` is set) the IDENTICAL
+    boilerplate-shingle filter: shingles present in more than max_df docs
+    are excluded from the similarity definition on both engines, with
+    set sizes recomputed on the surviving shingles."""
+    df_filter = "" if max_df is None else f"""
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+             HAVING count(*) <= {max_df}),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),"""
+    alias = "sh AS (SELECT * FROM sh0)," if max_df is None else df_filter
+    return f"""
     WITH tok AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tokens
       FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(tokens)-2, 0)),
                     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
       FROM tok),
+    {alias}
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -57,12 +69,42 @@ _JACCARD_ORACLE = """
 """
 
 
-@query("op-dedup-fuzzy", oracle=_JACCARD_ORACLE)
+_JACCARD_ORACLE = _jaccard_oracle()
+
+# Boilerplate document-frequency cap for the REGISTERED op-dedup-fuzzy.
+# Why 64, measured (testdata documents table):
+# - gate SFs are untouched: max shingle df is 25 at sf0.1 (less at
+#   sf0.01), so results there are byte-identical to the unfiltered op;
+# - the corpus vocabulary is bounded (~52k distinct shingles at sf1 for
+#   50k docs), so unfiltered candidate mass Sum(df^2) grows QUADRATICALLY:
+#   2.8M at sf0.1 -> 202M at sf1 (the measured 13.1x time at 10x data in
+#   BENCH_SCALING r6). With df<=64 the mass is bounded by
+#   max_df * |shingle rows| = O(corpus), measured 68M at sf1;
+# - semantics stay sane: df<=32 manufactures ~20k FALSE Jaccard>=0.99
+#   pairs at sf1 (tiny surviving sets), while df<=64 keeps the genuine
+#   rare-content near-dups (2,132 of the unfiltered 2,526 pairs at
+#   j>=0.9) and drops only boilerplate-driven near-threshold pairs —
+#   the standard stop-shingle discipline of LLM-corpus dedup.
+_FUZZY_MAX_DF = 64
+
+
+@query("op-dedup-fuzzy", oracle=_jaccard_oracle(max_df=_FUZZY_MAX_DF))
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-dedup-fuzzy (exact n-gram Jaccard): near-dup pairs at tau=0.5 —
-    the corpus has a clean gap (seeded dups ~0.98, background <0.3)."""
+    the corpus has a clean gap (seeded dups ~0.98, background <0.3).
+
+    Registered WITH the ``max_df`` boilerplate guard engaged (see
+    _FUZZY_MAX_DF above): shingles in >64 docs are excluded from the
+    similarity definition, mirrored exactly in the DuckDB oracle. This is
+    what bounds the shared-shingle join to O(max_df * corpus) candidate
+    rows — without it the bounded-vocabulary worst case is Theta(Sum df^2),
+    quadratic in corpus size (r6's one scaling "watch"). The unguarded
+    oracle-exact form stays available as dedup.ngram_jaccard_pairs(
+    max_df=None) and is still exercised (unfiltered) inside the
+    op-dedup-minhash / op-dedup-simhash recall gates."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5,
+        max_df=_FUZZY_MAX_DF,
     )
 
 

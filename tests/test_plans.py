@@ -86,11 +86,15 @@ def test_text_ops_shuffle_free(spark):
 
 
 @pytest.mark.parametrize("name", ["op-dedup-fuzzy"])
-def test_jaccard_two_data_shuffles(spark, name):
+def test_jaccard_shuffle_budget(spark, name):
     plan = plan_of(spark, name)
-    # shingle-join exchanges (both sides hash on shingle) + pair aggregation;
-    # fan_out adds round-robin exchanges, which don't carry exploded data
-    assert 1 <= plan.count("Arguments: hashpartitioning") <= 3
+    # With the max_df boilerplate guard engaged (r7), the linear passes are:
+    # shingle df-count groupBy, the rare-shingle filter join, the per-doc
+    # size recount, the shingle self-join, and the pair aggregation — all
+    # hash on shingle/__id/pair keys and all O(shingle rows). The budget
+    # caps accidental extras; the quadratic candidate join output is what
+    # the guard bounds, not the exchange count.
+    assert 1 <= plan.count("Arguments: hashpartitioning") <= 5
 
 
 def test_bucketed_join_no_exchange(spark):

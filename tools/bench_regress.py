@@ -53,8 +53,17 @@ def load_queries(path: str) -> dict[str, float]:
     if parsed and "queries" in parsed:
         return {k: float(v) for k, v in parsed["queries"].items()}
     # truncated tail: recover what survives; the LAST pair may be cut
-    # mid-number, which the regex naturally drops
+    # mid-number, which the regex naturally drops. Scope recovery to the
+    # "queries" dict only — a tail that also carries "queries_min" would
+    # otherwise have medians silently overwritten by the later per-query
+    # minimums (last regex pair wins in the dict comprehension).
     tail = d.get("tail", "")
+    m = re.search(r'"queries"\s*:\s*\{', tail)
+    if m:
+        tail = tail[m.end():]
+        end = tail.find("}")
+        if end != -1:
+            tail = tail[:end]
     pairs = re.findall(r'"(op-[a-z0-9-]+)": ([0-9]+\.[0-9]+)', tail)
     return {k: float(v) for k, v in pairs}
 
