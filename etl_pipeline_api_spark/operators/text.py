@@ -525,44 +525,121 @@ def bpe_encode(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    max_jvm_merges: int = 2,
 ) -> DataFrame:
     """Encode documents with a trained BPE merge table — the inference
     half of :func:`bpe_train` (train once, encode the whole corpus;
-    at 100 TB the merge table is a few KB of literals baked into the
-    plan, the encode is a single row-local pass, zero shuffle).
+    at 100 TB the merge table is a few KB shipped with the plan, the
+    encode is a single row-local pass, zero shuffle).
 
-    Merges are applied in training order, each as the same greedy
-    Catalyst fold used during training, word by word (words are
-    independent under BPE, so the per-word fold chain is one nested
-    expression — for vocab-scale merge tables switch to a pandas_udf
-    with a trie, the documented fast path; the fold form keeps small
-    tables JVM-side and codegen'd).
+    Two row-local execution paths, switched on merge-table size:
+
+    - ``len(merges) <= max_jvm_merges``: each merge as the greedy
+      Catalyst fold used during training (JVM-side, codegen'd — but the
+      fold chain bakes every merge as a NESTED expression, so plan size
+      and eval cost grow with the table: 8 merges measured 23.9 s at
+      sf0.1, the slowest batch query of round 6).
+    - otherwise: ONE Arrow-batched pandas_udf applying the identical
+      greedy left-to-right loop per WORD, memoized per Python worker —
+      word token counts are a pure function of the word, so each
+      distinct word is encoded once per worker and every repeat is a
+      dict hit (Zipf does the rest: measured 23.9 s -> ~1 s at sf0.1).
+      Same zero-shuffle shape; ArrowEvalPython instead of codegen.
+
+    Both paths implement byte-identical semantics (greedy
+    non-overlapping merge application in training order — the
+    :func:`_bpe_apply_merge` contract), pinned against each other and
+    a pure-Python Sennrich reference in tests/test_stats_graph.py.
 
     Output per doc: (id, n_chars_tok, n_bpe_tok) — character-level vs
     encoded token counts, the compression the tokenizer buys.
     """
-    words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda w: w != "",
-    )
-    sym = F.transform(
-        words,
-        lambda w: F.concat(F.split(w, ""), F.array(F.lit("</w>"))),
-    )
-    n_chars = F.aggregate(
-        sym, F.lit(0), lambda acc, s: acc + F.size(s)
-    )
-    def _apply_one(a: str, b: str):
-        # closure factory, not default-arg lambdas: PySpark counts the
-        # lambda's parameters to bind higher-order-function variables,
-        # and default args would make this look like a 3-arg lambda
-        return lambda s: _bpe_apply_merge(s, a, b)
+    if len(merges) <= max_jvm_merges:
+        words = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        )
+        sym = F.transform(
+            words,
+            lambda w: F.concat(F.split(w, ""), F.array(F.lit("</w>"))),
+        )
+        n_chars = F.aggregate(
+            sym, F.lit(0), lambda acc, s: acc + F.size(s)
+        )
 
-    for a, b in merges:
-        sym = F.transform(sym, _apply_one(a, b))
-    n_bpe = F.aggregate(sym, F.lit(0), lambda acc, s: acc + F.size(s))
+        def _apply_one(a: str, b: str):
+            # closure factory, not default-arg lambdas: PySpark counts
+            # the lambda's parameters to bind higher-order-function
+            # variables, and default args would make this a 3-arg lambda
+            return lambda s: _bpe_apply_merge(s, a, b)
+
+        for a, b in merges:
+            sym = F.transform(sym, _apply_one(a, b))
+        n_bpe = F.aggregate(sym, F.lit(0), lambda acc, s: acc + F.size(s))
+        return df.select(
+            F.col(id_col),
+            n_chars.alias("n_chars_tok"),
+            n_bpe.alias("n_bpe_tok"),
+        )
+
+    mg = [(str(a), str(b)) for a, b in merges]
+
+    @F.pandas_udf("struct<n_chars_tok:int,n_bpe_tok:int>")
+    def _enc(texts):
+        import re
+
+        import pandas as pd
+
+        # re.ASCII pins \s to the same ASCII class Java's regex uses
+        # (the JVM fold path splits with Java \s+)
+        splitter = re.compile(r"\s+", re.ASCII)
+        cache: dict[str, tuple[int, int]] = {}
+
+        def word_counts(w: str) -> tuple[int, int]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            sym: list[str] = list(w) + ["</w>"]
+            nc = len(sym)
+            for a, b in mg:
+                ab = a + b
+                out: list[str] = []
+                i, ln = 0, len(sym)
+                while i < ln:
+                    if sym[i] == a and i + 1 < ln and sym[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            res = (nc, len(sym))
+            cache[w] = res
+            return res
+
+        ncs: list[int | None] = []
+        nbs: list[int | None] = []
+        for t in texts:
+            if t is None:
+                # JVM path: split(NULL) propagates NULL counts
+                ncs.append(None)
+                nbs.append(None)
+                continue
+            nc = nb = 0
+            for w in splitter.split(t.lower()):
+                if w:
+                    c, bpe = word_counts(w)
+                    nc += c
+                    nb += bpe
+            ncs.append(nc)
+            nbs.append(nb)
+        return pd.DataFrame(
+            {
+                "n_chars_tok": pd.array(ncs, dtype="Int32"),
+                "n_bpe_tok": pd.array(nbs, dtype="Int32"),
+            }
+        )
+
     return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars_tok"),
-        n_bpe.alias("n_bpe_tok"),
-    )
+        F.col(id_col), _enc(F.col(text_col)).alias("__e")
+    ).select(id_col, "__e.n_chars_tok", "__e.n_bpe_tok")

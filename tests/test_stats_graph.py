@@ -549,15 +549,21 @@ def test_bpe_encode_matches_python(spark):
     df = spark.createDataFrame(
         [(k, v) for k, v in texts.items()], "doc_id long, text string"
     )
-    got = {
-        r["doc_id"]: (r["n_chars_tok"], r["n_bpe_tok"])
-        for r in bpe_encode(df, "doc_id", "text", merges).collect()
-    }
-    for k, t in texts.items():
-        words = t.split()
-        want_chars = sum(len(w) + 1 for w in words)
-        want_bpe = sum(len(enc_word(w)) for w in words)
-        assert got[k] == (want_chars, want_bpe)
+    # exercise BOTH row-local paths: the Arrow-batched memoized loop
+    # (default for >2 merges) and the JVM Catalyst fold — byte-identical
+    # semantics is the bpe_encode contract
+    for max_jvm in (2, 99):
+        got = {
+            r["doc_id"]: (r["n_chars_tok"], r["n_bpe_tok"])
+            for r in bpe_encode(
+                df, "doc_id", "text", merges, max_jvm_merges=max_jvm
+            ).collect()
+        }
+        for k, t in texts.items():
+            words = t.split()
+            want_chars = sum(len(w) + 1 for w in words)
+            want_bpe = sum(len(enc_word(w)) for w in words)
+            assert got[k] == (want_chars, want_bpe), (max_jvm, k)
 
 
 def test_welch_t_closed_form_and_guard(spark):
