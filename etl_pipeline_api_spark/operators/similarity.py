@@ -565,6 +565,7 @@ def kmeans(
     vec_col: str,
     k: int = 8,
     max_iter: int = 5,
+    wcss_out: list | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means expressed as DataFrame ops (no MLlib, no RDDs).
 
@@ -591,6 +592,13 @@ def kmeans(
     Returns (assignments DataFrame (id, cluster), centroids).
 
     An empty cluster keeps its previous centroid (standard Lloyd's fallback).
+
+    ``wcss_out``: pass a list to receive the per-iteration within-cluster
+    sum of squared distances (WCSS under the iteration's centroids, i.e.
+    Σ min-d² BEFORE the update). It rides the SAME k×dim update shuffle
+    (one extra sum column), costing no extra job. Lloyd's guarantees the
+    sequence is monotone non-increasing — the structural gate op-kmeans'
+    oracle pins (a broken assign or update step shows up as a WCSS bump).
     """
     data = fan_out(df).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
@@ -680,14 +688,21 @@ def kmeans(
                         c["cid"].alias("cid"),
                     ),
                 )
-            )[0]["cid"]
-            assigned = data.withColumn("cluster", best)
+            )[0]
+            assigned = data.withColumn("cluster", best["cid"]).withColumn(
+                "__d2", best["d2"]
+            )
             upd = (
-                assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+                assigned.select("cluster", "__d2", F.posexplode("v").alias("dim", "x"))
                 .groupBy("cluster", "dim")
-                .agg(F.avg("x").alias("c"))
+                # __d2 repeats per exploded dim, so each (cluster, dim=d)
+                # group carries the cluster's full WCSS share — summing the
+                # dim-0 groups driver-side gives Σ min-d² for free
+                .agg(F.avg("x").alias("c"), F.sum("__d2").alias("s"))
                 .collect()
             )
+            if wcss_out is not None:
+                wcss_out.append(float(sum(r.s for r in upd if r.dim == 0)))
             new_cents = [list(c) for c in cents]  # empty cluster → keep old
             by_cluster: dict[int, dict[int, float]] = {}
             for r in upd:

@@ -105,17 +105,56 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # op-semdedup: k-means-blocked semantic near-dup removal
 # ---------------------------------------------------------------------
 
-@query("op-semdedup")  # rows-only: k-means blocking is iterative, not SQL
+@query(
+    "op-semdedup",
+    oracle="""
+    WITH drp AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4)
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_points,
+           CAST((SELECT count(*) FROM drp) AS BIGINT) AS n_droppable,
+           CAST(0 AS BIGINT) AS n_dropped_outside_exact
+    """,
+)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table at cos >= 0.4 with k=4 blocks:
-    returns (vec_id, cluster, keep). Unit tests pin the k=1 case equal to
-    the exact all-pairs drop set and the blocked candidate pairs to a
-    subset of the exact pairs (`tests/test_corpus4.py`)."""
-    from .operators.similarity import semdedup
+    """SemDeDup over the embeddings table at cos >= 0.4 with k=4 blocks,
+    returned as a STRUCTURALLY GATED 1-row summary (the minhash shape —
+    k-means blocking is iterative and clustering-dependent, so the pair
+    set itself has no SQL twin, but its invariants do):
+
+    - n_points: one (vec_id, cluster, keep) row per embedding,
+      hash-pinned against count(*) of the table;
+    - n_droppable: |{b : ∃ a<b with cos(a,b) >= τ}| — the EXACT greedy
+      min-id drop ceiling, computed in-plan by the block-pair matmul
+      (cosine_pairs_blocked, no driver state) and cross-engine pinned
+      against DuckDB's all-pairs join;
+    - n_dropped_outside_exact: SemDeDup may MISS a near-dup pair that
+      straddles a cluster boundary (recall < 1 is the documented
+      trade), but every id it drops must be droppable under the exact
+      rule — a left-anti join counted in-plan, pinned to 0.
+
+    Unit tests additionally pin the k=1 case equal to the exact
+    all-pairs drop set and blocked candidates ⊆ exact pairs
+    (`tests/test_corpus4.py`)."""
+    from .operators.similarity import cosine_pairs_blocked, semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semdedup(emb, "vec_id", "embedding", threshold=0.4, k=4).orderBy(
-        "vec_id"
+    sd = semdedup(emb, "vec_id", "embedding", threshold=0.4, k=4)
+    droppable = (
+        cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    outside = sd.filter(~F.col("keep")).select("vec_id").join(
+        droppable, "vec_id", "left_anti"
+    )
+    return (
+        sd.agg(F.count(F.lit(1)).alias("n_points"))
+        .crossJoin(droppable.agg(F.count(F.lit(1)).alias("n_droppable")))
+        .crossJoin(
+            outside.agg(F.count(F.lit(1)).alias("n_dropped_outside_exact"))
+        )
     )
 
 

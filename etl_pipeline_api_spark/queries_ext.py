@@ -801,16 +801,71 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("op-kmeans")  # rows-only: iterative algorithm, not SQL-expressible
+@query(
+    "op-kmeans",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_assigned,
+           TRUE AS clusters_valid,
+           TRUE AS wcss_monotone,
+           TRUE AS wcss_le_global
+    FROM embeddings
+    """,
+)
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-kmeans: Lloyd's clustering as DataFrame ops — row-local assign
     (centroid literals in codegen), one k×dim partial-agg shuffle per
     update. Unit tests pin purity on separated synthetic clusters; here it
-    clusters the embeddings table."""
+    clusters the embeddings table and returns a STRUCTURALLY GATED 1-row
+    summary the DuckDB oracle pins (the minhash recall-gate shape — the
+    iteration itself is not SQL-expressible, its invariants are):
+
+    - n_assigned: every embedding gets exactly one assignment row
+      (hash-pinned against count(*) of the table);
+    - clusters_valid: all cluster ids in [0, k) and one row per vec_id;
+    - wcss_monotone: the per-iteration WCSS sequence (recorded by the
+      update shuffle itself, see kmeans(wcss_out=...)) never increases —
+      Lloyd's convergence guarantee; a broken assign or update bumps it;
+    - wcss_le_global: final WCSS <= total corpus variance (the k=1
+      optimum) — k centroids chosen by k-means|| + Lloyd must beat the
+      single global mean; computed against an in-plan variance agg
+      (Σ_dim (Σx² − (Σx)²/n)), never a second corpus collect.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 4
+    wcss: list[float] = []
     assigned, _ = similarity.kmeans(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, max_iter=3
+        emb, "vec_id", "embedding", k=k, max_iter=3, wcss_out=wcss
     )
-    return assigned
+    monotone = all(
+        wcss[i + 1] <= wcss[i] * (1.0 + 1e-9) + 1e-9 for i in range(len(wcss) - 1)
+    )
+    final_wcss = wcss[-1] if wcss else 0.0
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.coalesce(
+            (F.min("cluster") >= 0)
+            & (F.max("cluster") < k)
+            & (F.count_distinct("vec_id") == F.count(F.lit(1))),
+            F.lit(True),  # empty corpus: no rows to violate
+        ).alias("clusters_valid"),
+    )
+    gvar = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("dim", "x"))
+        .groupBy("dim")
+        .agg((F.sum(F.col("x") * F.col("x"))
+              - F.pow(F.sum("x"), 2) / F.count(F.lit(1))).alias("v"))
+        .agg(F.sum("v").alias("gv"))
+    )
+    return stats.crossJoin(F.broadcast(gvar)).select(
+        "n_assigned",
+        "clusters_valid",
+        F.lit(bool(monotone)).alias("wcss_monotone"),
+        F.coalesce(
+            F.lit(float(final_wcss)) <= F.col("gv") * (1.0 + 1e-9) + 1e-6,
+            F.lit(True),  # empty corpus: gv is NULL, nothing to beat
+        ).alias("wcss_le_global"),
+    )
 
 
 @query(
