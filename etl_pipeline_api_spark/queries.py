@@ -93,6 +93,15 @@ BENCH_QUERIES: list[str] = [
     "op-tpch-q11",
     "op-tpch-q16",
     "op-tpch-q20",
+    # round-7: the r6 sweep's slowest entries, previously unbenched —
+    # a regression in these was invisible to bench_regress
+    "op-stream-stream-join",
+    "op-bpe-encode",
+    "op-stream-stateful",
+    "op-dedup-embedding-lsh",
+    "op-lsh-tuning",
+    "op-asof-cogroup",
+    "op-semdedup",
 ]
 
 

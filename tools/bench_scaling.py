@@ -100,6 +100,24 @@ def median3(fn) -> float:
 RESULTS = os.path.join(REPO, ".scratch", "scaling_results.jsonl")
 
 
+def read_prev_ratios(path: str) -> dict[str, float]:
+    """Parse the prior committed BENCH_SCALING.md table so each refresh
+    records the round-over-round ratio delta — a superlinear regression
+    shows up the round it lands, not at the next manual read."""
+    import re as _re
+
+    prev: dict[str, float] = {}
+    if not os.path.exists(path):
+        return prev
+    for line in open(path):
+        m = _re.match(
+            r"\|\s*(op-[a-z0-9-]+)\s*\|[^|]*\|[^|]*\|\s*([0-9.]+)x", line
+        )
+        if m:
+            prev[m.group(1)] = float(m.group(2))
+    return prev
+
+
 def write_md() -> dict[str, dict]:
     acc: dict[str, dict] = {}
     if os.path.exists(RESULTS):
@@ -108,23 +126,30 @@ def write_md() -> dict[str, dict]:
             acc[rec["name"]] = rec  # latest wins
     rows = [acc[n] for n in QUERIES_TO_SCALE if n in acc]
     out = os.path.join(REPO, "BENCH_SCALING.md")
+    prev = read_prev_ratios(out)
     with open(out, "w") as f:
         f.write(
             "# Scaling curve: sf0.1 -> sf1 (10x data) on local[32]\n\n"
             "Generated by tools/bench_scaling.py over ./testdata_sf1 "
             "(tools/gen_scale.py replication; see its docstring for why\n"
             "distributions, join fan-outs and dup densities scale ~linearly). "
-            "Median-of-3 after warmup, one shared session.\n\n"
+            "Median-of-3 after warmup, one shared session, noop-sink forced "
+            "(no driver collect).\n\n"
             f"Thresholds: watch > {WATCH}x, SUPERLINEAR > {SUPER}x "
             f"(data factor {DATA_FACTOR:.0f}x). Queries with a documented "
-            "output-driven cause are marked `by-output`.\n\n"
-            "| query | sf0.1 (s) | sf1 (s) | ratio | verdict |\n"
-            "|---|---|---|---|---|\n"
+            "output-driven cause are marked `by-output`. The Δ column is "
+            "the ratio change vs the previous committed table.\n\n"
+            "| query | sf0.1 (s) | sf1 (s) | ratio | Δ prev | verdict |\n"
+            "|---|---|---|---|---|---|\n"
         )
         for r in rows:
+            d = (
+                f"{r['ratio'] - prev[r['name']]:+.1f}"
+                if r["name"] in prev else "new"
+            )
             f.write(
                 f"| {r['name']} | {r['t_small']:.2f} | {r['t_big']:.2f} "
-                f"| {r['ratio']:.1f}x | {r['verdict']} |\n"
+                f"| {r['ratio']:.1f}x | {d} | {r['verdict']} |\n"
             )
         defects = [r for r in rows if r["verdict"] == "SUPERLINEAR"]
         byout = [r for r in rows if r["verdict"] == "superlinear-by-output"]
