@@ -93,10 +93,18 @@ TRIAGE = {
                        "into the R-row means frame — constant-sized frames "
                        "only; the data pass is one map-combined global "
                        "aggregate.",
-    "op-pagerank": "BNLJ = the initial ranks' crossJoin(broadcast(1-row "
-                   "node-count aggregate)), re-printed once per unrolled "
-                   "round in the AQE plan string; each round's data joins "
-                   "are the bhj/smj entries on node-sized frames.",
+    "op-pagerank": "BNLJ = the 1-row scalar frame (initial rank 1/N + "
+                   "teleport base) riding crossJoin(broadcast(...)) — once "
+                   "for the initial ranks and once per unrolled round in "
+                   "the AQE plan string; each round's data join is the "
+                   "single src equi-join (bhj on node-sized frames).",
+    "op-semdedup": "BNLJ x4 = the gate summary's crossJoins of 1-row "
+                   "aggregates (n_points / n_droppable / "
+                   "n_dropped_outside_exact) plus kmeans' broadcast "
+                   "seeding frame; the within-cluster candidate join is a "
+                   "cluster-key equi-join and the exact drop ceiling is "
+                   "the block-pair matmul (applyInPandas groups) — no "
+                   "data-sized nested loop anywhere.",
     "op-tpch-q2": "BNLJ = the derived-partsupp build: part crossJoin "
                   "broadcast(4-row replicate range) crossJoin broadcast("
                   "1-row supplier count) — a narrow constant fan-out map "
