@@ -342,11 +342,14 @@ def cosine_pairs_lsh(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
-            "cos",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+            "__cos_raw", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         )
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        # filter on the UNROUNDED cosine, round only for display: rounding
+        # first admitted pairs with true cos in [threshold-5e-5, threshold)
+        # — invisible at the gate SFs, 104 boundary pairs at sf1 (the exact
+        # driver/blocked paths always filtered raw; this path must agree)
+        .filter(F.col("__cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("__cos_raw", 4).alias("cos"))
     )
 
 

@@ -12,8 +12,9 @@ HTML boilerplate stripping.
   shifted slices, one count shuffle, per-partition top-k.
 - op-semdedup: semantic near-dup removal, SemDeDup shape — k-means blocks
   the embedding space, near-dup search runs within clusters only
-  (~N²/k), min-id canonical survives. Rows-only (k-means is iterative,
-  not SQL); unit tests pin k=1 ≡ exact all-pairs.
+  (~N²/k), min-id canonical survives. Oracle-gated via a structural
+  1-row summary (row completeness, exact droppable ceiling, drops ⊆
+  exact); unit tests pin k=1 ≡ exact all-pairs.
 - op-html-strip: crawl-to-text boilerplate strip — tag removal +
   whitespace normalization + tag census, pure JVM regex, zero shuffle.
   HTML is synthesized deterministically from the row (testdata has no
