@@ -248,27 +248,74 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b")
 
 
+# Banding-theory recall floor for sign-LSH at the query's threshold: a pair
+# AT cos=tau agrees per hyperplane bit with prob p = 1 - acos(tau)/pi, shares
+# a width-w band with prob p^w, and misses ALL b bands with prob
+# (1-p^w)^b — pairs above tau miss strictly less often. The gate allows 3x
+# that worst-case expected miss rate (covers the all-pairs-at-threshold
+# corpus plus Poisson fluctuation of a fixed-seed draw); the floor is
+# DERIVED from (tau, n_planes, band_width), not fitted to any corpus.
+def _lsh_recall_floor_ppm(tau: float, n_planes: int = 32, band_width: int = 2) -> int:
+    import math
+
+    p = 1.0 - math.acos(tau) / math.pi
+    miss = (1.0 - p**band_width) ** (n_planes // band_width)
+    return int((1.0 - 3.0 * miss) * 1_000_000)
+
+
 @query(
     "op-dedup-embedding-lsh",
     oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(1 AS INTEGER) AS precision_exact,
+           CAST(1 AS INTEGER) AS recall_ge_floor
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
     """,
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-dedup-embedding via banded sign-LSH candidates + exact re-score —
-    fully distributed, no driver collect. NOTE the regime: at this corpus's
-    low pair threshold (0.4 ~ 66° angles) recall-1.0 needs width-2 bands,
-    whose 4-value buckets make the candidate join near-quadratic — LSH earns
-    its keep at thresholds >= ~0.8 where wide bands discriminate. For exact
-    low-threshold pairs at scale, op-dedup-embedding-blocked is the right
-    plan; this query exists to pin the LSH machinery's exactness on this
-    data (recall 1.0, same oracle)."""
-    pairs = similarity.cosine_pairs_lsh(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    fully distributed, no driver collect — RECALL-GATED like op-dedup-minhash.
+
+    Returns ONE row (n_exact, precision_exact, recall_ge_floor): the exact
+    cosine>=0.4 pair count (hash-pinned against the oracle's own quadratic
+    join), precision 1.0 (every LSH pair carries its exact in-plan re-score,
+    so lsh ⊆ exact by construction at any scale), and recall >= the
+    banding-theory floor (99.91% for tau=0.4, w=2, b=16 — see
+    _lsh_recall_floor_ppm). An earlier gate pinned the LSH pair SET equal to
+    the exact set — corpus-lucky: theory puts a pair at the threshold in no
+    shared band with prob 2.96e-4, so sf1's 95,967 true pairs expect ~28
+    misses (22 observed, cos 0.40–0.45), while the gate SFs' <10^3 pairs
+    expect none. Same restructuring as the minhash/simhash gates (r6).
+
+    NOTE the regime: at this low threshold (0.4 ~ 66° angles) width-2 bands
+    make the candidate join near-quadratic — LSH earns its keep at
+    thresholds >= ~0.8 where wide bands discriminate. For exact low-threshold
+    pairs at scale, op-dedup-embedding-blocked is the right plan; pair-level
+    outputs stay oracle-pinned by op-dedup-embedding[-blocked]."""
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh = similarity.cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).select("id_a", "id_b")
+    exact = similarity.cosine_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).select("id_a", "id_b")
+    common = lsh.join(exact, ["id_a", "id_b"])
+    floor_ppm = _lsh_recall_floor_ppm(0.4)
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("__n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("__n_common")))
+        .select(
+            "n_exact",
+            (F.col("__n_lsh") == F.col("__n_common"))
+            .cast("int")
+            .alias("precision_exact"),
+            (F.col("__n_common") * 1_000_000 >= F.col("n_exact") * floor_ppm)
+            .cast("int")
+            .alias("recall_ge_floor"),
+        )
     )
-    return pairs.select("id_a", "id_b")
 
 
 @query(
