@@ -300,12 +300,23 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_pairs_blocked(
         emb, "vec_id", "embedding", threshold=0.4
     ).select("id_a", "id_b")
-    common = lsh.join(exact, ["id_a", "id_b"])
     floor_ppm = _lsh_recall_floor_ppm(0.4)
+    # One full-outer pass counts exact / lsh / common together, so the
+    # blocked matmul and the LSH pipeline each execute ONCE — the previous
+    # crossJoin-of-aggregates shape re-ran both subtrees for their own
+    # counts (Catalyst only reuses identical exchanges, and the agg vs join
+    # exchanges differ), doubling the query's cost.
+    both = exact.withColumn("__e", F.lit(1)).join(
+        lsh.withColumn("__l", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
     return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("__n_lsh")))
-        .crossJoin(common.agg(F.count(F.lit(1)).alias("__n_common")))
+        both.agg(
+            F.count("__e").alias("n_exact"),
+            F.count("__l").alias("__n_lsh"),
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1)).alias(
+                "__n_common"
+            ),
+        )
         .select(
             "n_exact",
             (F.col("__n_lsh") == F.col("__n_common"))

@@ -312,13 +312,49 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degree_stats(edges)
 
 
-@query("op-lpa-communities")  # rows-only: iterative label feedback
+_LPA_ROUND = """
+    l{n} AS (
+      SELECT src AS node, label FROM (
+        SELECT d.src AS src, l.label AS label,
+               row_number() OVER (
+                 PARTITION BY d.src
+                 ORDER BY count(*) DESC, l.label ASC) AS rn
+        FROM dir d JOIN l{p} l ON l.node = d.dst
+        GROUP BY d.src, l.label) t
+      WHERE rn = 1)"""
+
+_LPA_ORACLE = (
+    """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT x.i AS a, y.i AS c
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    dir AS (SELECT a AS src, c AS dst FROM edges
+            UNION ALL SELECT c, a FROM edges),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir),"""
+    + ",".join(_LPA_ROUND.format(n=i, p=i - 1) for i in range(1, 6))
+    + """
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l5 GROUP BY 1
+    ORDER BY n_nodes DESC, community ASC LIMIT 20
+    """
+)
+
+
+@query("op-lpa-communities", oracle=_LPA_ORACLE)
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-lpa-communities: deterministic synchronous label propagation
     over the co-purchase graph (plurality vote, ties to the smallest
     label) — community sizes as the output frame; unit tests pin the
     two-cliques-and-a-bridge separation (operators/graph.py
-    lpa_communities)."""
+    lpa_communities).
+
+    Was rows-only through r6; the determinism of the synchronous
+    plurality/min-label rule makes the op SQL-expressible after all —
+    the oracle unrolls the 5 rounds as chained CTEs (row_number over
+    votes DESC, label ASC == the Spark struct-argmax), the same shape
+    as op-ppr-recommend's unrolled-power-iteration oracle."""
     from .operators import graph
 
     li = _t(spark, sf_dir, "lineitem")
