@@ -147,15 +147,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
-    outside = sd.filter(~F.col("keep")).select("vec_id").join(
-        droppable, "vec_id", "left_anti"
+    # One full-outer pass derives all three counts, so the iterative
+    # k-means (sd) and the block-pair matmul (droppable) each execute
+    # ONCE — the previous crossJoin-of-aggregates re-ran both subtrees
+    # (Catalyst only reuses identical exchanges). droppable ⊆ sd ids by
+    # construction; full_outer keeps the gate honest if that ever broke.
+    both = sd.select("vec_id", "keep").join(
+        droppable.withColumn("__d", F.lit(1)), "vec_id", "full_outer"
     )
-    return (
-        sd.agg(F.count(F.lit(1)).alias("n_points"))
-        .crossJoin(droppable.agg(F.count(F.lit(1)).alias("n_droppable")))
-        .crossJoin(
-            outside.agg(F.count(F.lit(1)).alias("n_dropped_outside_exact"))
-        )
+    return both.agg(
+        F.count("keep").alias("n_points"),
+        F.count("__d").alias("n_droppable"),
+        F.count(
+            F.when(~F.col("keep") & F.col("__d").isNull(), 1)
+        ).alias("n_dropped_outside_exact"),
     )
 
 
