@@ -246,7 +246,13 @@ def cosine_pairs_blocked(
         return pd.DataFrame({"id_a": ida, "id_b": idb, "cos": cos})
 
     keys = (["g"] if group_col else []) + ["pi", "pj"]
-    return exploded.groupBy(*keys).applyInPandas(
+    # explicit hash repartition on the group keys: it satisfies the
+    # grouped-map distribution requirement (no second shuffle) while
+    # pinning the partition count — AQE sizes post-shuffle partitions by
+    # BYTES and would coalesce the few-MB exploded frame to one
+    # partition, serializing every block-pair matmul on one core
+    n_part = spark.sparkContext.defaultParallelism
+    return exploded.repartition(n_part, *keys).groupBy(*keys).applyInPandas(
         pairs_in_group, schema=f"id_a {id_dtype}, id_b {id_dtype}, cos double"
     )
 
@@ -271,9 +277,23 @@ def cosine_pairs_lsh(
     2. candidates: self-join on (band index, band bits) with id_a < id_b,
        then distinct — pairs sharing ANY band survive; bucket sizes, not
        N^2, bound the join.
-    3. exact re-score: join the two vector sides back by id, JVM-side dot
-       product, filter >= threshold. False positives die here; the only
-       error mode is a missed pair whose every band differs.
+    3. exact re-score, cogrouped block-pair numpy: candidate ids hash to
+       one of B blocks and each (id_a, id_b) pair lands in block-pair
+       group (min, max); vectors ship to the B groups containing their
+       block (N x B rows, the cosine_pairs_blocked shipping scheme), and
+       one Arrow task per group looks both sides up in its block matrices
+       and row-wise-dots ONLY the candidate pairs. False positives die
+       here; the only error mode is a missed pair whose every band
+       differs. (The r1–r7 re-score joined the two full vector sides onto
+       every candidate: locally the small sides broadcast and the real
+       cost was the interpreted zip_with dot per pair, but past the
+       broadcast ceiling the SMJ ships |candidates| x 2 x dim doubles —
+       the cogroup ships |candidates| SLIM rows (two ids) + N x B vector
+       rows instead, ~dim x less shuffle where it matters, and
+       BLAS-batches the dots. sf0.1 wall is flat (~6 s — candidate
+       distinct + the cogroup's per-partition sort dominate at that
+       size); per-task memory stays 2N/B x dim, no broadcast, no driver
+       state.)
 
     Recall dial: per-bit agreement for a pair at angle θ is p = 1 - θ/π;
     recall = 1 - (1 - p^band_width)^n_bands. Low thresholds (wide angles)
@@ -348,24 +368,74 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = side.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+
+    from ..session import ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    n_blocks = 8
+
+    def _blk(c):
+        return F.pmod(F.xxhash64(c.cast("string")), F.lit(n_blocks))
+
+    candg = cand.select(
+        "id_a",
+        "id_b",
+        F.least(_blk(F.col("id_a")), _blk(F.col("id_b"))).alias("pi"),
+        F.greatest(_blk(F.col("id_a")), _blk(F.col("id_b"))).alias("pj"),
     )
-    vb = side.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    # ship each vector to every block-pair group containing its block
+    # (the cosine_pairs_blocked scheme): N x B rows, dim doubles each
+    pair_lit = F.array_distinct(
+        F.array(*[
+            F.struct(
+                F.least(F.col("blk"), F.lit(k)).alias("pi"),
+                F.greatest(F.col("blk"), F.lit(k)).alias("pj"),
+            )
+            for k in range(n_blocks)
+        ])
     )
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "__cos_raw", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        )
+    vg = (
+        side.withColumn("blk", _blk(F.col("id")))
+        .withColumn("pg", F.explode(pair_lit))
+        .select("id", "v", F.col("pg.pi").alias("pi"), F.col("pg.pj").alias("pj"))
+    )
+
+    def rescore(cpdf, vpdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        if cpdf.empty or vpdf.empty:
+            return empty
+        mat = np.stack(vpdf["v"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        idx = pd.Series(np.arange(len(vpdf)), index=vpdf["id"].to_numpy())
+        ia = idx[cpdf["id_a"].to_numpy()].to_numpy()
+        ib = idx[cpdf["id_b"].to_numpy()].to_numpy()
+        cos = (mat[ia] * mat[ib]).sum(axis=1)
         # filter on the UNROUNDED cosine, round only for display: rounding
         # first admitted pairs with true cos in [threshold-5e-5, threshold)
         # — invisible at the gate SFs, 104 boundary pairs at sf1 (the exact
         # driver/blocked paths always filtered raw; this path must agree)
-        .filter(F.col("__cos_raw") >= threshold)
-        .select("id_a", "id_b", F.round("__cos_raw", 4).alias("cos"))
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": cpdf["id_a"].to_numpy()[keep],
+                "id_b": cpdf["id_b"].to_numpy()[keep],
+                "cos": np.round(cos[keep], 4),
+            }
+        )
+
+    # explicit partition count on both cogroup inputs — AQE would
+    # byte-size this slim shuffle down to one partition and serialize
+    # the compute-bound Arrow tasks (see cosine_pairs_blocked)
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        candg.repartition(n_part, "pi", "pj")
+        .groupBy("pi", "pj")
+        .cogroup(vg.repartition(n_part, "pi", "pj").groupBy("pi", "pj"))
+        .applyInPandas(rescore, f"id_a {id_dtype}, id_b {id_dtype}, cos double")
     )
 
 

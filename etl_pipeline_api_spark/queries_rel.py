@@ -659,7 +659,14 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import ship_package
 
     ship_package(spark)
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # explicit partition count: AQE would coalesce this few-MB shuffle to
+    # one partition and serialize every per-user python call on one core
+    # (see op-asof-cogroup — same fix, measured 7x there)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+    )
 
     def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
         s = pdf["value"].std(ddof=1)

@@ -598,14 +598,23 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ship_package(spark)
     ev = _t(spark, sf_dir, "events")
+    # EXPLICIT hash repartition on the cogroup key: AQE sizes post-shuffle
+    # partitions by BYTES, so this few-MB shuffle coalesces to one
+    # partition and the python-worker stage — whose cost is per-GROUP call
+    # overhead, not bytes — serializes 1,500 groups on one core (measured
+    # 7.1 s noop floor -> 1.1 s at 32-way). A user-specified partition
+    # count disables AQE coalescing for exactly this exchange; at cluster
+    # scale defaultParallelism is the executor-core count, the right
+    # parallelism for a compute-bound Arrow stage either way.
+    n_part = spark.sparkContext.defaultParallelism
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
-    )
+    ).repartition(n_part, "user_id")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("c_event_id"),
         F.col("ts").alias("c_ts"),
-    )
+    ).repartition(n_part, "c_user")
 
     def merge(p: "pd.DataFrame", c: "pd.DataFrame") -> "pd.DataFrame":
         # Tie-break exactly like the oracle's ROWS frame ordered by
