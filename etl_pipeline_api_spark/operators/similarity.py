@@ -277,23 +277,21 @@ def cosine_pairs_lsh(
     2. candidates: self-join on (band index, band bits) with id_a < id_b,
        then distinct — pairs sharing ANY band survive; bucket sizes, not
        N^2, bound the join.
-    3. exact re-score, cogrouped block-pair numpy: candidate ids hash to
-       one of B blocks and each (id_a, id_b) pair lands in block-pair
-       group (min, max); vectors ship to the B groups containing their
-       block (N x B rows, the cosine_pairs_blocked shipping scheme), and
-       one Arrow task per group looks both sides up in its block matrices
-       and row-wise-dots ONLY the candidate pairs. False positives die
-       here; the only error mode is a missed pair whose every band
-       differs. (The r1–r7 re-score joined the two full vector sides onto
-       every candidate: locally the small sides broadcast and the real
-       cost was the interpreted zip_with dot per pair, but past the
-       broadcast ceiling the SMJ ships |candidates| x 2 x dim doubles —
-       the cogroup ships |candidates| SLIM rows (two ids) + N x B vector
-       rows instead, ~dim x less shuffle where it matters, and
-       BLAS-batches the dots. sf0.1 wall is flat (~6 s — candidate
-       distinct + the cogroup's per-partition sort dominate at that
-       size); per-task memory stays 2N/B x dim, no broadcast, no driver
-       state.)
+    3. exact re-score: join the two vector sides back by id (the vector
+       side is |corpus| rows — it BROADCASTS whenever the corpus is in
+       the regime where this operator's candidate join is viable at all)
+       and batch the dot products in a vectorized pandas_udf (numpy over
+       Arrow columns — measured 4.9 s -> 4.1 s vs the earlier interpreted
+       zip_with per pair at sf0.1's 1.97 M candidates). False positives
+       die here; the only error mode is a missed pair whose every band
+       differs. A cogrouped block-pair re-score (slim candidate shuffle +
+       N x B vector rows, per-group BLAS) was tried in r7 and REJECTED on
+       measurement: the extra distinct-then-repartition shuffle and the
+       cogroup's per-partition SORT of the candidate set cost more than
+       they save at every testable scale (sf0.1 flat, sf1 452 s vs ~250 s
+       Spark-side, JVM OOM at 32 local cores holding 36 sorted 5M-row
+       Arrow groups) — and past the broadcast ceiling the honest answer
+       is op-dedup-embedding-blocked, not a wider LSH at a low threshold.
 
     Recall dial: per-bit agreement for a pair at angle θ is p = 1 - θ/π;
     recall = 1 - (1 - p^band_width)^n_bands. Low thresholds (wide angles)
@@ -349,7 +347,7 @@ def cosine_pairs_lsh(
     side = fan_out(df).select(
         F.col(id_col).alias("id"),
         _checked_vec(F.col(vec_col).cast("array<double>"), dim, "cosine_pairs_lsh").alias("v"),
-    ).withColumn("n", _norm(F.col("v")))
+    )
     banded = side.select(
         "id", F.explode_outer(bands(F.col("v"))).alias("band")
     ).filter(F.col("band").isNotNull())
@@ -371,71 +369,35 @@ def cosine_pairs_lsh(
 
     from ..session import ship_package
 
-    spark = df.sparkSession
-    ship_package(spark)
-    id_dtype = df.schema[id_col].dataType.simpleString()
-    n_blocks = 8
+    ship_package(df.sparkSession)
 
-    def _blk(c):
-        return F.pmod(F.xxhash64(c.cast("string")), F.lit(n_blocks))
+    from pyspark.sql.functions import pandas_udf
 
-    candg = cand.select(
-        "id_a",
-        "id_b",
-        F.least(_blk(F.col("id_a")), _blk(F.col("id_b"))).alias("pi"),
-        F.greatest(_blk(F.col("id_a")), _blk(F.col("id_b"))).alias("pj"),
-    )
-    # ship each vector to every block-pair group containing its block
-    # (the cosine_pairs_blocked scheme): N x B rows, dim doubles each
-    pair_lit = F.array_distinct(
-        F.array(*[
-            F.struct(
-                F.least(F.col("blk"), F.lit(k)).alias("pi"),
-                F.greatest(F.col("blk"), F.lit(k)).alias("pj"),
-            )
-            for k in range(n_blocks)
-        ])
-    )
-    vg = (
-        side.withColumn("blk", _blk(F.col("id")))
-        .withColumn("pg", F.explode(pair_lit))
-        .select("id", "v", F.col("pg.pi").alias("pi"), F.col("pg.pj").alias("pj"))
-    )
-
-    def rescore(cpdf, vpdf):
+    @pandas_udf("double")
+    def _cos_batch(va, vb):
         import pandas as pd
 
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        if cpdf.empty or vpdf.empty:
-            return empty
-        mat = np.stack(vpdf["v"].to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        idx = pd.Series(np.arange(len(vpdf)), index=vpdf["id"].to_numpy())
-        ia = idx[cpdf["id_a"].to_numpy()].to_numpy()
-        ib = idx[cpdf["id_b"].to_numpy()].to_numpy()
-        cos = (mat[ia] * mat[ib]).sum(axis=1)
+        # normalize-then-dot, the exact arithmetic of cosine_pairs_blocked
+        # (which anchors the recall gates' `exact` set) — a dot/(na*nb)
+        # variant could disagree by an ulp on threshold-boundary pairs
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        return pd.Series((A * B).sum(axis=1))
+
+    va = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("__cos_raw", _cos_batch(F.col("va"), F.col("vb")))
         # filter on the UNROUNDED cosine, round only for display: rounding
         # first admitted pairs with true cos in [threshold-5e-5, threshold)
         # — invisible at the gate SFs, 104 boundary pairs at sf1 (the exact
         # driver/blocked paths always filtered raw; this path must agree)
-        keep = cos >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": cpdf["id_a"].to_numpy()[keep],
-                "id_b": cpdf["id_b"].to_numpy()[keep],
-                "cos": np.round(cos[keep], 4),
-            }
-        )
-
-    # explicit partition count on both cogroup inputs — AQE would
-    # byte-size this slim shuffle down to one partition and serialize
-    # the compute-bound Arrow tasks (see cosine_pairs_blocked)
-    n_part = spark.sparkContext.defaultParallelism
-    return (
-        candg.repartition(n_part, "pi", "pj")
-        .groupBy("pi", "pj")
-        .cogroup(vg.repartition(n_part, "pi", "pj").groupBy("pi", "pj"))
-        .applyInPandas(rescore, f"id_a {id_dtype}, id_b {id_dtype}, cos double")
+        .filter(F.col("__cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("__cos_raw", 4).alias("cos"))
     )
 
 
