@@ -535,25 +535,32 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
+    # persist the exact pair set: it anchors FOUR actions (its count +
+    # one semi-join per config) and would otherwise re-run the shingle
+    # self-join each time; every action completes inside this function,
+    # so the unpersist is safe
     exact = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
-    ).select("id_a", "id_b")
-    n_exact = exact.count()
-    rows = []
-    for band_rows in (2, 4, 8):
-        found = (
-            dedup.minhash_lsh_pairs(
-                docs, "doc_id", "text", n=3, threshold=0.5,
-                num_hashes=32, band_rows=band_rows,
+    ).select("id_a", "id_b").persist()
+    try:
+        n_exact = exact.count()
+        rows = []
+        for band_rows in (2, 4, 8):
+            found = (
+                dedup.minhash_lsh_pairs(
+                    docs, "doc_id", "text", n=3, threshold=0.5,
+                    num_hashes=32, band_rows=band_rows,
+                )
+                .select("id_a", "id_b")
+                .join(exact, ["id_a", "id_b"])
+                .count()
             )
-            .select("id_a", "id_b")
-            .join(exact, ["id_a", "id_b"])
-            .count()
-        )
-        floor = 0.9 if band_rows == 2 else (0.3 if band_rows == 4 else 0.01)
-        rows.append(
-            (band_rows, n_exact, bool(n_exact == 0 or found >= floor * n_exact))
-        )
+            floor = 0.9 if band_rows == 2 else (0.3 if band_rows == 4 else 0.01)
+            rows.append(
+                (band_rows, n_exact, bool(n_exact == 0 or found >= floor * n_exact))
+            )
+    finally:
+        exact.unpersist()
     return spark.createDataFrame(
         rows, "band_rows int, n_exact bigint, recall_floor_ok boolean"
     )
@@ -594,22 +601,27 @@ def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
+    # persist the exact top-k universe: five actions hang off it (its
+    # count + one semi-join per probe width); all complete in-function
     exact = similarity.cosine_topk(
         emb, queries, "vec_id", "embedding", k=5
-    ).select("query_id", "neighbor_id")
-    n_exact = exact.count()
-    floors = {p: 1.2 * p / 16.0 for p in (1, 2, 4, 8)}
-    hits = {}
-    for n_probe in (1, 2, 4, 8):
-        hits[n_probe] = (
-            similarity.ivf_topk(
-                emb, queries, "vec_id", "embedding", k=5,
-                n_centroids=16, n_probe=n_probe,
+    ).select("query_id", "neighbor_id").persist()
+    try:
+        n_exact = exact.count()
+        floors = {p: 1.2 * p / 16.0 for p in (1, 2, 4, 8)}
+        hits = {}
+        for n_probe in (1, 2, 4, 8):
+            hits[n_probe] = (
+                similarity.ivf_topk(
+                    emb, queries, "vec_id", "embedding", k=5,
+                    n_centroids=16, n_probe=n_probe,
+                )
+                .select("query_id", "neighbor_id")
+                .join(exact, ["query_id", "neighbor_id"])
+                .count()
             )
-            .select("query_id", "neighbor_id")
-            .join(exact, ["query_id", "neighbor_id"])
-            .count()
-        )
+    finally:
+        exact.unpersist()
     rows = []
     probes = [1, 2, 4, 8]
     for i, p in enumerate(probes):
