@@ -197,3 +197,53 @@ def test_cosine_pairs_blocked_matches_exact(spark, sf_dir):
         }
         assert blocked == exact, f"n_blocks={nb}"
     assert len(exact) > 0
+
+
+def test_cosine_pairs_blocked_group_col_restricts_to_groups(spark):
+    """group_col turns the all-pairs kernel into a within-group search
+    (the SemDeDup shape): a cross-group pair above the threshold must NOT
+    appear, identical same-group pairs must."""
+    import numpy as np
+
+    base = np.ones(8)
+    rows = [
+        (0, [float(x) for x in base], 0),          # g0
+        (1, [float(x) for x in base * 2.0], 0),    # g0: cos 1.0 with id 0
+        (2, [float(x) for x in base * 3.0], 1),    # g1: cos 1.0 with both
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, grp int"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_blocked(
+            df, "vec_id", "embedding", threshold=0.9, group_col="grp"
+        ).collect()
+    }
+    assert got == {(0, 1)}, got  # (0,2)/(1,2) are cross-group: excluded
+
+
+def test_grouped_arrow_stages_pin_partition_count(spark, sf_dir):
+    """AQE-starvation regression (r7): a few-MB shuffle feeding a grouped
+    pandas stage coalesces to ONE partition under AQE's byte-sized
+    coalescing, serializing every per-group python call on one core
+    (measured 7x on op-asof-cogroup). The fix is a user-specified
+    repartition(N, keys) right before the grouped stage — pinned here by
+    the REPARTITION_BY_NUM marker in the optimized plans of the operator
+    and the two registered queries that carry it."""
+    import __spark_entry__ as m
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = similarity.cosine_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.4
+    )._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" in plan
+
+    queries = m.queries()
+    for name in ("op-asof-cogroup", "op-grouped-zscore"):
+        qplan = (
+            queries[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .toString()
+        )
+        assert "REPARTITION_BY_NUM" in qplan, name
