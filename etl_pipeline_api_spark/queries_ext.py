@@ -141,20 +141,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
     ).select("id_a", "id_b")
-    common = lsh.join(exact, ["id_a", "id_b"])
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("__n_lsh")))
-        .crossJoin(common.agg(F.count(F.lit(1)).alias("__n_common")))
-        .select(
-            "n_exact",
-            (F.col("__n_lsh") == F.col("__n_common"))
-            .cast("int")
-            .alias("precision_exact"),
-            (F.col("__n_common") * 100 >= F.col("n_exact") * 95)
-            .cast("int")
-            .alias("recall_ge_95"),
-        )
+    # one full-outer pass counts exact / lsh / common together so the
+    # shingle self-join and the minhash pipeline each execute ONCE — the
+    # earlier crossJoin-of-aggregates re-ran both subtrees for their own
+    # counts (Catalyst only reuses identical exchanges)
+    both = exact.withColumn("__e", F.lit(1)).join(
+        lsh.withColumn("__l", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return both.agg(
+        F.count("__e").alias("n_exact"),
+        F.count("__l").alias("__n_lsh"),
+        F.count(
+            F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1)
+        ).alias("__n_common"),
+    ).select(
+        "n_exact",
+        (F.col("__n_lsh") == F.col("__n_common"))
+        .cast("int")
+        .alias("precision_exact"),
+        (F.col("__n_common") * 100 >= F.col("n_exact") * 95)
+        .cast("int")
+        .alias("recall_ge_95"),
     )
 
 
@@ -195,37 +202,53 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_all = dedup.simhash_band_candidates(
         fp, "doc_id", n_bands=n_bands, max_bucket=max_bucket
     )
-    cand = cand_all.filter(F.col("hamming") <= 8).select("id_a", "id_b")
     exact = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
     ).select("id_a", "id_b")
     fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__fa"))
     fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__fb"))
-    zone = (
+    # exact pairs carry their zone membership as a FLAG (not a filter),
+    # and one full-outer join against the (distinct) candidate set serves
+    # all four pair-level counts in a single pass — the earlier shape
+    # crossJoined five 1-row aggregates, re-running the shingle self-join
+    # and the zone joins for each count (Catalyst only reuses identical
+    # exchanges). cand_all rows are distinct (id_a, id_b, hamming), so
+    # the full outer cannot fan out.
+    ez = (
         exact.join(fa, "id_a")
         .join(fb, "id_b")
-        .filter(
-            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))) <= n_bands - 1
-        )
-        .select("id_a", "id_b")
-    )
-    recovered = zone.join(cand, ["id_a", "id_b"], "left_semi")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(zone.agg(F.count(F.lit(1)).alias("__n_zone")))
-        .crossJoin(recovered.agg(F.count(F.lit(1)).alias("__n_rec")))
-        .crossJoin(cand_all.agg(F.count(F.lit(1)).alias("__n_cand")))
-        .crossJoin(docs.agg(F.count(F.lit(1)).alias("__n_docs")))
         .select(
-            "n_exact",
-            (F.col("__n_rec") * 3 >= F.col("__n_zone") * 2).alias(
-                "zone_recall_ge_2of3"
-            ),
+            "id_a",
+            "id_b",
+            F.lit(1).alias("__e"),
             (
-                F.col("__n_cand") * 2
-                <= F.col("__n_docs") * n_bands * max_bucket
-            ).alias("cand_linear"),
+                F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+                <= n_bands - 1
+            ).cast("int").alias("__zone"),
         )
+    )
+    both = ez.join(
+        cand_all.select("id_a", "id_b", "hamming"), ["id_a", "id_b"], "full_outer"
+    )
+    counts = both.agg(
+        F.count("__e").alias("n_exact"),
+        F.coalesce(F.sum("__zone"), F.lit(0)).alias("__n_zone"),
+        F.count(
+            F.when((F.col("__zone") == 1) & (F.col("hamming") <= 8), 1)
+        ).alias("__n_rec"),
+        F.count("hamming").alias("__n_cand"),
+    )
+    return counts.crossJoin(
+        F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n_docs")))
+    ).select(
+        "n_exact",
+        (F.col("__n_rec") * 3 >= F.col("__n_zone") * 2).alias(
+            "zone_recall_ge_2of3"
+        ),
+        (
+            F.col("__n_cand") * 2
+            <= F.col("__n_docs") * n_bands * max_bucket
+        ).alias("cand_linear"),
     )
 
 
