@@ -377,9 +377,14 @@ def cosine_pairs_lsh(
     def _cos_batch(va, vb):
         import pandas as pd
 
-        # normalize-then-dot, the exact arithmetic of cosine_pairs_blocked
-        # (which anchors the recall gates' `exact` set) — a dot/(na*nb)
-        # variant could disagree by an ulp on threshold-boundary pairs
+        # normalize-then-dot, the same FORMULA as cosine_pairs_blocked
+        # (which anchors the recall gates' `exact` set) — but NOT the same
+        # summation order: this is numpy pairwise summation, the blocked
+        # path is a BLAS matmul, so a pair whose cosine straddles the
+        # threshold within an ulp can land in one set and not the other.
+        # The op-dedup-embedding-lsh precision gate tolerates exactly that
+        # boundary band (|cos - tau| <= its epsilon); the recall floor
+        # carries 3x slack. A dot/(na*nb) variant would widen the gap.
         A = np.stack(va.to_numpy()).astype(np.float64)
         B = np.stack(vb.to_numpy()).astype(np.float64)
         A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)

@@ -540,10 +540,12 @@ def bpe_encode(
       and eval cost grow with the table: 8 merges measured 23.9 s at
       sf0.1, the slowest batch query of round 6).
     - otherwise: ONE Arrow-batched pandas_udf applying the identical
-      greedy left-to-right loop per WORD, memoized per Python worker —
-      word token counts are a pure function of the word, so each
-      distinct word is encoded once per worker and every repeat is a
-      dict hit (Zipf does the rest: measured 23.9 s -> ~1 s at sf0.1).
+      greedy left-to-right loop per WORD, memoized per TASK (the memo
+      dict lives in the closure, so every Arrow batch of a partition
+      shares it) — word token counts are a pure function of the word,
+      so each distinct word is encoded once per task and every repeat
+      is a dict hit (Zipf does the rest: measured 23.9 s -> ~1 s at
+      sf0.1).
       Same zero-shuffle shape; ArrowEvalPython instead of codegen.
 
     Both paths implement byte-identical semantics (greedy
@@ -583,6 +585,11 @@ def bpe_encode(
         )
 
     mg = [(str(a), str(b)) for a, b in merges]
+    # memo lives in the ENCLOSING scope so the pickled closure carries ONE
+    # dict shared by every Arrow batch the deserialized UDF sees (per task,
+    # all batches of a partition) — defined inside _enc it would reset
+    # every ~10k-row batch and the Zipf reuse would be mostly lost
+    cache: dict[str, tuple[int, int]] = {}
 
     @F.pandas_udf("struct<n_chars_tok:int,n_bpe_tok:int>")
     def _enc(texts):
@@ -593,7 +600,6 @@ def bpe_encode(
         # re.ASCII pins \s to the same ASCII class Java's regex uses
         # (the JVM fold path splits with Java \s+)
         splitter = re.compile(r"\s+", re.ASCII)
-        cache: dict[str, tuple[int, int]] = {}
 
         def word_counts(w: str) -> tuple[int, int]:
             hit = cache.get(w)

@@ -114,12 +114,24 @@ def query(name: str, oracle: str | None = None):
         # module imported again under a second identity via sys.path
         # aliasing or importlib.reload in tests) is an idempotent no-op,
         # not an error — only a genuinely different callable collides.
+        # "Same" means module+qualname AND the same source location
+        # (co_filename/co_firstlineno): a second same-named def in the
+        # same module registering the same query name is a collision,
+        # not a reload — the exact shadowing class this guard exists for.
         prev = QUERIES.get(name)
-        if prev is not None and (
-            getattr(prev, "__module__", None) != fn.__module__
-            or getattr(prev, "__qualname__", None) != fn.__qualname__
-        ):
-            raise ValueError(f"duplicate query name: {name}")
+        if prev is not None:
+            pc = getattr(prev, "__code__", None)
+            fc = getattr(fn, "__code__", None)
+            same_def = (
+                getattr(prev, "__module__", None) == fn.__module__
+                and getattr(prev, "__qualname__", None) == fn.__qualname__
+                and pc is not None
+                and fc is not None
+                and pc.co_filename == fc.co_filename
+                and pc.co_firstlineno == fc.co_firstlineno
+            )
+            if not same_def:
+                raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -35,21 +35,10 @@ REL_FLOOR = 0.35
 # Known, deliberate slowdowns: query -> reason. Printed as WAIVED, not
 # counted as failures. Keep entries only while the comparison window
 # still spans the round that introduced the change, then delete.
-WAIVERS = {
-    # r7: op-dedup-fuzzy now registers with the max_df boilerplate guard
-    # (df-count + size-recount are two extra linear shuffles at sf0.1,
-    # where the guard prunes nothing) — the price of the O(corpus)
-    # candidate bound that fixes the r6 scaling watch. Delete once the
-    # comparison window no longer spans round 7.
-    "op-dedup-fuzzy": "r7 max_df guard engaged (two extra linear shuffles; "
-                      "fixes the quadratic sf1 candidate mass)",
-    # r7: op-dedup-embedding-lsh restructured from a raw pair list to the
-    # minhash-style structural gate (now also runs the exact blocked path
-    # in-plan to measure precision/recall) — the corpus-lucky pair-set
-    # oracle expected ~28 banding misses at sf1. Delete once the
-    # comparison window no longer spans round 7.
-    "op-dedup-embedding-lsh": "r7 structural recall gate (runs exact blocked "
-                              "path in-plan; pair-set oracle was corpus-lucky)",
+WAIVERS: dict[str, str] = {
+    # (r7's op-dedup-fuzzy / op-dedup-embedding-lsh waivers rotated out in
+    # r8: the comparison window no longer spans the rounds that introduced
+    # those deliberate slowdowns.)
 }
 
 
