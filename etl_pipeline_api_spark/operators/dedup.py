@@ -205,27 +205,51 @@ def minhash_lsh_pairs(
     case handled by line_dedup/exact dedup upstream. Default None keeps
     exact parity with the uncapped oracle.
     """
-    n_bands = num_hashes // band_rows
-    # Shingle strings are xxhash64'd to int64 ONCE, inside the frame that
-    # gets checkpointed: the K per-seed signature passes below then mix
-    # 8-byte longs instead of re-hashing ~20-byte strings K times (same
-    # trick as ngram_jaccard_pairs' join keys; collision analysis there).
-    # The exact-Jaccard verification intersects the int64 arrays too —
-    # smaller shuffle payload, long compares instead of string compares.
+    sets = minhash_signature_sets(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    return minhash_lsh_pairs_from_sets(
+        sets,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        band_rows=band_rows,
+        max_bucket=max_bucket,
+    )
+
+
+def minhash_signature_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Shared prefix of the MinHash pipeline: (__id, hshs, n_sh, sig),
+    locally checkpointed. Factored out of :func:`minhash_lsh_pairs` (r8)
+    so harnesses that band the SAME ``num_hashes`` signature several ways
+    (op-lsh-tuning's band_rows ∈ {2,4,8}) parse shingles and compute the
+    K signature passes ONCE instead of once per config — the signature is
+    a pure function of (corpus, n, num_hashes), not of the banding.
+
+    Shingle strings are xxhash64'd to int64 ONCE, inside the frame that
+    gets checkpointed: the K per-seed signature passes mix 8-byte longs
+    instead of re-hashing ~20-byte strings K times (same trick as
+    ngram_jaccard_pairs' join keys; collision analysis there). The
+    exact-Jaccard verification intersects the int64 arrays too — smaller
+    shuffle payload, long compares instead of string compares.
+
+    Checkpointed once (NOT persist): feeds the signature/band branch AND
+    both sides of the verification join. localCheckpoint truncates the
+    shingle-transform plan so the CacheManager never canonicalizes it on
+    later actions (see plans/corpus.py exact_survivors for the measured
+    session-degradation this avoids); disk-backed blocks spill like
+    MEMORY_AND_DISK. It is ALSO the evaluate-once barrier that lets the
+    K signature expressions reference `hshs` without Catalyst inlining
+    the hash transform into every reference.
+    """
     sets = shingle_sets(df, id_col, text_col, n).filter(F.size("shs") > 0).select(
         "__id",
         F.transform("shs", lambda s: F.xxhash64(s)).alias("hshs"),
         "n_sh",
     )
-    # Checkpointed once (NOT persist): feeds the signature/band branch AND
-    # both sides of the verification join. localCheckpoint truncates the
-    # shingle-transform plan so the CacheManager never canonicalizes it on
-    # later actions (see plans/corpus.py exact_survivors for the measured
-    # session-degradation this avoids); disk-backed blocks spill like
-    # MEMORY_AND_DISK. It is ALSO the evaluate-once barrier that lets the
-    # K signature expressions below reference `hshs` without Catalyst
-    # inlining the hash transform into every reference.
-    sets = sets.localCheckpoint(eager=False)
     # NB: the transform lambda must take ONE arg — pyspark passes the array
     # index to a second parameter, which would make hashes position-dependent
     # (breaking set semantics: 0/64 signature agreement on a 0.99-Jaccard
@@ -237,8 +261,25 @@ def minhash_lsh_pairs(
         F.array_min(F.transform(F.col("hshs"), _hash_fn(i)))
         for i in range(num_hashes)
     ])
+    return sets.select(
+        "__id", "hshs", "n_sh", sig.alias("sig")
+    ).localCheckpoint(eager=False)
+
+
+def minhash_lsh_pairs_from_sets(
+    sets: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    band_rows: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banding + candidate join + exact-Jaccard verification over a
+    precomputed :func:`minhash_signature_sets` frame — the per-config
+    suffix of :func:`minhash_lsh_pairs` (semantics documented there).
+    ``num_hashes`` must match the signature length in ``sets``."""
+    n_bands = num_hashes // band_rows
     bands = (
-        sets.select(F.col("__id"), sig.alias("sig"))
+        sets.select(F.col("__id"), F.col("sig"))
         .select(
             "__id",
             F.explode(

@@ -542,13 +542,20 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5
     ).select("id_a", "id_b").persist()
+    # shared signature frame: the 32-hash MinHash signature is a pure
+    # function of the corpus, not of the banding — parse shingles and run
+    # the K signature passes ONCE, band the result three ways (r8; the
+    # per-config minhash_lsh_pairs calls re-did that work 3x)
+    sig_sets = dedup.minhash_signature_sets(
+        docs, "doc_id", "text", n=3, num_hashes=32
+    )
     try:
         n_exact = exact.count()
         rows = []
         for band_rows in (2, 4, 8):
             found = (
-                dedup.minhash_lsh_pairs(
-                    docs, "doc_id", "text", n=3, threshold=0.5,
+                dedup.minhash_lsh_pairs_from_sets(
+                    sig_sets, threshold=0.5,
                     num_hashes=32, band_rows=band_rows,
                 )
                 .select("id_a", "id_b")
