@@ -405,6 +405,7 @@ def personalized_pagerank(
     iters: int = 3,
     damping: float = 0.85,
     k: int = 10,
+    full_ranks: bool = False,
 ) -> DataFrame:
     """Personalized PageRank from a single source — "items related to
     X" over the co-purchase graph, the classic item-to-item
@@ -416,6 +417,10 @@ def personalized_pagerank(
     ``(1−d)`` lands entirely on the source instead of 1/N everywhere.
     Output: top-k (node, score, rnk) EXCLUDING the source itself,
     (score desc, node) total order, scores rounded for oracle hashing.
+    ``full_ranks=True`` instead returns the COMPLETE unrounded rank
+    vector (node, rank) — the op-ppr-mass-gate structural invariants
+    (mass conservation, teleport lower bound) are properties of the
+    whole vector, which the top-k output deliberately discards.
     """
     directed = edges.select(
         F.col("a").alias("src"), F.col("c").alias("dst")
@@ -446,6 +451,8 @@ def personalized_pagerank(
         )
         if it % 8 == 7:
             ranks = ranks.localCheckpoint(eager=False)
+    if full_ranks:
+        return ranks
     from pyspark.sql import Window
 
     top = (

@@ -449,6 +449,90 @@ def q_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "op-ppr-mass-gate",
+    oracle="""
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT x.i AS a, y.i AS c
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    dir AS (SELECT a AS src, c AS dst FROM edges
+            UNION ALL SELECT c, a FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg)
+    SELECT TRUE AS mass_ok, TRUE AS source_mass_ok,
+           TRUE AS topk_excludes_source,
+           CAST(least(10, n - 1) AS BIGINT) AS k_rows
+    FROM nn
+    """,
+)
+def q_ppr_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-ppr-recommend's STRUCTURAL companion (the e62b578 kmeans/
+    semdedup template): op-ppr-recommend's own unrolled-3-round-CTE
+    oracle is exact but quadratic-ish in DuckDB temp space and
+    infeasible at sf1 (SF1CHECK_r7), so this query pins the power
+    iteration's INVARIANTS with a LINEAR oracle that runs at any SF:
+
+    - mass_ok: total rank mass = 1 ± 1e-6. Each PPR round maps
+      Σrank → (1−d) + d·Σrank because every node's contributions are
+      split 1/deg over exactly deg out-edges (the symmetrized graph has
+      no dangling nodes); a broken teleport, degree normalization, or
+      lost/duplicated contribution shifts total mass by O(0.1).
+    - source_mass_ok: rank(source) ≥ (1−d) — the restart mass lower
+      bound; from round 1 on the source always keeps its full teleport.
+    - topk_excludes_source: the recommendation list never returns the
+      query item itself.
+    - k_rows: |top-k| = min(k, n_nodes − 1), pinned from the oracle's
+      own node count.
+
+    The rank vector itself stays exactly pinned by op-ppr-recommend's
+    CTE oracle at the gate SFs; this gate extends coverage to scales
+    where that oracle can't run. Localization on a barbell graph is
+    unit-pinned in tests/test_stats_graph.py."""
+    from .operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph.basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    top = deg.orderBy(F.col("d").desc(), F.col("n").asc()).limit(1).collect()
+    if not top:
+        return spark.createDataFrame(
+            [],
+            "mass_ok boolean, source_mass_ok boolean, "
+            "topk_excludes_source boolean, k_rows bigint",
+        )
+    source = int(top[0]["n"])
+    # one loop execution feeds every invariant below
+    full = graph.personalized_pagerank(
+        edges, source=source, iters=3, k=10, full_ranks=True
+    ).localCheckpoint(eager=False)
+    stats = full.agg(
+        F.abs(F.sum("rank") - 1.0).alias("mass_err"),
+        F.max(F.when(F.col("node") == source, F.col("rank"))).alias("src_rank"),
+    )
+    topk = (
+        full.where(F.col("node") != source)
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(10)
+    )
+    tk = topk.agg(
+        F.count(F.lit(1)).alias("k_rows"),
+        F.count(F.when(F.col("node") == source, 1)).alias("n_src"),
+    )
+    return stats.crossJoin(F.broadcast(tk)).select(
+        (F.col("mass_err") <= 1e-6).alias("mass_ok"),
+        (F.col("src_rank") >= 0.15 - 1e-9).alias("source_mass_ok"),
+        (F.col("n_src") == 0).alias("topk_excludes_source"),
+        F.col("k_rows").cast("bigint").alias("k_rows"),
+    )
+
+
+@query(
     "op-join-advisor",
     oracle="""
     WITH l AS (

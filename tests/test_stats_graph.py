@@ -703,6 +703,21 @@ def test_personalized_pagerank_localizes_mass(spark):
     assert again == out
 
 
+def test_personalized_pagerank_mass_invariants(spark):
+    # the op-ppr-mass-gate invariants on the barbell fixture: total mass
+    # conserved at 1, source keeps at least the (1-d) teleport mass
+    e = _edges(
+        spark,
+        [(1, 2), (1, 3), (2, 3), (3, 10), (10, 11), (10, 12), (11, 12)],
+    )
+    full = {r["node"]: r["rank"] for r in
+            graph.personalized_pagerank(
+                e, source=1, iters=4, k=10, full_ranks=True
+            ).collect()}
+    assert sum(full.values()) == pytest.approx(1.0, abs=1e-9)
+    assert full[1] >= 0.15 - 1e-12
+
+
 def test_join_advisor_rules(spark):
     from etl_pipeline_api_spark.operators.diagnostics import join_advisor
 
