@@ -84,10 +84,47 @@ def curate(
       not-equal boilerplate; at 100 TB set this (e.g. 1000) and let
       line-dedup own that text instead.
     """
-    # Every pre-pair metric (language, quality, fingerprint, PII scrub) is
-    # row-local, so the whole filter phase is ONE scan-and-project — no
-    # per-metric scan + semi-join (the naive composition of the df-level
-    # ops cost 3 scans + 3 shuffles and measured ~4x slower at sf0.1).
+    exact_survivors = curate_prefix(
+        docs,
+        quality_min=quality_min,
+        lang=lang,
+        redact_pii=redact_pii,
+        line_max_df=line_max_df,
+    )
+
+    if scale_path:
+        pairs = minhash_lsh_pairs(
+            exact_survivors, "doc_id", "text", n=3,
+            threshold=jaccard_threshold, max_bucket=near_dup_max_bucket,
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            exact_survivors, "doc_id", "text", n=3, threshold=jaccard_threshold
+        )
+    return curate_neardup_tail(
+        exact_survivors, pairs,
+        decontam_eval=decontam_eval, decontam_n=decontam_n,
+    )
+
+
+def curate_prefix(
+    docs: DataFrame,
+    quality_min: float = 0.8,
+    lang: str = "en",
+    redact_pii: bool = False,
+    line_max_df: int | None = None,
+) -> DataFrame:
+    """The pre-pair prefix of :func:`curate` — PII scrub + lang/quality
+    filter + optional boilerplate line-dedup + fingerprint exact dedup —
+    returning the checkpointed exact-dedup survivor frame. Factored out
+    (r8) so the op-corpus-curate-full gate computes it ONCE and feeds
+    both near-dup tails.
+
+    Every pre-pair metric (language, quality, fingerprint, PII scrub) is
+    row-local, so the whole filter phase is ONE scan-and-project — no
+    per-metric scan + semi-join (the naive composition of the df-level
+    ops cost 3 scans + 3 shuffles and measured ~4x slower at sf0.1).
+    """
     #
     # TOKEN MATERIALIZATION (the r4→r5 plan-build fix): the lang/quality
     # metrics each reference the token array inside several lambdas, and
@@ -147,16 +184,22 @@ def curate(
         .drop("__fp", "__min_id")
         .localCheckpoint(eager=False)
     )
+    return exact_survivors
 
-    if scale_path:
-        pairs = minhash_lsh_pairs(
-            exact_survivors, "doc_id", "text", n=3,
-            threshold=jaccard_threshold, max_bucket=near_dup_max_bucket,
-        )
-    else:
-        pairs = ngram_jaccard_pairs(
-            exact_survivors, "doc_id", "text", n=3, threshold=jaccard_threshold
-        )
+
+def curate_neardup_tail(
+    exact_survivors: DataFrame,
+    pairs: DataFrame,
+    decontam_eval: DataFrame | None = None,
+    decontam_n: int = 4,
+) -> DataFrame:
+    """The post-pair suffix of :func:`curate`: near-dup pairs →
+    connected components → keep component minima → optional benchmark
+    decontamination. Factored out (r8) so op-corpus-curate-full can run
+    the SAME tail once with MinHash-LSH pairs and once with exact
+    Jaccard pairs over one shared prefix, and gate the two survivor sets
+    against each other (LSH ⊆ exact pairs ⇒ exact-path survivors ⊆
+    LSH-path survivors, extras ≤ missed pairs — see the query)."""
     comps = connected_components(pairs, "id_a", "id_b")
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

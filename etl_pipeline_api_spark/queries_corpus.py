@@ -194,43 +194,17 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------
-# Full-curation capstone (rows-only: composition of oracle-checked stages)
-# ---------------------------------------------------------------------
-
-@query("op-corpus-curate-full")
-def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete curation flow a pretraining corpus runs: PII scrub
-    (folded into the filter projection, free) → lang/quality filter →
-    boilerplate line-dedup → exact dedup → MinHash near-dup components →
-    benchmark decontamination over the final survivor set. Rows-only at the
-    gate — every constituent stage has its own oracle-checked query
-    (op-pii-redact, op-line-dedup, op-corpus-curate, op-decontaminate)."""
-    from .plans.corpus import curate
-
-    docs = _t(spark, sf_dir, "documents")
-    ev = docs.filter(F.col("doc_id") % 50 == 0)
-    out = curate(
-        docs.filter(F.col("doc_id") % 50 != 0),
-        quality_min=0.5,
-        scale_path=True,
-        redact_pii=True,
-        line_max_df=1,
-        decontam_eval=ev,
-    )
-    return out.select("doc_id", "source", "lang").orderBy("doc_id")
-
-
 # The full composition, ORACLE-GATED on the exact-Jaccard path: every
-# stage of op-corpus-curate-full re-derived in one DuckDB query — PII
-# scrub, langid, quality, line-dedup over the filtered set, fingerprint
-# dedup, exact near-dup components (recursive CTE), decontamination
-# against the raw eval slice. op-corpus-curate-full itself stays on the
-# MinHash scale path (and stays rows-only: LSH recall on this corpus is
-# 2650/2651 survivors at sf0.1 — pinning it to the exact set would be
-# the same corpus-luck trap as the old simhash 4x-docs bound); this twin
-# proves the COMPOSITION, the LSH swap is covered by op-dedup-minhash's
-# recall gate.
+# curation stage re-derived in one DuckDB query — PII scrub, langid,
+# quality, line-dedup over the filtered set, fingerprint dedup, exact
+# near-dup components (recursive CTE), decontamination against the raw
+# eval slice. op-corpus-curate-composed outputs that doc list and
+# hash-pins it; op-corpus-curate-full (below) runs the MinHash scale
+# path AND this exact path over one shared prefix and gates their
+# RELATIONSHIP (subset + extras-bounded-by-missed-pairs), because
+# pinning the LSH survivor set equal to the exact set would be the same
+# corpus-luck trap as the old simhash 4x-docs bound (LSH recall here
+# happens to be 2650/2651 survivors at sf0.1).
 _CURATE_COMPOSED_ORACLE = rf"""
 WITH RECURSIVE train0 AS (
   SELECT doc_id, source, lang,
@@ -349,6 +323,94 @@ SELECT d.doc_id, d.source, d.lang
 FROM nd_survivors n JOIN documents d USING (doc_id)
 WHERE n.doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
+
+
+@query(
+    "op-corpus-curate-full",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_composed,
+           TRUE AS composed_subset_ok,
+           TRUE AS extras_le_missed
+    FROM ({_CURATE_COMPOSED_ORACLE}) composed
+    """,
+)
+def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation flow a pretraining corpus runs — PII scrub
+    (folded into the filter projection, free) → lang/quality filter →
+    boilerplate line-dedup → exact dedup → near-dup components →
+    benchmark decontamination — run BOTH ways over one shared prefix
+    (plans/corpus.py curate_prefix): the MinHash-LSH scale path (the
+    100 TB plan) and the exact-Jaccard path. Rows-only until r8; now a
+    1-row structural gate the DuckDB oracle pins end to end:
+
+    - n_composed: the exact-path survivor COUNT, value-pinned against
+      the oracle's full 7-stage CTE re-derivation (same pin class as
+      op-corpus-curate-composed, which hash-pins the doc list itself).
+    - composed_subset_ok: exact-path survivors ⊆ LSH-path survivors.
+      THEOREM, not corpus luck: LSH pairs ⊆ exact pairs (every LSH
+      candidate re-verifies exact Jaccard in-plan), so LSH components
+      refine exact components, and the min of an exact component is the
+      min of whichever LSH sub-component contains it; decontamination
+      is per-doc deterministic on identical text.
+    - extras_le_missed: |LSH-only survivors| ≤ |exact pairs missed by
+      LSH| (measured in-plan) — splitting a component into k parts
+      requires ≥ k−1 missing spanning-tree edges, so each extra
+      survivor charges at least one missed pair. A broken LSH tail
+      (empty pairs, wrong banding) blows extras past the measured
+      misses and fails the gate at any SF.
+
+    Cost note: runs both near-dup tails (+1 exact-Jaccard join + gate
+    joins) over the shared prefix — the r8 bench delta is deliberate
+    (waived in tools/bench_regress.py for the r7→r8 window)."""
+    from .operators import dedup
+    from .plans import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    prefix = corpus.curate_prefix(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        quality_min=0.5,
+        redact_pii=True,
+        line_max_df=1,
+    )
+    pairs_lsh = (
+        dedup.minhash_lsh_pairs(prefix, "doc_id", "text", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    pairs_ex = (
+        dedup.ngram_jaccard_pairs(prefix, "doc_id", "text", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    full = corpus.curate_neardup_tail(
+        prefix, pairs_lsh, decontam_eval=ev
+    ).select("doc_id")
+    comp = corpus.curate_neardup_tail(
+        prefix, pairs_ex, decontam_eval=ev
+    ).select("doc_id")
+    both = comp.withColumn("__c", F.lit(1)).join(
+        full.withColumn("__f", F.lit(1)), "doc_id", "full_outer"
+    )
+    surv = both.agg(
+        F.count("__c").alias("n_composed"),
+        F.count("__f").alias("__n_full"),
+        F.count(
+            F.when(F.col("__c").isNotNull() & F.col("__f").isNotNull(), 1)
+        ).alias("__n_common"),
+    )
+    missed = pairs_ex.join(pairs_lsh, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("__n_missed")
+    )
+    return surv.crossJoin(F.broadcast(missed)).select(
+        "n_composed",
+        (F.col("__n_common") == F.col("n_composed")).alias(
+            "composed_subset_ok"
+        ),
+        (
+            (F.col("__n_full") - F.col("__n_common")) <= F.col("__n_missed")
+        ).alias("extras_le_missed"),
+    )
 
 
 @query("op-corpus-curate-composed", oracle=_CURATE_COMPOSED_ORACLE)

@@ -153,17 +153,67 @@ def q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("op-bpe-train")  # rows-only: iterative argmax feedback is not SQL
+@query(
+    "op-bpe-train",
+    oracle=r"""
+    WITH wrd AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      FROM documents),
+    wf AS (SELECT w, count(*) AS n FROM wrd WHERE w <> '' GROUP BY 1),
+    sym AS (
+      SELECT n,
+             list_append(
+               list_transform(generate_series(1, length(w)),
+                              i -> substring(w, i, 1)),
+               '</w>') AS s
+      FROM wf),
+    pr AS (
+      SELECT unnest(s[1:len(s) - 1]) AS a, unnest(s[2:len(s)]) AS b, n
+      FROM sym),
+    pc AS (SELECT a, b, sum(n) AS cnt FROM pr GROUP BY 1, 2),
+    frst AS (SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)
+    SELECT CAST(8 AS INT) AS n_merges,
+           a AS first_left, b AS first_right, CAST(cnt AS BIGINT) AS first_n,
+           TRUE AS counts_ge_2, TRUE AS merged_concat_ok
+    FROM frst
+    """,
+)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-bpe-train: the FULL BPE training loop (op-bpe-pairs is one
     round of it) — 8 merge rounds over the word-frequency table; each
     round is one vocab-frame pair agg + deterministic argmax + a
     row-local Catalyst merge fold, lineage checkpointed per round.
-    Unit-pinned against a pure-Python Sennrich reference
+
+    The iterative argmax FEEDBACK is not SQL-expressible, but the merge
+    table's structure is — this query emits a 1-row summary the DuckDB
+    oracle pins (rows-only until r8): the FIRST merge is exactly the
+    argmax of the round-1 weighted symbol-pair counts ((cnt desc, a, b)
+    order), which DuckDB derives independently from the raw corpus
+    (first_left/first_right/first_n are exact value pins, the same class
+    as op-bpe-pairs); n_merges = 8; every merge count respects the >= 2
+    stop condition; merged == left || right on every row. Rounds 2-8's
+    exact contents stay pinned by the pure-Python Sennrich reference in
+    tests/test_stats_graph.py and by op-bpe-encode's compression twin
     (operators/text.py bpe_train)."""
     from .operators.text import bpe_train
 
-    return bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=8)
+    mt = bpe_train(_t(spark, sf_dir, "documents"), "text", n_merges=8)
+    return mt.agg(
+        F.count(F.lit(1)).cast("int").alias("n_merges"),
+        F.min_by("left", "rnk").alias("first_left"),
+        F.min_by("right", "rnk").alias("first_right"),
+        F.min_by("n", "rnk").cast("bigint").alias("first_n"),
+        (F.min("n") >= 2).alias("counts_ge_2"),
+        (
+            F.sum(
+                F.when(
+                    F.col("merged") != F.concat(F.col("left"), F.col("right")),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("merged_concat_ok"),
+    )
 
 
 @query("op-bpe-encode")  # rows-only: consumes the trained (iterative) table

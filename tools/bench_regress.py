@@ -39,6 +39,12 @@ WAIVERS: dict[str, str] = {
     # (r7's op-dedup-fuzzy / op-dedup-embedding-lsh waivers rotated out in
     # r8: the comparison window no longer spans the rounds that introduced
     # those deliberate slowdowns.)
+    # r8: op-corpus-curate-full upgraded from rows-only to a structural
+    # dual-path gate — it now runs the exact-Jaccard near-dup tail
+    # alongside the MinHash one over a shared prefix (subset + extras
+    # bound). Delete once the comparison window no longer spans round 8.
+    "op-corpus-curate-full": "r8 dual-path structural gate (runs the exact "
+                             "tail too; was rows-only)",
 }
 
 
