@@ -88,7 +88,13 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            # try_divide: a zero-norm vector has no direction — its cosine is
+            # NULL, ranking LAST under desc (ANSI x/0 would kill the task;
+            # the r8 fuzz sweep hit exactly that)
+            "cos",
+            F.try_divide(_dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -126,7 +132,11 @@ def cosine_pairs(
         return _empty_result(df, "id_a {id}, id_b {id}, cos double", [id_col])
     ids = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    _n = np.linalg.norm(mat, axis=1, keepdims=True)
+    _n[_n == 0] = 1.0  # zero-ONLY clamp: tiny-but-nonzero norms divide
+    # exactly (the r8 fuzz sweep caught np.maximum(n, 1e-12) crushing a
+    # 1e-15-norm vector's cosine below threshold while DuckDB scored it 1.0)
+    mat /= _n
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -135,7 +145,9 @@ def cosine_pairs(
 
         for pdf_block in batches:
             block = np.stack(pdf_block[vec_col].to_numpy()).astype(np.float64)
-            block /= np.maximum(np.linalg.norm(block, axis=1, keepdims=True), 1e-12)
+            _bn = np.linalg.norm(block, axis=1, keepdims=True)
+            _bn[_bn == 0] = 1.0  # zero-only clamp (see cosine_pairs)
+            block /= _bn
             sims = block @ b_mat.value.T
             rows_i, cols_j = np.where(sims >= threshold)
             block_ids = pdf_block[id_col].to_numpy()
@@ -221,7 +233,9 @@ def cosine_pairs_blocked(
         # with group_col the key is (g, pi, pj); the block logic is the same
         pi, pj = int(keys[-2]), int(keys[-1])
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        _n = np.linalg.norm(mat, axis=1, keepdims=True)
+        _n[_n == 0] = 1.0  # zero-only clamp (see cosine_pairs)
+        mat /= _n
         ids = pdf["id"].to_numpy()
         blk = pdf["blk"].to_numpy()
         if pi == pj:
@@ -387,8 +401,12 @@ def cosine_pairs_lsh(
         # carries 3x slack. A dot/(na*nb) variant would widen the gap.
         A = np.stack(va.to_numpy()).astype(np.float64)
         B = np.stack(vb.to_numpy()).astype(np.float64)
-        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+        _na = np.linalg.norm(A, axis=1, keepdims=True)
+        _nb = np.linalg.norm(B, axis=1, keepdims=True)
+        _na[_na == 0] = 1.0  # zero-only clamp (see cosine_pairs)
+        _nb[_nb == 0] = 1.0
+        A /= _na
+        B /= _nb
         return pd.Series((A * B).sum(axis=1))
 
     va = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
@@ -490,7 +508,13 @@ def ivf_topk(
     cand = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            # try_divide: a zero-norm vector has no direction — its cosine is
+            # NULL, ranking LAST under desc (ANSI x/0 would kill the task;
+            # the r8 fuzz sweep hit exactly that)
+            "cos",
+            F.try_divide(_dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -571,7 +595,13 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
         .distinct()
-        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            # try_divide: a zero-norm vector has no direction — its cosine is
+            # NULL, ranking LAST under desc (ANSI x/0 would kill the task;
+            # the r8 fuzz sweep hit exactly that)
+            "cos",
+            F.try_divide(_dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -587,14 +617,21 @@ def l2_normalize(df: DataFrame, vec_col: str, out: str = "unit") -> DataFrame:
     The norm is materialized as a real column FIRST — dividing inside a
     transform lambda that references the norm *expression* would embed a
     copy of the full sum-of-squares tree per element (the higher-order-
-    function expression-copy trap)."""
+    function expression-copy trap).
+
+    A ZERO vector normalizes to itself (all zeros), not an ANSI
+    divide-by-zero task kill — the r8 fuzz sweep's zero-vector row; the
+    engine-side contract is pinned in tests/test_fuzz_corpus.py."""
     with_n = df.withColumn(
         "__nrm", _norm(F.col(vec_col).cast("array<double>"))
     )
     return with_n.withColumn(
         out,
         F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: x / F.col("__nrm")
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.when(F.col("__nrm") == 0.0, x).otherwise(
+                x / F.col("__nrm")
+            ),
         ),
     ).drop("__nrm")
 
