@@ -48,8 +48,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(REPO, "testdata_sf1"))
+SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", os.path.join(REPO, "testdata_sf10"))
 DATA_FACTOR = 10.0
 WATCH, SUPER = 12.0, 15.0
+
+# Second decade (r8): sf1 -> sf10 for the heavy family. One decade of
+# evidence says "linear at 10x"; two say the CURVE is flat — constants
+# amortized, no hidden quadratic waking up past the first decade. Mode:
+#     SCALE_MODE=sf10 python tools/bench_scaling.py [names...]
+# sf10 runs are minutes-long, so this mode measures ONE timed run after
+# one warmup (scheduler wobble is invisible at that duration) and writes
+# a second table into BENCH_SCALING.md from its own results file.
 
 QUERIES_TO_SCALE = [
     # heaviest from the round-5 board
@@ -97,7 +106,66 @@ def median3(fn) -> float:
     return sorted(ts)[1]
 
 
+MODE = os.environ.get("SCALE_MODE", "sf1")
+
+SF10_QUERIES = [
+    # the r8 heavy set, minus the ops triaged out below. op-semdedup is
+    # measured as path-semdedup-k-scaled instead: the registered query
+    # pins k=4 for its oracle, making its own growth ~N^2/4 BY
+    # CONSTRUCTION — the operator's scale contract is k tracking N.
+    "op-dedup-fuzzy", "op-span-dup-stats", "op-graph-bfs",
+    "op-interval-overlap", "op-pagerank", "op-tpch-q21",
+    "op-corpus-curate", "op-dedup-simhash", "op-dedup-minhash",
+    "op-bootstrap-ci", "op-corpus-curate-full",
+]
+
+# sf10 triage (named causes, same policy as EXPECTED_SUPERLINEAR):
+# - op-dedup-embedding-lsh / op-sim-search-lsh at the repo's tau=0.4 test
+#   threshold are excluded from BOTH decades: at d=64 the >=0.4 pair
+#   OUTPUT grows superlinearly with corpus size (unit-vector packing
+#   geometry, not a plan property — see gen_scale.py), and the recall
+#   gate's exact reference matmul is Theta(N^2) BY DESIGN (it is the
+#   measurement apparatus, not the scale path). The banding regime LSH
+#   is built for (tau >= 0.8, wide bands discriminate) is measured
+#   instead as the path-embedding-lsh-t08 operator path below.
+SF10_PATHS_DOC = """
+Operator scale paths measured alongside the registered queries (the
+registered gate queries embed deliberately-quadratic exact references;
+these rows measure the production path itself):
+- path-embedding-lsh-t08: cosine_pairs_lsh at tau=0.8 — the banding
+  regime sign-LSH is designed for (tau=0.4 queries are excluded from
+  both decades: pair output grows superlinearly by unit-vector packing
+  geometry at d=64, and the gate's exact matmul is the apparatus).
+- path-semdedup-k-scaled: semdedup with k scaled with the corpus
+  (k=16 at sf1, k=160 at sf10) — the operator's documented contract at
+  scale (within-cluster work ~ N^2/k stays ~linear when k tracks N);
+  the registered op-semdedup pins k=4 for its oracle, which makes its
+  OWN growth ~N^2/4 by construction.
+"""
+
+
+def _path_embedding_lsh_t08(spark, sf_dir):
+    from etl_pipeline_api_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.8)
+
+
+def _path_semdedup_k_scaled(spark, sf_dir):
+    from etl_pipeline_api_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    k = 160 if "sf10" in os.path.basename(sf_dir.rstrip("/")) else 16
+    return similarity.semdedup(emb, "vec_id", "embedding", threshold=0.4, k=k)
+
+
+SF10_PATHS = {
+    "path-embedding-lsh-t08": _path_embedding_lsh_t08,
+    "path-semdedup-k-scaled": _path_semdedup_k_scaled,
+}
+
 RESULTS = os.path.join(REPO, ".scratch", "scaling_results.jsonl")
+RESULTS_SF10 = os.path.join(REPO, ".scratch", "scaling_results_sf10.jsonl")
 
 
 def read_prev_ratios(path: str) -> dict[str, float]:
@@ -110,6 +178,8 @@ def read_prev_ratios(path: str) -> dict[str, float]:
     if not os.path.exists(path):
         return prev
     for line in open(path):
+        if line.startswith("# Second decade"):
+            break  # sf10 rows share names with sf1 rows; Δ is sf1-only
         m = _re.match(
             r"\|\s*(op-[a-z0-9-]+)\s*\|[^|]*\|[^|]*\|\s*([0-9.]+)x", line
         )
@@ -118,13 +188,58 @@ def read_prev_ratios(path: str) -> dict[str, float]:
     return prev
 
 
-def write_md() -> dict[str, dict]:
+def _load(path: str) -> dict[str, dict]:
     acc: dict[str, dict] = {}
-    if os.path.exists(RESULTS):
-        for line in open(RESULTS):
+    if os.path.exists(path):
+        for line in open(path):
             rec = json.loads(line)
             acc[rec["name"]] = rec  # latest wins
+    return acc
+
+
+def _emit_table(f, rows, prev, with_delta=True):
+    f.write("| query | small (s) | big (s) | ratio | \u0394 prev | verdict |\n")
+    f.write("|---|---|---|---|---|---|\n")
+    for r in rows:
+        d = (
+            f"{r['ratio'] - prev[r['name']]:+.1f}"
+            if with_delta and r["name"] in prev else "new"
+        )
+        f.write(
+            f"| {r['name']} | {r['t_small']:.2f} | {r['t_big']:.2f} "
+            f"| {r['ratio']:.1f}x | {d} | {r['verdict']} |\n"
+        )
+
+
+def _summary(f, rows, planned):
+    defects = [r for r in rows if r["verdict"] == "SUPERLINEAR"]
+    byout = [r for r in rows if r["verdict"] == "superlinear-by-output"]
+    noted = [r for r in rows
+             if r["name"] in EXPECTED_SUPERLINEAR and r["ratio"] > WATCH]
+    if noted:
+        f.write("\nDocumented output-driven growth:\n\n")
+        for r in noted:
+            f.write(f"- **{r['name']}** ({r['ratio']:.1f}x): "
+                    f"{EXPECTED_SUPERLINEAR[r['name']]}\n")
+    if rows:
+        worst = max(rows, key=lambda x: x["ratio"])
+        f.write(
+            f"\nWorst ratio: **{worst['name']} at {worst['ratio']:.1f}x**. "
+            f"{len(defects)} superlinear plan defect(s), {len(byout)} "
+            "documented output-driven, "
+            f"{sum(1 for r in rows if r['verdict'] == 'watch')} watch, "
+            f"{sum(1 for r in rows if r['verdict'] == 'linear-or-better')} "
+            f"linear-or-better of {len(rows)} "
+            f"({planned} planned).\n"
+        )
+
+
+def write_md() -> dict[str, dict]:
+    acc = _load(RESULTS)
     rows = [acc[n] for n in QUERIES_TO_SCALE if n in acc]
+    acc10 = _load(RESULTS_SF10)
+    names10 = SF10_QUERIES + sorted(SF10_PATHS)
+    rows10 = [acc10[n] for n in names10 if n in acc10]
     out = os.path.join(REPO, "BENCH_SCALING.md")
     prev = read_prev_ratios(out)
     with open(out, "w") as f:
@@ -137,59 +252,61 @@ def write_md() -> dict[str, dict]:
             "(no driver collect).\n\n"
             f"Thresholds: watch > {WATCH}x, SUPERLINEAR > {SUPER}x "
             f"(data factor {DATA_FACTOR:.0f}x). Queries with a documented "
-            "output-driven cause are marked `by-output`. The Δ column is "
+            "output-driven cause are marked `by-output`. The \u0394 column is "
             "the ratio change vs the previous committed table.\n\n"
-            "| query | sf0.1 (s) | sf1 (s) | ratio | Δ prev | verdict |\n"
-            "|---|---|---|---|---|---|\n"
         )
-        for r in rows:
-            d = (
-                f"{r['ratio'] - prev[r['name']]:+.1f}"
-                if r["name"] in prev else "new"
-            )
+        _emit_table(f, rows, prev)
+        _summary(f, rows, len(QUERIES_TO_SCALE))
+        if rows10:
             f.write(
-                f"| {r['name']} | {r['t_small']:.2f} | {r['t_big']:.2f} "
-                f"| {r['ratio']:.1f}x | {d} | {r['verdict']} |\n"
+                "\n# Second decade: sf1 -> sf10 (10x data, 60M-row "
+                "lineitem) on local[32]\n\n"
+                "Heavy-family curve over ./testdata_sf10 "
+                "(SCALE_MODE=sf10; one timed run after one warmup — "
+                "minutes-long runs make scheduler wobble invisible). Same "
+                "thresholds as above.\n"
             )
-        defects = [r for r in rows if r["verdict"] == "SUPERLINEAR"]
-        byout = [r for r in rows if r["verdict"] == "superlinear-by-output"]
-        noted = [r for r in rows
-                 if r["name"] in EXPECTED_SUPERLINEAR and r["ratio"] > WATCH]
-        if noted:
-            f.write("\nDocumented output-driven growth:\n\n")
-            for r in noted:
-                f.write(f"- **{r['name']}** ({r['ratio']:.1f}x): "
-                        f"{EXPECTED_SUPERLINEAR[r['name']]}\n")
-        if rows:
-            worst = max(rows, key=lambda x: x["ratio"])
-            f.write(
-                f"\nWorst ratio: **{worst['name']} at {worst['ratio']:.1f}x**. "
-                f"{len(defects)} superlinear plan defect(s), {len(byout)} "
-                "documented output-driven, "
-                f"{sum(1 for r in rows if r['verdict'] == 'watch')} watch, "
-                f"{sum(1 for r in rows if r['verdict'] == 'linear-or-better')} "
-                f"linear-or-better of {len(rows)} "
-                f"({len(QUERIES_TO_SCALE)} planned).\n"
-            )
-    return acc
+            f.write(SF10_PATHS_DOC)
+            f.write("\n")
+            _emit_table(f, rows10, {}, with_delta=False)
+            _summary(f, rows10, len(names10))
+    return acc if MODE != "sf10" else acc10
 
 
 def main() -> int:
-    if not os.path.isdir(SF1):
-        print(f"missing {SF1}; run tools/gen_scale.py first")
-        return 1
     import __spark_entry__ as entry
     from etl_pipeline_api_spark.session import get_spark
 
-    names = sys.argv[1:] or QUERIES_TO_SCALE
+    if MODE == "sf10":
+        small_dir, big_dir, results = SF1, SF10, RESULTS_SF10
+        default_names = SF10_QUERIES + sorted(SF10_PATHS)
+        runs = int(os.environ.get("SCALE_RUNS", "1"))
+    else:
+        small_dir, big_dir, results = SF01, SF1, RESULTS
+        default_names = QUERIES_TO_SCALE
+        runs = int(os.environ.get("SCALE_RUNS", "3"))
+    if not os.path.isdir(big_dir):
+        print(f"missing {big_dir}; run tools/gen_scale.py first")
+        return 1
+
+    def measure(fn) -> float:
+        force(fn())  # warmup
+        ts = []
+        for _ in range(runs):
+            t0 = time.time()
+            force(fn())
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    names = sys.argv[1:] or default_names
     spark = get_spark("bench_scaling")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
-    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    os.makedirs(os.path.dirname(results), exist_ok=True)
     for name in names:
-        fn = qs[name]
-        t_small = median3(lambda: fn(spark, SF01))
-        t_big = median3(lambda: fn(spark, SF1))
+        fn = SF10_PATHS[name] if name in SF10_PATHS else qs[name]
+        t_small = measure(lambda: fn(spark, small_dir))
+        t_big = measure(lambda: fn(spark, big_dir))
         ratio = t_big / t_small if t_small > 0 else float("inf")
         verdict = (
             ("superlinear-by-output" if name in EXPECTED_SUPERLINEAR
@@ -200,12 +317,12 @@ def main() -> int:
         rec = {"name": name, "t_small": round(t_small, 3),
                "t_big": round(t_big, 3), "ratio": round(ratio, 2),
                "verdict": verdict}
-        with open(RESULTS, "a") as f:
+        with open(results, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  x{ratio:.1f}  {verdict}")
 
     acc = write_md()
-    print(f"wrote BENCH_SCALING.md ({len(acc)}/{len(QUERIES_TO_SCALE)} measured)")
+    print(f"wrote BENCH_SCALING.md ({len(acc)} measured in this mode)")
     return 0
 
 

@@ -46,6 +46,11 @@ DST = os.environ.get(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1"),
 )
 K = int(os.environ.get("GEN_COPIES", "10"))
+# marker namespace: when re-replicating an ALREADY-replicated corpus
+# (sf1 -> sf10) the default "copytoken" markers are already present in the
+# source text — reusing them would give different sf10 copies shared
+# marker shingles; a fresh prefix keeps cross-copy similarity at the floor
+MARKER = os.environ.get("GEN_MARKER_PREFIX", "copytoken")
 
 
 def gen_tpch(con: duckdb.DuckDBPyConnection) -> None:
@@ -126,7 +131,7 @@ def gen_documents() -> None:
     parts = [t]
     texts0 = t["text"].to_pylist()
     for k in range(1, K):
-        marker = f"copytoken{k}"
+        marker = f"{MARKER}{k}"
         texts = [None if x is None else _splice(x, marker) for x in texts0]
         arr_text = pa.array(texts, type=pa.string())
         parts.append(pa.table({
