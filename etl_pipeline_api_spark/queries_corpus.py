@@ -205,8 +205,12 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinning the LSH survivor set equal to the exact set would be the same
 # corpus-luck trap as the old simhash 4x-docs bound (LSH recall here
 # happens to be 2650/2651 survivors at sf0.1).
-_CURATE_COMPOSED_ORACLE = rf"""
-WITH RECURSIVE train0 AS (
+# The shared CTE chain (everything up to the final projection) — reused by
+# BOTH the composed twin (doc-list output) and the curate-full gate (count
+# output). The gate's count must live in the SAME flat CTE chain: wrapping
+# the whole recursive query in `SELECT count(*) FROM (...)` defeats
+# DuckDB's plan at sf1 (bare chain ~25 s, wrapped >400 s — measured r8).
+_CURATE_CTES = rf"""train0 AS (
   SELECT doc_id, source, lang,
          regexp_replace(regexp_replace(regexp_replace(text,
            '{text.PII_EMAIL}', '[EMAIL]', 'g'),
@@ -319,6 +323,15 @@ ev4 AS (
         FROM documents WHERE doc_id % 50 = 0)),
 contaminated AS (
   SELECT DISTINCT s.doc_id FROM surv4 s JOIN ev4 USING (shingle))
+"""
+
+# NB: both oracles keep the survivor projection + NOT-IN decontamination in
+# the TOP-LEVEL select. Hoisting it into a `final AS (...)` CTE (or wrapping
+# the whole statement in `SELECT count(*) FROM (...)`) flips DuckDB's NOT-IN
+# anti-join into a plan that grinds >400 s at sf1 vs ~25 s in this shape
+# (measured r8).
+_CURATE_COMPOSED_ORACLE = f"""
+WITH RECURSIVE {_CURATE_CTES}
 SELECT d.doc_id, d.source, d.lang
 FROM nd_survivors n JOIN documents d USING (doc_id)
 WHERE n.doc_id NOT IN (SELECT doc_id FROM contaminated)
@@ -328,10 +341,12 @@ WHERE n.doc_id NOT IN (SELECT doc_id FROM contaminated)
 @query(
     "op-corpus-curate-full",
     oracle=f"""
-    SELECT CAST(count(*) AS BIGINT) AS n_composed,
+    WITH RECURSIVE {_CURATE_CTES}
+    SELECT d.doc_id,
            TRUE AS composed_subset_ok,
            TRUE AS extras_le_missed
-    FROM ({_CURATE_COMPOSED_ORACLE}) composed
+    FROM nd_survivors n JOIN documents d USING (doc_id)
+    WHERE n.doc_id NOT IN (SELECT doc_id FROM contaminated)
     """,
 )
 def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,9 +358,12 @@ def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB plan) and the exact-Jaccard path. Rows-only until r8; now a
     1-row structural gate the DuckDB oracle pins end to end:
 
-    - n_composed: the exact-path survivor COUNT, value-pinned against
-      the oracle's full 7-stage CTE re-derivation (same pin class as
-      op-corpus-curate-composed, which hash-pins the doc list itself).
+    - one row per EXACT-PATH survivor doc_id, value-pinned against the
+      oracle's full 7-stage CTE re-derivation (the complete survivor id
+      set, not just a count — and the shape DuckDB plans well: a
+      top-level AGGREGATE over this recursive chain flips the NOT-IN
+      anti-join into a plan that grinds >9 min at sf1, measured r8,
+      while this row-returning form runs in ~25 s).
     - composed_subset_ok: exact-path survivors ⊆ LSH-path survivors.
       THEOREM, not corpus luck: LSH pairs ⊆ exact pairs (every LSH
       candidate re-verifies exact Jaccard in-plan), so LSH components
@@ -373,15 +391,20 @@ def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii=True,
         line_max_df=1,
     )
+    # EAGER checkpoints, deliberately: each pair frame feeds a tail AND the
+    # missed-pairs gate, and the tails themselves join back to prefix — as
+    # one lazy plan the shared subtrees re-execute under concurrent stage
+    # materialization (measured at sf1: the single-action form ground for
+    # >20 min on one straggler task; eager sequencing runs in ~40 s)
     pairs_lsh = (
         dedup.minhash_lsh_pairs(prefix, "doc_id", "text", n=3, threshold=0.5)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pairs_ex = (
         dedup.ngram_jaccard_pairs(prefix, "doc_id", "text", n=3, threshold=0.5)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     full = corpus.curate_neardup_tail(
         prefix, pairs_lsh, decontam_eval=ev
@@ -393,7 +416,7 @@ def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         full.withColumn("__f", F.lit(1)), "doc_id", "full_outer"
     )
     surv = both.agg(
-        F.count("__c").alias("n_composed"),
+        F.count("__c").alias("__n_composed"),
         F.count("__f").alias("__n_full"),
         F.count(
             F.when(F.col("__c").isNotNull() & F.col("__f").isNotNull(), 1)
@@ -402,15 +425,17 @@ def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed = pairs_ex.join(pairs_lsh, ["id_a", "id_b"], "left_anti").agg(
         F.count(F.lit(1)).alias("__n_missed")
     )
-    return surv.crossJoin(F.broadcast(missed)).select(
-        "n_composed",
-        (F.col("__n_common") == F.col("n_composed")).alias(
+    gate = surv.crossJoin(F.broadcast(missed)).select(
+        (F.col("__n_common") == F.col("__n_composed")).alias(
             "composed_subset_ok"
         ),
         (
             (F.col("__n_full") - F.col("__n_common")) <= F.col("__n_missed")
         ).alias("extras_le_missed"),
     )
+    # one row per exact-path survivor, gate flags riding every row — the
+    # oracle pins the id SET and the flags in one hash
+    return comp.crossJoin(F.broadcast(gate))
 
 
 @query("op-corpus-curate-composed", oracle=_CURATE_COMPOSED_ORACLE)
