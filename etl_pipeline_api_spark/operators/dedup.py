@@ -241,9 +241,19 @@ def minhash_signature_sets(
     shingle-transform plan so the CacheManager never canonicalizes it on
     later actions (see plans/corpus.py exact_survivors for the measured
     session-degradation this avoids); disk-backed blocks spill like
-    MEMORY_AND_DISK. It is ALSO the evaluate-once barrier that lets the
-    K signature expressions reference `hshs` without Catalyst inlining
-    the hash transform into every reference.
+    MEMORY_AND_DISK.
+
+    Single evaluation of the shingle xxhash64 transform (the checkpoint
+    sits AFTER the K signature expressions since the r8 factoring) is
+    guaranteed not by the checkpoint but by CollapseProject's
+    refusal to merge Projects when a NON-CHEAP expression is referenced
+    more than once (SPARK-36718): `hshs` is a higher-order transform
+    referenced by all K signature expressions, so Catalyst keeps it as
+    its own Project instead of inlining the hash into every reference.
+    That is an optimizer heuristic, not a contract — the assertion
+    below pins it so a Spark-version behavior change fails loudly here
+    (a K-times-inlined plan would be a silent K-fold recompute of the
+    shingle hashing) instead of as a perf regression.
     """
     sets = shingle_sets(df, id_col, text_col, n).filter(F.size("shs") > 0).select(
         "__id",
@@ -261,9 +271,18 @@ def minhash_signature_sets(
         F.array_min(F.transform(F.col("hshs"), _hash_fn(i)))
         for i in range(num_hashes)
     ])
-    return sets.select(
-        "__id", "hshs", "n_sh", sig.alias("sig")
-    ).localCheckpoint(eager=False)
+    out = sets.select("__id", "hshs", "n_sh", sig.alias("sig"))
+    # CollapseProject guard (see docstring): an inlined plan nests the
+    # shingle transform inside each signature transform — that shape
+    # must never reach execution.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "transform(transform(" not in plan, (
+        "minhash_signature_sets: Catalyst inlined the shingle-hash "
+        "transform into the signature expressions (CollapseProject "
+        "behavior change?) — re-insert a localCheckpoint on the hshs "
+        "projection to restore single evaluation."
+    )
+    return out.localCheckpoint(eager=False)
 
 
 def minhash_lsh_pairs_from_sets(

@@ -588,8 +588,16 @@ def bpe_encode(
     # memo lives in the ENCLOSING scope so the pickled closure carries ONE
     # dict shared by every Arrow batch the deserialized UDF sees (per task,
     # all batches of a partition) — defined inside _enc it would reset
-    # every ~10k-row batch and the Zipf reuse would be mostly lost
+    # every ~10k-row batch and the Zipf reuse would be mostly lost.
+    # CAPPED (r9): Heaps-law vocabulary growth is unbounded in task input
+    # size, so an uncapped dict is a memory cliff on 100 TB-scale task
+    # splits. First-seen-kept is the right eviction-free policy under
+    # Zipf — the head words all appear within the first few thousand
+    # rows, and the long tail each task would cache past the cap is the
+    # set of words that were never going to repeat anyway. 2^20 entries
+    # * ~100 B/entry ≈ 100 MB worst case per task.
     cache: dict[str, tuple[int, int]] = {}
+    cache_cap = 1 << 20
 
     @F.pandas_udf("struct<n_chars_tok:int,n_bpe_tok:int>")
     def _enc(texts):
@@ -620,7 +628,8 @@ def bpe_encode(
                         i += 1
                 sym = out
             res = (nc, len(sym))
-            cache[w] = res
+            if len(cache) < cache_cap:
+                cache[w] = res
             return res
 
         ncs: list[int | None] = []

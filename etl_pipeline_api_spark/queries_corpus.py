@@ -210,7 +210,16 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # output). The gate's count must live in the SAME flat CTE chain: wrapping
 # the whole recursive query in `SELECT count(*) FROM (...)` defeats
 # DuckDB's plan at sf1 (bare chain ~25 s, wrapped >400 s — measured r8).
-_CURATE_CTES = rf"""train0 AS (
+#
+# `_curate_ctes(nd_pred)` injects a predicate at the NEAR-DUP INPUT (after
+# the corpus-level prefix stages — line-dedup's line_docs and the
+# fingerprint min-survivor are corpus-dependent, so the sample must be
+# taken AFTER them, exactly where the Spark side samples). The composed
+# twin passes TRUE (full corpus); the curate-full gate passes the md5
+# sample predicate. Inlined into the existing CTEs rather than adding a
+# new one: the flat-chain shape is what DuckDB plans well (see above).
+def _curate_ctes(nd_pred: str = "TRUE") -> str:
+    return rf"""train0 AS (
   SELECT doc_id, source, lang,
          regexp_replace(regexp_replace(regexp_replace(text,
            '{text.PII_EMAIL}', '[EMAIL]', 'g'),
@@ -281,7 +290,7 @@ exact_survivors AS (
   WHERE c.doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fingerprint)),
 tok AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tokens
-  FROM exact_survivors),
+  FROM exact_survivors WHERE {nd_pred}),
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, greatest(len(tokens)-2, 0)),
@@ -307,7 +316,7 @@ losers AS (
   SELECT node FROM reach GROUP BY node HAVING min(comp) < node),
 nd_survivors AS (
   SELECT doc_id, text FROM exact_survivors
-  WHERE doc_id NOT IN (SELECT node FROM losers)),
+  WHERE ({nd_pred}) AND doc_id NOT IN (SELECT node FROM losers)),
 surv4 AS (
   SELECT DISTINCT s.doc_id,
          unnest(list_transform(generate_series(1, greatest(len(toks)-3, 0)),
@@ -331,17 +340,24 @@ contaminated AS (
 # anti-join into a plan that grinds >400 s at sf1 vs ~25 s in this shape
 # (measured r8).
 _CURATE_COMPOSED_ORACLE = f"""
-WITH RECURSIVE {_CURATE_CTES}
+WITH RECURSIVE {_curate_ctes()}
 SELECT d.doc_id, d.source, d.lang
 FROM nd_survivors n JOIN documents d USING (doc_id)
 WHERE n.doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
+# ~31% deterministic doc sample for the curate-full gate (the 7f3cdda
+# embedding-LSH pattern): first md5 hex digit of the DECIMAL id string
+# <= '4' — 5/16 of ids, identical arithmetic in Spark and DuckDB.
+# Hash-keyed, NOT id-modulo: doc_id % k correlates with the synthetic
+# corpus's dup/lang strata, md5 does not.
+_GATE_SAMPLE_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '4'"
+
 
 @query(
     "op-corpus-curate-full",
     oracle=f"""
-    WITH RECURSIVE {_CURATE_CTES}
+    WITH RECURSIVE {_curate_ctes(_GATE_SAMPLE_SQL)}
     SELECT d.doc_id,
            TRUE AS composed_subset_ok,
            TRUE AS extras_le_missed
@@ -355,63 +371,113 @@ def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate line-dedup → exact dedup → near-dup components →
     benchmark decontamination — run BOTH ways over one shared prefix
     (plans/corpus.py curate_prefix): the MinHash-LSH scale path (the
-    100 TB plan) and the exact-Jaccard path. Rows-only until r8; now a
-    1-row structural gate the DuckDB oracle pins end to end:
+    100 TB plan) and the exact-Jaccard path, gated on their
+    RELATIONSHIP. The production PREFIX (PII → lang/quality →
+    line-dedup → exact dedup) runs on the FULL corpus; the gate
+    MEASUREMENT — both near-dup pair stages, both tails, the
+    subset/extras arithmetic — runs on a ~31% deterministic md5-keyed
+    doc sample (r9, the 7f3cdda embedding-LSH-gate treatment: the
+    exact-Jaccard tail existed only to pin the LSH path and was most
+    of the query's cost; its Θ(Σdf²) pair mass shrinks ~10x under a
+    31% doc sample). The oracle samples at the IDENTICAL point: after
+    the corpus-level prefix stages (line_docs counts and fingerprint
+    min-survivors depend on the whole corpus, so sampling must follow
+    them), before the near-dup input.
 
-    - one row per EXACT-PATH survivor doc_id, value-pinned against the
-      oracle's full 7-stage CTE re-derivation (the complete survivor id
-      set, not just a count — and the shape DuckDB plans well: a
-      top-level AGGREGATE over this recursive chain flips the NOT-IN
-      anti-join into a plan that grinds >9 min at sf1, measured r8,
-      while this row-returning form runs in ~25 s).
-    - composed_subset_ok: exact-path survivors ⊆ LSH-path survivors.
-      THEOREM, not corpus luck: LSH pairs ⊆ exact pairs (every LSH
-      candidate re-verifies exact Jaccard in-plan), so LSH components
+    - one row per sampled EXACT-PATH survivor doc_id, value-pinned
+      against the oracle's full 7-stage CTE re-derivation (the complete
+      survivor id set, not just a count — and the shape DuckDB plans
+      well: a top-level AGGREGATE over this recursive chain flips the
+      NOT-IN anti-join into a plan that grinds >9 min at sf1, measured
+      r8, while this row-returning form runs in ~25 s).
+    - composed_subset_ok: exact-path survivors ⊆ LSH-path survivors on
+      the sampled corpus. THEOREM, not corpus luck, and it survives the
+      sampling: a MinHash band collision is PAIRWISE (no max_bucket
+      here), so full-corpus LSH pairs restricted to sampled endpoints
+      ARE the sampled corpus's LSH pairs; those verify exact Jaccard
+      in-plan, so LSH pairs ⊆ exact pairs on the sample, LSH components
       refine exact components, and the min of an exact component is the
       min of whichever LSH sub-component contains it; decontamination
       is per-doc deterministic on identical text.
     - extras_le_missed: |LSH-only survivors| ≤ |exact pairs missed by
-      LSH| (measured in-plan) — splitting a component into k parts
-      requires ≥ k−1 missing spanning-tree edges, so each extra
+      LSH|, both measured on the sample — splitting a component into k
+      parts requires ≥ k−1 missing spanning-tree edges, so each extra
       survivor charges at least one missed pair. A broken LSH tail
       (empty pairs, wrong banding) blows extras past the measured
       misses and fails the gate at any SF.
 
-    Cost note: runs both near-dup tails (+1 exact-Jaccard join + gate
-    joins) over the shared prefix — the r8 bench delta is deliberate
-    (waived in tools/bench_regress.py for the r7→r8 window)."""
+    Full-corpus coverage is not lost: op-corpus-curate-composed pins
+    the entire exact path end-to-end on the full corpus, and
+    op-dedup-minhash recall-gates the LSH pair stage on the full
+    corpus; this query owns the dual-path composition gate."""
     from .operators import dedup
     from .plans import corpus
 
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
+    in_sample = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "4"
+    )
     prefix = corpus.curate_prefix(
         docs.filter(F.col("doc_id") % 50 != 0),
         quality_min=0.5,
         redact_pii=True,
         line_max_df=1,
     )
-    # EAGER checkpoints, deliberately: each pair frame feeds a tail AND the
-    # missed-pairs gate, and the tails themselves join back to prefix — as
-    # one lazy plan the shared subtrees re-execute under concurrent stage
-    # materialization (measured at sf1: the single-action form ground for
-    # >20 min on one straggler task; eager sequencing runs in ~40 s)
-    pairs_lsh = (
-        dedup.minhash_lsh_pairs(prefix, "doc_id", "text", n=3, threshold=0.5)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    pairs_ex = (
-        dedup.ngram_jaccard_pairs(prefix, "doc_id", "text", n=3, threshold=0.5)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    full = corpus.curate_neardup_tail(
-        prefix, pairs_lsh, decontam_eval=ev
-    ).select("doc_id")
-    comp = corpus.curate_neardup_tail(
-        prefix, pairs_ex, decontam_eval=ev
-    ).select("doc_id")
+    # gate-side universe: sampled AFTER the corpus-level prefix stages,
+    # EAGERLY materialized — this is the shared base both branches read,
+    # and materializing it FIRST is what makes the concurrency below
+    # safe (the r8 straggler lesson: shared LAZY subtrees re-execute
+    # under concurrent stage materialization — >20 min at sf1; with the
+    # base reduced to checkpoint blocks the branches share only
+    # materialized data)
+    prefix_s = prefix.filter(in_sample).localCheckpoint(eager=True)
+    # The two pair stages and then the two tails are INDEPENDENT given
+    # prefix_s — each is a chain of small stages whose sf0.1 cost is
+    # scheduler latency, not data, so running the branches from two
+    # driver threads (Spark schedules concurrent jobs fine) halves the
+    # sequential-latency floor. Each branch still EAGERLY checkpoints
+    # its result: the pair frames feed a tail AND the missed-pairs
+    # gate; the tail frames feed the full_outer gate AND (comp) the
+    # returned rows.
+    # LSH pairs computed ON the sampled universe: identical to
+    # computing them on the full corpus and restricting to sampled
+    # endpoints, because a MinHash band collision is PAIRWISE
+    # (signatures are per-doc, no max_bucket here) — see docstring
+    # theorem. Computing on the sample just skips the 69% of signature
+    # work whose pairs the gate would immediately discard.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _lsh_branch():
+        return (
+            dedup.minhash_lsh_pairs(prefix_s, "doc_id", "text", n=3,
+                                    threshold=0.5)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    def _ex_branch():
+        return (
+            dedup.ngram_jaccard_pairs(prefix_s, "doc_id", "text", n=3,
+                                      threshold=0.5)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lsh, f_ex = pool.submit(_lsh_branch), pool.submit(_ex_branch)
+        pairs_lsh, pairs_ex = f_lsh.result(), f_ex.result()
+        f_full = pool.submit(
+            lambda: corpus.curate_neardup_tail(
+                prefix_s, pairs_lsh, decontam_eval=ev
+            ).select("doc_id").localCheckpoint(eager=True)
+        )
+        f_comp = pool.submit(
+            lambda: corpus.curate_neardup_tail(
+                prefix_s, pairs_ex, decontam_eval=ev
+            ).select("doc_id").localCheckpoint(eager=True)
+        )
+        full, comp = f_full.result(), f_comp.result()
     both = comp.withColumn("__c", F.lit(1)).join(
         full.withColumn("__f", F.lit(1)), "doc_id", "full_outer"
     )

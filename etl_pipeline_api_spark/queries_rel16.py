@@ -463,7 +463,7 @@ def q_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT TRUE AS mass_ok, TRUE AS source_mass_ok,
            TRUE AS topk_excludes_source,
            CAST(least(10, n - 1) AS BIGINT) AS k_rows
-    FROM nn
+    FROM nn WHERE n > 0
     """,
 )
 def q_ppr_mass_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

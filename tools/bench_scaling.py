@@ -228,13 +228,14 @@ def read_prev_ratios(path: str) -> dict[str, float]:
 
 
 def _load(path: str) -> dict[str, dict]:
+    # latest wins, INCLUDING failures: an err record evicts the query's
+    # prior successful row (stale timings must not be re-published as
+    # current) and is kept so the table renders a visible FAILED row.
     acc: dict[str, dict] = {}
     if os.path.exists(path):
         for line in open(path):
             rec = json.loads(line)
-            if "err" in rec:
-                continue
-            acc[rec["name"]] = rec  # latest wins
+            acc[rec["name"]] = rec
     return acc
 
 
@@ -242,6 +243,11 @@ def _emit_table(f, rows, prev, with_delta=True):
     f.write("| query | small (s) | big (s) | ratio | \u0394 prev | verdict |\n")
     f.write("|---|---|---|---|---|---|\n")
     for r in rows:
+        if "err" in r:
+            f.write(
+                f"| {r['name']} | \u2014 | \u2014 | \u2014 | \u2014 | FAILED ({r['err']}) |\n"
+            )
+            continue
         d = (
             f"{r['ratio'] - prev[r['name']]:+.1f}"
             if with_delta and r["name"] in prev else "new"
@@ -253,6 +259,15 @@ def _emit_table(f, rows, prev, with_delta=True):
 
 
 def _summary(f, rows, planned):
+    failed = [r for r in rows if "err" in r]
+    rows = [r for r in rows if "err" not in r]
+    if failed:
+        f.write(
+            f"\n**{len(failed)} query(ies) FAILED on the last run** "
+            f"({', '.join(r['name'] for r in failed)}) — no current "
+            "timing exists; prior rounds' numbers were evicted, not "
+            "re-published.\n"
+        )
     defects = [r for r in rows if r["verdict"] == "SUPERLINEAR"]
     byout = [r for r in rows if r["verdict"] == "superlinear-by-output"]
     noted = [r for r in rows
