@@ -897,13 +897,17 @@ def cuped_adjustment(
     theta = F.when(var_x > 0, cov / var_x)
     # var(Y - θX) = var_y - cov²/var_x  (the CUPED identity)
     var_adj = F.when(var_x > 0, var_y - cov * cov / var_x).otherwise(var_y)
+    # + 0.0 canonicalizes IEEE -0.0 -> 0.0 after round (a theta from a
+    # tiny negative covariance rounds to -0.0 in one engine and 0.0 in
+    # the other — found by the r9 events fuzz; same fix as random_project)
     return sums.select(
         n.alias("n_users"),
-        F.round(theta, 4).alias("theta"),
-        F.round(var_y, 4).alias("var_y"),
-        F.round(var_adj, 4).alias("var_yadj"),
-        F.round(
-            F.when(var_y > 0, 100.0 * (1 - var_adj / var_y)), 2
+        (F.round(theta, 4) + F.lit(0.0)).alias("theta"),
+        (F.round(var_y, 4) + F.lit(0.0)).alias("var_y"),
+        (F.round(var_adj, 4) + F.lit(0.0)).alias("var_yadj"),
+        (
+            F.round(F.when(var_y > 0, 100.0 * (1 - var_adj / var_y)), 2)
+            + F.lit(0.0)
         ).alias("reduction_pct"),
     )
 

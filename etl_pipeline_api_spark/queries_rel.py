@@ -735,7 +735,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-histogram",
     oracle="""
-    SELECT CAST(floor(value / 25.0) AS INT) AS bucket,
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
            count(*) AS n,
            round(min(value), 2) AS lo,
            round(max(value), 2) AS hi
@@ -747,10 +747,12 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram: bucket assignment is row-local arithmetic,
     counts are one partial-agg shuffle of |buckets| rows — the profile
     primitive behind data-drift monitors at scale (vs. exact sort-based
-    percentiles)."""
+    percentiles). Bucket ids are BIGINT on both sides: an INT bucket
+    cast overflows (ANSI task kill) on wide value ranges — value/25 at
+    1e12 is 4e10 > 2^31 — found by the r9 events fuzz."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.withColumn("bucket", F.floor(F.col("value") / 25.0).cast("int"))
+        ev.withColumn("bucket", F.floor(F.col("value") / 25.0).cast("long"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -228,14 +228,14 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
              sxy / n - (sx / n) * (sy / n) AS cov
       FROM s)
     SELECT CAST(n AS BIGINT) AS n_users,
-           round(CASE WHEN var_x > 0 THEN cov / var_x END, 4) AS theta,
-           round(var_y, 4) AS var_y,
+           round(CASE WHEN var_x > 0 THEN cov / var_x END, 4) + 0.0 AS theta,
+           round(var_y, 4) + 0.0 AS var_y,
            round(CASE WHEN var_x > 0 THEN var_y - cov * cov / var_x
-                      ELSE var_y END, 4) AS var_yadj,
+                      ELSE var_y END, 4) + 0.0 AS var_yadj,
            round(CASE WHEN var_y > 0
                       THEN 100.0 * (1 - (CASE WHEN var_x > 0
                                     THEN var_y - cov * cov / var_x
-                                    ELSE var_y END) / var_y) END, 2)
+                                    ELSE var_y END) / var_y) END, 2) + 0.0
              AS reduction_pct
     FROM d
     """,

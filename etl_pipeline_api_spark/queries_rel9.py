@@ -92,21 +92,50 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-approx-quantile: exact interpolated percentiles (the oracle
-    values) plus percentile_approx sketches asserted within 5% relative
-    error. The exact percentile is a full sort at scale; the sketch is a
-    bounded-size mergeable summary — the only viable form at 100 TB, and
-    the flags keep it under the correctness gate."""
+    values) plus percentile_approx sketches gated on RANK error — the
+    guarantee the GK/KLL sketch actually makes. The r8 flag gated VALUE
+    error (within 5% of the interpolated exact), which is meaningless on
+    heavy-tailed gaps: with an extreme outlier the interpolated p99 falls
+    in a value gap no data-member-returning sketch can be near (found by
+    the r9 events fuzz). The rank gate: the sketch's returned value must
+    occupy a rank interval [#(<v)+1, #(<=v)] intersecting the target
+    rank q*n within 1 + n/accuracy — tight on every distribution, and a
+    broken sketch still lands far outside it. The exact percentile is a
+    full sort at scale; the sketch is a bounded-size mergeable summary —
+    the only viable form at 100 TB, and the flags keep it under the
+    correctness gate."""
     ev = _t(spark, sf_dir, "events")
     exact = [F.expr(f"percentile(value, {q})").alias(f"e{int(q * 100)}")
              for q in (0.5, 0.9, 0.99)]
     approx = [F.percentile_approx("value", q, 10000).alias(f"a{int(q * 100)}")
               for q in (0.5, 0.9, 0.99)]
     agg = ev.agg(*exact, *approx)
-    flag = lambda p: (  # noqa: E731
-        F.abs(F.col(f"a{p}") - F.col(f"e{p}"))
-        <= 0.05 * F.greatest(F.abs(F.col(f"e{p}")), F.lit(1.0))
-    ).alias(f"ok{p}")
-    return agg.select(
+    ranked = ev.crossJoin(F.broadcast(agg)).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.max(f"e{p}").alias(f"e{p}") for p in (50, 90, 99)],
+        *[
+            F.sum((F.col("value") < F.col(f"a{p}")).cast("long")).alias(
+                f"lt{p}"
+            )
+            for p in (50, 90, 99)
+        ],
+        *[
+            F.sum((F.col("value") <= F.col(f"a{p}")).cast("long")).alias(
+                f"le{p}"
+            )
+            for p in (50, 90, 99)
+        ],
+    )
+
+    def flag(p: int):
+        t = (p / 100.0) * F.col("n")
+        slack = F.lit(1.0) + F.col("n") / 10000.0
+        return (
+            (F.col(f"lt{p}") + 1 <= t + slack)
+            & (F.col(f"le{p}") >= t - slack)
+        ).alias(f"ok{p}")
+
+    return ranked.select(
         F.round("e50", 2).alias("p50"),
         F.round("e90", 2).alias("p90"),
         F.round("e99", 2).alias("p99"),

@@ -43,9 +43,21 @@ WAIVERS: dict[str, str] = {
     # dual-path gate — it now runs the exact-Jaccard near-dup tail
     # alongside the MinHash one over a shared prefix (subset + extras
     # bound). Delete once the comparison window no longer spans round 8.
+    # (r9 then cut the gate cost 7.7->3.8 s — sampled measurement +
+    # prefix memo + branch concurrency — so this waiver only matters
+    # while the window spans r8.)
     "op-corpus-curate-full": "r8 dual-path structural gate (runs the exact "
                              "tail too; was rows-only)",
 }
+
+# Classified non-regressions (VERDICT r8 task 5): op-tpch-q21 read
+# 1.34->1.68 s (+25%) in the r8 batch with NO code change. Isolated
+# re-run (r9, fresh session, warmup + 7 gc-separated runs at sf0.1):
+# median 1.26 s, min 1.21 s — BELOW the r7 number, with one 1.81 s
+# outlier in 7 runs. Cause: mid-batch scheduler/GC wobble on a ~1.5 s
+# query, the same artifact class as bfs-91s-mid-batch in r8's scaling
+# harness. Not waived — no code changed and the isolated median shows
+# no regression to waive.
 
 
 def load_queries(path: str) -> dict[str, float]:
