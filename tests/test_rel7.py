@@ -40,4 +40,7 @@ def test_cli_list_inventory():
     lines = [l for l in buf.getvalue().splitlines() if l]
     assert len(lines) >= 140
     assert any(l.startswith("op-groupby-sum\toracle") for l in lines)
-    assert any(l.endswith("rows-only") for l in lines)
+    # r9: op-bpe-encode gained a structural oracle — EVERY registered
+    # query is now oracle-gated; a reappearing rows-only entry is a
+    # coverage regression, not an expected category
+    assert not any(l.endswith("rows-only") for l in lines)
