@@ -215,10 +215,35 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus-level prefix stages — line-dedup's line_docs and the
 # fingerprint min-survivor are corpus-dependent, so the sample must be
 # taken AFTER them, exactly where the Spark side samples). The composed
-# twin passes TRUE (full corpus); the curate-full gate passes the md5
-# sample predicate. Inlined into the existing CTEs rather than adding a
-# new one: the flat-chain shape is what DuckDB plans well (see above).
-def _curate_ctes(nd_pred: str = "TRUE") -> str:
+# twin passes None → the emitted SQL is the r8 chain; the curate-full
+# gate passes the md5 sample predicate, which lands in a dedicated
+# `gate_docs` filter CTE so the nd_survivors NOT-IN stays a BARE
+# single-conjunct predicate. Both constraints are measured, not
+# stylistic: an r9 draft that spliced `WHERE TRUE` / `(pred) AND
+# doc_id NOT IN` into the chain broke DuckDB's NOT-IN anti-join
+# rewrite and the sf1 oracle went ~25 s → >600 s (killed) — the same
+# plan-shape cliff as the documented agg-wrapping regression.
+#
+# AS MATERIALIZED (r9) on every multiply-referenced dataflow CTE:
+# DuckDB inlines un-hinted CTEs per reference, so `sh` (3 refs) ran
+# the whole tokenize chain three times, and `edges` re-evaluated the
+# ENTIRE pair pipeline on EVERY `reach` recursion round — on the
+# r8-regenerated sf1 replica (36k near-dup pairs, components up to 20
+# → ~19 closure rounds) the composed oracle went from r7's 27 s to
+# >600 s. Materialization hints restore one-evaluation semantics:
+# 59 s composed / 37 s sampled gate at sf1, identical results (6,470
+# survivor rows, r7's committed count). The recursion-adjacent CTEs
+# (losers, nd_survivors, contaminated) stay un-hinted — their shape
+# is what keeps the NOT-IN anti-join rewrites intact.
+def _curate_ctes(nd_pred: str | None = None) -> str:
+    nd_src = "gate_docs" if nd_pred else "exact_survivors"
+    gate_cte = (
+        f"""gate_docs AS (
+  SELECT doc_id, text FROM exact_survivors WHERE {nd_pred}),
+"""
+        if nd_pred
+        else ""
+    )
     return rf"""train0 AS (
   SELECT doc_id, source, lang,
          regexp_replace(regexp_replace(regexp_replace(text,
@@ -226,7 +251,7 @@ def _curate_ctes(nd_pred: str = "TRUE") -> str:
            '{text.PII_PHONE}', '[PHONE]', 'g'),
            '{text.PII_IPV4}', '[IP]', 'g') AS text
   FROM documents WHERE doc_id % 50 != 0),
-tok0 AS (
+tok0 AS MATERIALIZED (
   SELECT doc_id, text,
          string_split_regex(lower(trim(text)), '\s+') AS tokens
   FROM train0),
@@ -256,7 +281,7 @@ quality_keep AS (
           * 1.0 / greatest(len(tokens), 1)) / 0.08, 1.0)
     + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
           * 1.0 / greatest(length(text), 1)), 4) >= 0.5),
-filtered AS (
+filtered AS MATERIALIZED (
   SELECT t.doc_id, t.tokens FROM tok0 t
   JOIN lang_keep USING (doc_id) JOIN quality_keep USING (doc_id)),
 ls AS (
@@ -264,19 +289,19 @@ ls AS (
            generate_series(0, CAST(ceil(len(tokens)/10.0) AS INT) - 1),
            i -> array_to_string(tokens[i*10+1:i*10+10], ' ')) AS arr
   FROM filtered),
-lines AS (
+lines AS MATERIALIZED (
   SELECT doc_id, unnest(arr) AS line,
          unnest(generate_series(0, len(arr)-1)) AS pos
   FROM ls),
-ldf AS (SELECT line, count(DISTINCT doc_id) AS line_docs FROM lines GROUP BY 1),
-kept AS (
+ldf AS MATERIALIZED (SELECT line, count(DISTINCT doc_id) AS line_docs FROM lines GROUP BY 1),
+kept AS MATERIALIZED (
   SELECT l.* FROM lines l JOIN ldf USING (line) WHERE line_docs <= 1),
-clean AS (
+clean AS MATERIALIZED (
   SELECT f.doc_id,
          coalesce(string_agg(k.line, ' ' ORDER BY k.pos), '') AS text
   FROM filtered f LEFT JOIN kept k USING (doc_id)
   GROUP BY f.doc_id),
-fp AS (
+fp AS MATERIALIZED (
   SELECT doc_id,
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
@@ -285,27 +310,27 @@ fp AS (
            (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
   FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
         FROM clean)),
-exact_survivors AS (
+exact_survivors AS MATERIALIZED (
   SELECT c.doc_id, c.text FROM clean c
   WHERE c.doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fingerprint)),
-tok AS (
+{gate_cte}tok AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tokens
-  FROM exact_survivors WHERE {nd_pred}),
-sh AS (
+  FROM {nd_src}),
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, greatest(len(tokens)-2, 0)),
                 i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
   FROM tok),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
   WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs),
 reach(node, comp) AS (
@@ -315,8 +340,8 @@ reach(node, comp) AS (
 losers AS (
   SELECT node FROM reach GROUP BY node HAVING min(comp) < node),
 nd_survivors AS (
-  SELECT doc_id, text FROM exact_survivors
-  WHERE ({nd_pred}) AND doc_id NOT IN (SELECT node FROM losers)),
+  SELECT doc_id, text FROM {nd_src}
+  WHERE doc_id NOT IN (SELECT node FROM losers)),
 surv4 AS (
   SELECT DISTINCT s.doc_id,
          unnest(list_transform(generate_series(1, greatest(len(toks)-3, 0)),
