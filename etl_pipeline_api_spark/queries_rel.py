@@ -185,23 +185,23 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-dedup-clusters",
     oracle=r"""
-    WITH RECURSIVE tok AS (
+    WITH RECURSIVE tok AS MATERIALIZED (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tokens FROM documents),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(tokens)-2, 0)),
                     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
       FROM tok),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-    inter AS (
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM inter
       JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
       WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
     reach(node, comp) AS (

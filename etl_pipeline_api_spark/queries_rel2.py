@@ -408,7 +408,7 @@ def q_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op-corpus-curate",
     oracle=r"""
-    WITH RECURSIVE tok0 AS (
+    WITH RECURSIVE tok0 AS MATERIALIZED (
       SELECT doc_id, text,
              string_split_regex(lower(trim(text)), '\s+') AS tokens
       FROM documents),
@@ -438,10 +438,10 @@ def q_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
               * 1.0 / greatest(len(tokens), 1)) / 0.08, 1.0)
         + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
               * 1.0 / greatest(length(text), 1)), 4) >= 0.8),
-    filtered AS (
+    filtered AS MATERIALIZED (
       SELECT d.doc_id, d.text FROM documents d
       JOIN lang_keep USING (doc_id) JOIN quality_keep USING (doc_id)),
-    fp AS (
+    fp AS MATERIALIZED (
       SELECT doc_id,
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),
@@ -450,27 +450,27 @@ def q_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
       FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
             FROM filtered)),
-    exact_survivors AS (
+    exact_survivors AS MATERIALIZED (
       SELECT f.doc_id, f.text FROM filtered f
       WHERE f.doc_id IN (SELECT min(doc_id) FROM fp GROUP BY fingerprint)),
-    tok AS (
+    tok AS MATERIALIZED (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tokens
       FROM exact_survivors),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, greatest(len(tokens)-2, 0)),
                     i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingle
       FROM tok),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-    inter AS (
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM inter
       JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
       WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
     reach(node, comp) AS (
