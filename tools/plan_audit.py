@@ -118,6 +118,21 @@ TRIAGE = {
                    "(4-row range + 1-row supplier count broadcasts) as "
                    "op-tpch-q2; lineitem pre-aggregates once and every "
                    "other join broadcasts.",
+    "op-bpe-encode": "BNLJ x2 = crossJoin(broadcast(1-row n_words "
+                     "aggregate)) attaching the corpus word count to the "
+                     "1-row encode totals for the r9 bounds gate "
+                     "(bpe <= chars, bpe >= words) — constant-sized "
+                     "sides only; the encode itself is one row-local "
+                     "Arrow pass, zero shuffle.",
+    "op-corpus-curate-full": "BNLJ x4 = the r9 gate assembly's crossJoins "
+                             "of 1-row aggregates (survivor counts full_"
+                             "outer agg, missed-pairs count, the 2-flag "
+                             "gate row broadcast onto the survivor list) — "
+                             "all 1-row broadcast sides; the data joins "
+                             "(band buckets, Jaccard verification, "
+                             "survivor anti-joins) are equi-joins over "
+                             "checkpointed frames, and both near-dup "
+                             "branches run on the md5-sampled universe.",
 }
 
 
