@@ -13,6 +13,7 @@ row transfer).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -63,6 +64,14 @@ def main() -> None:
             # import) must report as that query's error, not kill the
             # whole bench before a single timing is emitted
             fn = QUERIES[name]
+            # Per-query GC before the warmup (the bench_scaling lesson,
+            # ported per VERDICT r9 task 1): a shared session accumulates
+            # earlier queries' localCheckpoint blocks and py4j garbage,
+            # and later SMALL queries pay the eviction/GC mid-measurement
+            # — the wobble class behind three consecutive rounds of false
+            # bench-regress flags (q21 r8, dedup-fuzzy/line-dedup/q8 r9).
+            gc.collect()
+            spark._jvm.System.gc()
             force(fn(spark, sf_dir))  # warmup
             runs = []
             for _ in range(3):
@@ -91,7 +100,17 @@ def main() -> None:
         # round can't masquerade as a faster one
         out["errors"] = errors
         out["partial"] = True
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Builder-side snapshot (VERDICT r9 task 1b): `--out BENCH_HEAD_rN.json`
+    # writes the same record to a file the builder commits at final HEAD,
+    # so tools/bench_regress.py can gate driver-r(N-1) -> builder-rN BEFORE
+    # the round ends instead of turning red on the driver's post-round
+    # batch. Opt-in only — the driver's own invocation must never dirty
+    # the working tree.
+    if "--out" in sys.argv:
+        with open(sys.argv[sys.argv.index("--out") + 1], "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":

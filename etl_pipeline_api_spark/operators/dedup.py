@@ -250,10 +250,11 @@ def minhash_signature_sets(
     more than once (SPARK-36718): `hshs` is a higher-order transform
     referenced by all K signature expressions, so Catalyst keeps it as
     its own Project instead of inlining the hash into every reference.
-    That is an optimizer heuristic, not a contract — the assertion
-    below pins it so a Spark-version behavior change fails loudly here
-    (a K-times-inlined plan would be a silent K-fold recompute of the
-    shingle hashing) instead of as a perf regression.
+    That is an optimizer heuristic, not a contract — the guard below
+    (:func:`_assert_single_shingle_eval`, a Catalyst node-walk run once
+    per session) pins it so a Spark-version behavior change fails loudly
+    here (a K-times-inlined plan would be a silent K-fold recompute of
+    the shingle hashing) instead of as a perf regression.
     """
     sets = shingle_sets(df, id_col, text_col, n).filter(F.size("shs") > 0).select(
         "__id",
@@ -275,14 +276,76 @@ def minhash_signature_sets(
     # CollapseProject guard (see docstring): an inlined plan nests the
     # shingle transform inside each signature transform — that shape
     # must never reach execution.
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "transform(transform(" not in plan, (
-        "minhash_signature_sets: Catalyst inlined the shingle-hash "
-        "transform into the signature expressions (CollapseProject "
-        "behavior change?) — re-insert a localCheckpoint on the hshs "
-        "projection to restore single evaluation."
-    )
+    _assert_single_shingle_eval(out)
     return out.localCheckpoint(eager=False)
+
+
+# applicationId -> True once the optimized-plan shape has been verified in
+# that session. The pinned property is an OPTIMIZER heuristic (constant per
+# Spark version/session config), so one verification per session suffices —
+# re-running queryExecution().optimizedPlan() on every call would re-pay a
+# full Catalyst analyze+optimize of the whole upstream subtree per
+# invocation (the driver compile cost the plans/corpus.py prefix memo
+# exists to avoid).
+_SHINGLE_GUARD_OK: dict[str, bool] = {}
+
+
+def _jseq(seq):
+    """Iterate a py4j-wrapped Scala Seq."""
+    it = seq.iterator()
+    while it.hasNext():
+        yield it.next()
+
+
+def _expr_has_nested_transform(jexpr, inside_transform: bool = False) -> bool:
+    """True if an ArrayTransform appears anywhere INSIDE another
+    ArrayTransform in this (Java) expression tree. Walks the actual
+    Catalyst nodes, so it is immune to the plan-STRING truncation
+    (SparkStringUtils "Truncated the string representation of a plan")
+    that made the old `"transform(transform(" in plan.toString()` test
+    able to silently pass on exactly the large plans it was built to
+    police (VERDICT r9 task 2)."""
+    is_transform = jexpr.getClass().getSimpleName() == "ArrayTransform"
+    if is_transform and inside_transform:
+        return True
+    inside = inside_transform or is_transform
+    return any(
+        _expr_has_nested_transform(c, inside)
+        for c in _jseq(jexpr.children())
+    )
+
+
+def _plan_has_nested_transform(jplan) -> bool:
+    """Walk every node of a (Java) logical plan and every expression tree
+    on each node, looking for transform-inside-transform."""
+    if any(
+        _expr_has_nested_transform(e) for e in _jseq(jplan.expressions())
+    ):
+        return True
+    return any(
+        _plan_has_nested_transform(c) for c in _jseq(jplan.children())
+    )
+
+
+def _assert_single_shingle_eval(out: DataFrame) -> None:
+    """Pin CollapseProject's refusal to inline the non-cheap shingle-hash
+    transform into the K signature transforms (SPARK-36718 — see the
+    minhash_signature_sets docstring). RuntimeError, not `assert`:
+    python -O strips asserts, and this guard exists precisely for
+    deployments nobody is watching."""
+    app_id = out.sparkSession.sparkContext.applicationId
+    if _SHINGLE_GUARD_OK.get(app_id):
+        return
+    jplan = out._jdf.queryExecution().optimizedPlan()
+    if _plan_has_nested_transform(jplan):
+        raise RuntimeError(
+            "minhash_signature_sets: Catalyst inlined the shingle-hash "
+            "transform into the signature expressions (CollapseProject "
+            "behavior change?) — re-insert a localCheckpoint on the hshs "
+            "projection to restore single evaluation."
+        )
+    _SHINGLE_GUARD_OK.clear()  # keep one live session's entry only
+    _SHINGLE_GUARD_OK[app_id] = True
 
 
 def minhash_lsh_pairs_from_sets(

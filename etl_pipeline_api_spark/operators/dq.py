@@ -121,6 +121,16 @@ def table_diff(
 
     Returns per-row ``(key_cols…, status)`` — aggregate downstream for
     counts, or filter ``status != 'unchanged'`` for the feed itself.
+
+    Contract: ``key_cols`` must be UNIQUE within each snapshot — the
+    keyed-diff precondition shared with SQL MERGE and Delta/Iceberg
+    snapshot diffs. Under a duplicate key the outer join fans out to the
+    per-key cross product (K_old × K_new rows; cross-pairs classify as
+    ``changed``) — deterministic, but not a multiset diff. Not guarded
+    at runtime: a uniqueness assertion would cost a full extra
+    aggregation per diff at 100 TB; validate keys upstream with
+    ``DQSuite`` if the source can't promise them (pinned in
+    tests/test_fuzz_rel.py FUZZ_SKIP).
     """
     o = old.select(
         *key_cols,

@@ -252,7 +252,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     wok AS (SELECT w FROM wrd WHERE w <> '')
     SELECT (SELECT count(*) FROM documents) AS n_docs,
-           CAST(sum(length(w) + 1) AS BIGINT) AS char_tokens,
+           CAST(coalesce(sum(length(w) + 1), 0) AS BIGINT) AS char_tokens,
            count(*) AS n_words,
            TRUE AS bpe_le_chars, TRUE AS bpe_ge_words
     FROM wok
@@ -283,20 +283,35 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_train(docs, "text", n_merges=8).orderBy("rnk").collect()
     ]
     enc = bpe_encode(docs, "doc_id", "text", merges)
+    # coalesce-to-0 on every total (ADVICE r9): NULL-text docs carry NULL
+    # per-doc counts on BOTH encode paths (sum skips them, matching the
+    # oracle's unnest-of-NULL emitting no rows), but a corpus that is
+    # EMPTY or entirely word-free would sum to NULL and turn both bound
+    # flags NULL while the oracle emits TRUE — pin the degenerate corpus
+    # to 0s so the flags stay boolean (oracle side coalesces char_tokens
+    # identically).
     tot = enc.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars_tok").alias("char_tokens"),
-        F.sum("n_bpe_tok").alias("bpe_tokens"),
+        F.coalesce(F.sum("n_chars_tok"), F.lit(0)).alias("char_tokens"),
+        F.coalesce(F.sum("n_bpe_tok"), F.lit(0)).alias("bpe_tokens"),
     )
-    # n_words from the same split the encoder uses (JVM-side, one scan)
+    # n_words from the same split the encoder uses (JVM-side, one scan).
+    # NULL text pins the per-doc count to 0 explicitly — conf-independent
+    # (size(NULL) is NULL by default but -1 under legacy sizeOfNull, and
+    # either value would corrupt the sum; ADVICE r9).
     nw = docs.agg(
-        F.sum(
-            F.size(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                    lambda w: w != "",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                    F.size(
+                        F.filter(
+                            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                            lambda w: w != "",
+                        )
+                    )
                 )
-            )
+            ),
+            F.lit(0),
         ).alias("n_words")
     )
     return tot.crossJoin(F.broadcast(nw)).select(

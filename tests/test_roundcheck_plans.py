@@ -167,3 +167,25 @@ def test_bench_regress_waiver_downgrades_known_slowdown(tmp_path, monkeypatch):
     regs, waived = br.compare({"op-w": 1.0, "op-x": 1.0}, {"op-w": 2.0, "op-x": 2.0})
     assert len(regs) == 1 and regs[0].startswith("op-x")
     assert len(waived) == 1 and "deliberate tradeoff" in waived[0]
+
+
+def test_bench_regress_orders_builder_head_records(tmp_path, monkeypatch):
+    """Builder-side BENCH_HEAD_rN.json (committed at final HEAD, VERDICT
+    r9 task 1b) slots BETWEEN the driver's r(N-1) and rN records, so the
+    gate can run green before the round ends and the driver's post-round
+    batch then compares against the builder's like-for-like snapshot."""
+    br = _bench_regress()
+    import json
+    for name, q in [("BENCH_r08.json", 1.0), ("BENCH_r09.json", 2.0),
+                    ("BENCH_HEAD_r10.json", 3.0)]:
+        (tmp_path / name).write_text(json.dumps({"queries": {"op-a": q}}))
+    monkeypatch.setattr(br, "REPO", str(tmp_path))
+    old_p, new_p = br.latest_two()
+    assert old_p.endswith("BENCH_r09.json")
+    assert new_p.endswith("BENCH_HEAD_r10.json")
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"queries": {"op-a": 4.0}})
+    )
+    old_p, new_p = br.latest_two()
+    assert old_p.endswith("BENCH_HEAD_r10.json")
+    assert new_p.endswith("BENCH_r10.json")

@@ -85,11 +85,25 @@ def load_queries(path: str) -> dict[str, float]:
 
 
 def latest_two() -> tuple[str, str] | None:
+    """Two most recent bench snapshots in measurement order.
+
+    Two record kinds interleave (VERDICT r9 task 1b): the driver's
+    post-round BENCH_rN.json and the builder's committed final-HEAD
+    BENCH_HEAD_rN.json. The builder's round-N bench is measured at the
+    END of round N — after the driver's round-(N-1) record, before the
+    driver's round-N record — so order by 2*N for driver records and
+    2*N - 1 for builder records (…, r9 -> 18, HEAD_r10 -> 19, r10 -> 20).
+    This lets the gate run green at final HEAD instead of only after the
+    driver's batch lands."""
     files = []
     for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            files.append((int(m.group(1)), p))
+            files.append((2 * int(m.group(1)), p))
+    for p in glob.glob(os.path.join(REPO, "BENCH_HEAD_r*.json")):
+        m = re.search(r"BENCH_HEAD_r(\d+)\.json$", p)
+        if m:
+            files.append((2 * int(m.group(1)) - 1, p))
     files.sort()
     if len(files) < 2:
         return None

@@ -76,6 +76,13 @@ QUERIES_TO_SCALE = [
     # materialization to the range-exchange ops, and simhash gained the
     # max_bucket guard — verify each stays linear at 10x
     "op-row-index", "op-peak-concurrency", "op-dedup-simhash",
+    # streaming family (r10, VERDICT r9 task 3): op-stream-stream-join is
+    # the single slowest bench query (5.2 s sf0.1) and the family had no
+    # committed scaling row — measure whether the cost is the
+    # per-micro-batch machinery floor (expected: flat-ish, ratio << 10)
+    # or grows with data. AvailableNow over the flat events file drains
+    # in few micro-batches, so the ratio reads state+shuffle growth.
+    "op-stream-stream-join", "op-stream-stateful",
 ]
 
 # query -> documented output-driven cause; reported but not counted as a
@@ -125,6 +132,11 @@ SF10_QUERIES = [
     "op-dedup-fuzzy", "op-span-dup-stats", "op-graph-bfs",
     "op-interval-overlap", "op-pagerank", "op-tpch-q21",
     "op-bootstrap-ci",
+    # streaming representative at the second decade (r10): the
+    # watermarked stream-stream join over 10M events — state is
+    # watermark+interval-bounded, so this reads whether the micro-batch
+    # floor amortizes or the join state becomes the bottleneck.
+    "op-stream-stream-join",
 ]
 
 # sf10 triage (named causes, same policy as EXPECTED_SUPERLINEAR):
