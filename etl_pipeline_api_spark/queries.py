@@ -526,7 +526,10 @@ def q_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("ano"), F.month("o_orderdate").alias("mes"),
     )
     parquet_source.write_partitioned(o, out, partition_cols=["ano", "mes"])
-    back = parquet_source.scan_parquet(spark, out)
+    # declared-schema read-back: a zero-row write leaves no data files,
+    # so an inference read would raise UNABLE_TO_INFER_SCHEMA (the empty
+    # backfill window — r10 all-empty fuzz finding)
+    back = parquet_source.scan_parquet(spark, out, schema=o.schema)
     return (
         back.groupBy(F.col("ano").cast("int").alias("ano"),
                      F.col("mes").cast("int").alias("mes"))
@@ -554,7 +557,10 @@ def q_parquet_scan_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _hive_scratch(sf_dir)
     if not os.path.exists(out):
         q_parquet_partitioned_sink(spark, sf_dir).count()
-    back = parquet_source.scan_parquet(spark, out)
+    back = parquet_source.scan_parquet(
+        spark, out,
+        schema="o_orderkey BIGINT, o_totalprice DOUBLE, ano INT, mes INT",
+    )
     return (
         back.filter(F.col("ano") == 1997)
         .groupBy(F.col("ano").cast("int").alias("ano"))

@@ -247,7 +247,10 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
              UNION ALL SELECT c, a FROM edges),
     s AS (SELECT min(a) AS s FROM edges),
     walk(node, d) AS (
-      SELECT s, 0 FROM s
+      -- s IS NOT NULL: on an EMPTY graph min() yields a NULL seed, which
+      -- would walk as a phantom node at dist 0 (r10 all-empty fuzz); the
+      -- engine's seed frame filters NULL in-plan the same way
+      SELECT s, 0 FROM s WHERE s IS NOT NULL
       UNION
       SELECT dirs.dst, walk.d + 1
       FROM walk JOIN dirs ON dirs.src = walk.node

@@ -140,6 +140,7 @@ def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'lineitem.parquet' AS file_name,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem
+    HAVING count(*) > 0
     """,
 )
 def q_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +150,10 @@ def q_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced these bad rows'. The driver testdata ships each table as ONE
     parquet file, so the oracle can pin both the surfaced file name and
     its row count (scale-free — holds at every sf dir); multi-file
-    semantics are pinned in tests/test_rel7.py over a sharded write."""
+    semantics are pinned in tests/test_rel7.py over a sharded write.
+    Lineage lists files that CONTRIBUTED SCANNED ROWS — `_metadata` rides
+    on rows, so a zero-row file is invisible to it; the oracle's HAVING
+    mirrors that (r10 all-empty fuzz)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.select(F.col("_metadata.file_name").alias("file_name"))

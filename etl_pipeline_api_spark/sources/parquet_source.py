@@ -15,10 +15,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+def scan_parquet(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Flat or hive-partitioned parquet scan; partition columns (e.g.
-    ano/mes directory keys) are recovered automatically."""
-    return spark.read.parquet(path)
+    ano/mes directory keys) are recovered automatically.
+
+    ``schema`` skips inference — REQUIRED for empty-safe reads: a
+    partitioned sink that received zero rows (fresh day, empty backfill
+    window) writes no data files, so schema inference has nothing to
+    read and raises UNABLE_TO_INFER_SCHEMA (found by the r10 all-empty
+    fuzz sweep). At 100 TB reads come off a declared schema or a
+    metastore anyway; inference is a convenience for exploratory reads
+    of known-non-empty data."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def scan_parquet_lenient(spark: SparkSession, path: str, schema=None) -> DataFrame:

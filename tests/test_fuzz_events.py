@@ -219,3 +219,20 @@ def test_fuzz_events_query_matches_oracle(spark, fuzz_dir, name):
         f"spark-only={sorted(set(slines) - set(dlines))[:3]} "
         f"duck-only={sorted(set(dlines) - set(slines))[:3]}"
     )
+
+
+def test_fuzz_events_inventory_pinned():
+    """Auto-enrollment guard (VERDICT r9 task 8): _fuzz_names() is
+    computed dynamically, so a regex or registry breakage that silently
+    returned [] would make the parametrized sweep collect ZERO tests and
+    pass vacuously. Pin the floor at the r9 count (72) — the sweep can
+    only grow — and require every FUZZ_SKIP entry (none today) to name a
+    registered query with a written rationale."""
+    import __spark_entry__ as m
+
+    names = _fuzz_names()
+    assert len(names) >= 72, f"events fuzz sweep shrank to {len(names)}"
+    registered = set(m.oracle_sql())
+    for k, why in FUZZ_SKIP.items():
+        assert k in registered, f"FUZZ_SKIP names unknown query {k}"
+        assert len(why) > 40, f"FUZZ_SKIP[{k}] lacks a real rationale"

@@ -64,6 +64,23 @@ FUZZ_SKIP: dict[str, str] = {
     ),
 }
 
+# Queries excluded from the ALL-EMPTY sweep only (they run in the main
+# pathological sweep): one documented Spark-vs-ANSI semantic delta.
+ALL_EMPTY_SKIP: dict[str, str] = {
+    k: (
+        "Spark implements grouping sets via the Expand operator — rows "
+        "are replicated per grouping set BEFORE aggregation, so ZERO "
+        "input rows expand to zero rows and even the global () grouping "
+        "set emits nothing. ANSI (and DuckDB/Postgres) treat the () set "
+        "as a scalar aggregate: one row on empty input. A plain "
+        "groupBy().agg() DOES emit the row in Spark — only the "
+        "Expand-based cube/rollup/grouping-sets path differs. Pinned by "
+        "test_spark_grouping_sets_empty_input_semantics below so a Spark "
+        "version change flips loudly."
+    )
+    for k in ("op-cube", "op-rollup", "op-grouping-sets")
+}
+
 D = dt.datetime
 
 
@@ -262,6 +279,19 @@ def fuzz_dir_empty_dims(spark, tmp_path_factory):
     )
 
 
+@pytest.fixture(scope="module")
+def fuzz_dir_all_empty(spark, tmp_path_factory):
+    """Every relational table at ZERO rows, schema-correct. Stronger
+    than tests/test_empty_inputs.py (which only asserts queries plan and
+    execute): here the empty-input RESULT must hash-match the oracle's —
+    a first()-default, a coalesce'd aggregate, or a division guard that
+    disagrees between engines on empty input fails here."""
+    return _build_dir(
+        spark, tmp_path_factory.mktemp("fuzz_rel_allempty_sf"),
+        empty_dims=tuple(REL),
+    )
+
+
 def _table_mentions(sql: str) -> set[str]:
     return {t for t in TABLES if re.search(rf"\b{t}\b", sql)}
 
@@ -328,6 +358,28 @@ def test_fuzz_rel_empty_dims_matches_oracle(spark, fuzz_dir_empty_dims, name):
     _compare(spark, fuzz_dir_empty_dims, name)
 
 
+@pytest.mark.parametrize(
+    "name", [n for n in _rel_names() if n not in ALL_EMPTY_SKIP]
+)
+def test_fuzz_rel_all_empty_matches_oracle(spark, fuzz_dir_all_empty, name):
+    _compare(spark, fuzz_dir_all_empty, name)
+
+
+def test_spark_grouping_sets_empty_input_semantics(spark):
+    """Pin the Spark behavior the ALL_EMPTY_SKIP entries document: Expand
+    -based cube/rollup emit ZERO rows on empty input while the plain
+    global aggregate emits one — if a Spark upgrade adopts the ANSI ()
+    -set row, this flips and the skips must be deleted."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    assert df.cube("a", "b").agg(F.count("*")).count() == 0
+    assert df.rollup("a", "b").agg(F.count("*")).count() == 0
+    assert df.groupBy().agg(F.count("*")).count() == 1
+
+
 def test_table_diff_duplicate_key_fanout_is_the_documented_one(
     spark, fuzz_dir
 ):
@@ -345,3 +397,20 @@ def test_table_diff_duplicate_key_fanout_is_the_documented_one(
         .asDict()
     )
     assert row == {"added": 6, "removed": 0, "changed": 2, "unchanged": 8}
+
+
+def test_fuzz_rel_inventory_pinned():
+    """Same auto-enrollment guard as the events sweep: the dynamic name
+    list must never silently shrink (r10 floor: 85 enrolled + 1
+    documented FUZZ_SKIP = 86 relational-only oracle queries), and every
+    skip must name a registered query with a written rationale."""
+    import __spark_entry__ as m
+
+    names = _rel_names()
+    assert len(names) >= 85, f"relational fuzz sweep shrank to {len(names)}"
+    registered = set(m.oracle_sql())
+    for skip in (FUZZ_SKIP, ALL_EMPTY_SKIP):
+        for k, why in skip.items():
+            assert k in registered, f"skip names unknown query {k}"
+            assert len(why) > 40, f"skip[{k}] lacks a real rationale"
+    assert len(_dim_names()) >= 15, "empty-dims subset shrank"

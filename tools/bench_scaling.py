@@ -121,7 +121,7 @@ SF10_QUERIES = [
     #   query pins k=4 for its oracle, making its own growth ~N^2/4 BY
     #   CONSTRUCTION — the operator's scale contract is k tracking N.
     # - op-dedup-minhash / op-dedup-simhash / op-corpus-curate /
-    #   op-corpus-curate-full / op-lsh-tuning embed the deliberately
+    #   op-lsh-tuning embed the deliberately
     #   UNGUARDED exact n-gram Jaccard reference (their oracles' anchor).
     #   Under the generator's bounded vocab its candidate mass is
     #   Theta(Sum df^2) — measured: >60 GB shuffle spill and a disk-full
@@ -137,6 +137,12 @@ SF10_QUERIES = [
     # watermark+interval-bounded, so this reads whether the micro-batch
     # floor amortizes or the join state becomes the bottleneck.
     "op-stream-stream-join",
+    # curate capstone at the second decade (r10, VERDICT r9 task 6): r8's
+    # sf10 attempt disk-filled on the FULL exact-Jaccard tail (>60 GB
+    # spill, Theta(Sum df^2) over 500k docs); the r9 restructure runs the
+    # gate on a ~31% md5 sample of the prefix survivors, cutting the
+    # candidate mass to (sample/full)^2 ~ 1.5% of that run — feasible.
+    "op-corpus-curate-full",
 ]
 
 # sf10 triage (named causes, same policy as EXPECTED_SUPERLINEAR):
