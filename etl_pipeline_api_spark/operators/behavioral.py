@@ -149,8 +149,13 @@ def funnel(
     walked = _funnel_walk(
         events, steps, user_col, ts_col, type_col, id_col, max_events_per_user
     )
+    # coalesce: step counts are COUNTS — an empty day funnels 0 users,
+    # not NULL (sum over zero rows; r10 all-empty fuzz, matches the
+    # oracle's count(*) subqueries)
     aggs = [F.count("*").alias("n_users")] + [
-        F.sum((F.col("_stage") >= i).cast("long")).alias(f"n_step_{i}")
+        F.coalesce(
+            F.sum((F.col("_stage") >= i).cast("long")), F.lit(0)
+        ).alias(f"n_step_{i}")
         for i in range(1, len(steps) + 1)
     ]
     return walked.agg(*aggs)

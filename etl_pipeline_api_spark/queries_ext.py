@@ -491,13 +491,20 @@ def _ann_recall_summary(exact: DataFrame, approx: DataFrame) -> DataFrame:
         )
         .select("query_id", "n_exact", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
     )
+    # coalesce: with ZERO queries (empty corpus) the sums go NULL and the
+    # recall gates must be vacuously TRUE, total 0 — the oracle's counts
+    # over an empty exact set (r10 all-empty fuzz)
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.sum("n_exact").alias("n_exact"),
-        (
-            F.sum((F.col("n_hits") >= 1).cast("int")) * 4 >= F.count(F.lit(1)) * 3
+        F.coalesce(F.sum("n_exact"), F.lit(0)).alias("n_exact"),
+        F.coalesce(
+            F.sum((F.col("n_hits") >= 1).cast("int")) * 4
+            >= F.count(F.lit(1)) * 3,
+            F.lit(True),
         ).alias("most_queries_hit"),
-        (F.sum("n_hits") * 5 >= F.sum("n_exact") * 2).alias("recall_ge_2of5"),
+        F.coalesce(
+            F.sum("n_hits") * 5 >= F.sum("n_exact") * 2, F.lit(True)
+        ).alias("recall_ge_2of5"),
     )
 
 

@@ -164,21 +164,26 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, array(0.49D, 0.5D, 0.51D))").alias("_p"),
         F.percentile_approx("value", 0.5, 10000).alias("_a_med"),
     )
+    # coalesce-to-1: on a degenerate corpus (empty / all-NULL value) the
+    # percentiles and sketch values go NULL and the gates must read as
+    # "nothing to gate" — the oracle pins constant 1 (r10 all-empty fuzz)
     return r.select(
         "exact_users",
         (F.round(F.col("_p")[1] * 100.0, 0) / 100.0).alias("median_value"),
-        (
-            F.abs(F.col("_a_users") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
-        )
-        .cast("int")
-        .alias("users_ok"),
-        (
-            (F.col("_a_med") >= F.col("_p")[0])
-            & (F.col("_a_med") <= F.col("_p")[2])
-        )
-        .cast("int")
-        .alias("median_ok"),
+        F.coalesce(
+            (
+                F.abs(F.col("_a_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).cast("int"),
+            F.lit(1),
+        ).alias("users_ok"),
+        F.coalesce(
+            (
+                (F.col("_a_med") >= F.col("_p")[0])
+                & (F.col("_a_med") <= F.col("_p")[2])
+            ).cast("int"),
+            F.lit(1),
+        ).alias("median_ok"),
     )
 
 

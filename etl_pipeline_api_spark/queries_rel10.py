@@ -509,8 +509,12 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sev.funnel_stage_stream(stream, steps), output_mode="update"
     )
     final = per_user.groupBy("user_id").agg(F.max("stage").alias("_stage"))
+    # coalesce: counts are 0 on an empty stream, not NULL (r10 all-empty
+    # fuzz — same fix as operators/behavioral.py funnel)
     aggs = [F.count("*").alias("n_users")] + [
-        F.sum((F.col("_stage") >= i).cast("long")).alias(f"n_step_{i}")
+        F.coalesce(
+            F.sum((F.col("_stage") >= i).cast("long")), F.lit(0)
+        ).alias(f"n_step_{i}")
         for i in range(1, len(steps) + 1)
     ]
     return final.agg(*aggs)

@@ -130,9 +130,14 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def flag(p: int):
         t = (p / 100.0) * F.col("n")
         slack = F.lit(1.0) + F.col("n") / 10000.0
-        return (
+        # vacuous truth on degenerate input (empty corpus / all-NULL
+        # value): the rank sums and sketch value go NULL, which must read
+        # as "nothing to gate", matching the oracle's constant TRUE
+        # (r10 all-empty fuzz — the op-bpe-encode treatment)
+        return F.coalesce(
             (F.col(f"lt{p}") + 1 <= t + slack)
-            & (F.col(f"le{p}") >= t - slack)
+            & (F.col(f"le{p}") >= t - slack),
+            F.lit(True),
         ).alias(f"ok{p}")
 
     return ranked.select(
