@@ -27,8 +27,11 @@ from .queries import _t, query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+             AS DOUBLE)                                                AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+             AS DOUBLE)                                                AS sum_disc_price,
            round(avg(l_quantity), 4)                                   AS avg_qty,
            round(avg(l_discount), 4)                                   AS avg_disc,
            count(*)                                                    AS count_order
@@ -45,16 +48,29 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     HashAggregate → tiny exchange → final agg, all in one codegen stage.
     The shipdate predicate reaches the parquet scan (PushedFilters), so
     at 100 TB the scan skips row groups on min/max stats.
+
+    Money sums run in DECIMAL (r10 partition-invariance finding): the
+    double sums are summation-order-dependent, and at sf0.001
+    sum_disc_price lands within an ulp of a half-cent boundary — the
+    flat-file and 7-shard layouts rounded to different cents. Decimal
+    sums are exact, so the result is independent of partitioning, task
+    count, and engine. TPC-H itself types these columns DECIMAL(15,2);
+    the cast-from-double is exact-in-effect because 2dp prices stored as
+    doubles sit ~1e-11 from the decimal grid, never at a cast boundary.
+    Quantity sums/averages stay double: quantities are small integers,
+    exactly summable in double to 2^53.
     """
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(4,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
+        F.round(F.sum(price_dec), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price_dec * (F.lit(1).cast("decimal(4,2)") - disc_dec)), 2)
+        .cast("double")
+        .alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),

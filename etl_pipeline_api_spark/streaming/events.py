@@ -50,20 +50,34 @@ def read_events_stream(
     """File-source stream over the events parquet. The stream schema is
     inferred from a batch read of the same files, so whatever ts encoding
     the batch reader handles, the stream handles identically (no hardcoded
-    schema to go stale when the source encoding changes)."""
-    # the file stream source wants a DIRECTORY; select just the events
-    # parquet out of the shared testdata dir via glob filter
-    batch_schema = (
-        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
-    )
-    reader = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-    )
+    schema to go stale when the source encoding changes).
+
+    Handles BOTH table layouts (r10 partition-invariance finding): a
+    multi-file DIRECTORY named events.parquet — every real cluster's
+    layout — streams directly; the driver's single flat FILE is selected
+    out of the shared testdata dir with a pathGlobFilter (the file
+    stream source itself only accepts directories). The old
+    glob-only path matched LEAF file names, so a directory layout
+    matched nothing and died with UNABLE_TO_INFER_SCHEMA."""
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(p):
+        src_path, opts = p, {}
+    else:
+        # flat file (or non-local URI): stream the parent dir, glob the file
+        src_path, opts = sf_dir, {"pathGlobFilter": "events.parquet"}
+    batch_reader = spark.read
+    stream_reader = spark.readStream
+    for k, v in opts.items():
+        batch_reader = batch_reader.option(k, v)
+        stream_reader = stream_reader.option(k, v)
+    stream_reader = stream_reader.schema(batch_reader.parquet(src_path).schema)
     if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(sf_dir)
-    return normalize_event_ts(raw)
+        stream_reader = stream_reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+    return normalize_event_ts(stream_reader.parquet(src_path))
 
 
 def windowed_agg(events: DataFrame, window: str = "1 hour",
