@@ -68,3 +68,13 @@ def test_determinism_inventory_pinned():
     for k, why in NONDET_SKIP.items():
         assert k in registered, f"NONDET_SKIP names unknown query {k}"
         assert len(why) > 40, f"NONDET_SKIP[{k}] lacks a real rationale"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cache_hygiene(spark):
+    """This module runs the ENTIRE registry, including self-persisting
+    queries (op-lm-score, dedup-cluster caches) — drop their CacheManager
+    entries and freed memory on module exit so later plan-shape tests
+    audit pristine plans (r10 in-suite flake)."""
+    yield
+    spark.catalog.clearCache()

@@ -15,6 +15,18 @@ import __spark_entry__ as entry
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def pristine_cache(spark):
+    """Plan assertions need a pristine CacheManager: registry-wide sweep
+    modules (determinism / partition-invariance) run self-persisting
+    queries (op-lm-score's vocab counts) at THIS module's SF, and the
+    canonical-plan match would substitute an InMemoryRelation into the
+    audited plan — collapsing the very exchanges these tests count
+    (r10 in-suite flake)."""
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(spark, name: str) -> str:
     import contextlib
     import io

@@ -38,6 +38,18 @@ REL_FLOOR = 0.35
 WAIVERS: dict[str, str] = {
     # (r8's op-corpus-curate-full waiver rotated out in r10: the window
     # is now r9 -> r10 and the gate query improved 3.82 -> 3.16 s.)
+    # r10: op-tpch-q1's money sums moved double -> DECIMAL (the
+    # partition-invariance sweep caught sum_disc_price rounding to
+    # different cents on different file layouts — summation-order ulp on
+    # a half-cent boundary). Decimal sums are exact and layout/engine-
+    # independent; the long-cents trick would be as fast but overflows
+    # int64 at the 100 TB target (~3.6e8 scaled units x 6e11 rows ~ 2e20
+    # >> 2^63). Measured cost: 0.29 -> 0.76 s at sf0.1 — a deliberate
+    # correctness-over-constant trade. Delete once the comparison window
+    # no longer spans round 10.
+    "op-tpch-q1": "r10 decimal money sums (layout-invariant exact "
+                  "arithmetic; double sums rounded differently per "
+                  "partitioning)",
 }
 
 # Classified non-regressions (VERDICT r8 task 5): op-tpch-q21 read
