@@ -704,7 +704,11 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans it identically to the DataFrame API (one scan, partial+final
     hash agg)."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_SHARED_SQL)
+    out = spark.sql(_SHARED_SQL)
+    # analyzed eagerly — drop the view instead of leaking a session-global
+    # name as common as "lineitem" (session hygiene sweep invariant)
+    spark.catalog.dropTempView("lineitem")
+    return out
 
 
 @query(

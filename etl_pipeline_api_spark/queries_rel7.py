@@ -124,10 +124,12 @@ def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("chunk_udtf", ChunkDocs)
     _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
-    return spark.sql(
+    out = spark.sql(
         "SELECT s.doc_id, s.chunk_id, s.chunk_text, s.n_chunk_tokens "
         "FROM docs_for_udtf, LATERAL chunk_udtf(doc_id, text) s"
     )
+    spark.catalog.dropTempView("docs_for_udtf")  # resolved into the plan
+    return out
 
 
 # ---------------------------------------------------------------------

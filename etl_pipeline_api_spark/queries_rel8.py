@@ -63,7 +63,12 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one dialect token differs: integer division is `//` in DuckDB and
     # `div` in Spark (`/` is fractional in BOTH — a bare `/` would break
     # the parent join the same way in each engine)
-    return spark.sql(_RECURSIVE_SQL.replace("// 8", "div 8"))
+    out = spark.sql(_RECURSIVE_SQL.replace("// 8", "div 8"))
+    # spark.sql analyzes eagerly, so the view is resolved into the plan
+    # already — drop it rather than leak a session-global name as common
+    # as "customer" (session hygiene sweep invariant)
+    spark.catalog.dropTempView("customer")
+    return out
 
 
 # ---------------------------------------------------------------------
@@ -127,7 +132,7 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound literals before optimization, so pushdown/pruning see plain
     constants (identical plan to the inlined form the oracle uses)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_p")
-    return spark.sql(
+    out = spark.sql(
         """
         SELECT o_orderpriority, count(*) AS n,
                -- CAST(100 AS DOUBLE): in Spark SQL text `100.0` parses as
@@ -144,6 +149,8 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 50000.0, "status": "F"},
     )
+    spark.catalog.dropTempView("orders_p")  # resolved into the plan above
+    return out
 
 
 # ---------------------------------------------------------------------

@@ -260,7 +260,12 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, so the query is its own oracle."""
     _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_LATERAL_SQL)
+    out = spark.sql(_LATERAL_SQL)
+    # analyzed eagerly — drop both views instead of leaking session-global
+    # lake-table names (session hygiene sweep invariant)
+    spark.catalog.dropTempView("nation")
+    spark.catalog.dropTempView("customer")
+    return out
 
 
 # ---------------------------------------------------------------------

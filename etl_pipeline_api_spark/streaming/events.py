@@ -160,7 +160,22 @@ def user_running_totals(events: DataFrame) -> DataFrame:
 def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion over its static backlog
     (Trigger.AvailableNow) into a memory sink; returns the materialized
-    result as a batch DataFrame. Checkpoint is per-run (throwaway)."""
+    result as a batch DataFrame. Checkpoint is per-run (throwaway).
+
+    Session hygiene (r10): the memory sink registers a uuid-named temp
+    view and the throwaway checkpoint writes a per-run /tmp directory —
+    in a long-lived session server both grow without bound (one leaked
+    view + one leaked dir PER DRAIN). The view is dropped immediately
+    after capturing the result DataFrame (analysis resolves the sink
+    relation at `spark.table(...)` time, so the frame stays readable —
+    the sink's rows live as long as the plan references them), and the
+    checkpoint dir is deleted once the query has terminated (it is
+    per-run by construction; nothing can resume from it).
+    tests/test_session_hygiene.py sweeps the whole registry for this
+    invariant class."""
+    import shutil
+
+    spark = result.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:10]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     q = (
@@ -171,8 +186,13 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
+    try:
+        q.awaitTermination()
+        out = spark.table(name)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def deduped(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
