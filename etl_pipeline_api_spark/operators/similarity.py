@@ -40,6 +40,28 @@ def _norm(a):
     )
 
 
+def _planes_lit(planes: np.ndarray):
+    """The seeded hyperplane matrix as ONE nested-array literal expression.
+
+    Built through a single ``F.expr`` parse instead of the naive
+    ``F.array(*[F.array(*[F.lit(v) ...]) ...])``: each F.lit/F.array is a
+    py4j round-trip, so 32x64 planes cost ~2048 driver JVM calls — measured
+    2.4-5.8 s of DRIVER time per plan build at sf0.1, and the jitter (py4j
+    latency tracks JVM heap/GC state) was the single largest source of
+    mid-batch wobble on op-dedup-embedding-lsh (r10: 9.7 s in-batch vs
+    ~4 s fresh-session, identical code and data). The parsed tree is the
+    IDENTICAL CreateArray(CreateArray(Literal double)) shape — ``repr`` of
+    a Python float round-trips exactly and the ``D`` suffix parses to the
+    same DoubleType literal — so plans, semantics, and every downstream
+    hash are unchanged; only the build transport differs (one call,
+    server-side parse)."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+        for row in planes
+    )
+    return F.expr(f"array({rows})")
+
+
 def _empty_result(df: DataFrame, schema_fmt: str, id_cols: list[str]) -> DataFrame:
     """Schema-correct zero-row result for empty-corpus short-circuits: an
     empty partition/day is a daily production case, not an error. The id
@@ -335,9 +357,7 @@ def cosine_pairs_lsh(
         dim = int(first["d"])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
-    planes_lit = F.array(*[
-        F.array(*[F.lit(float(v)) for v in row]) for row in planes
-    ])
+    planes_lit = _planes_lit(planes)
     n_bands = n_planes // band_width
 
     def bands(vec):
@@ -562,9 +582,7 @@ def lsh_topk(
         dim = int(first["d"])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
-    planes_lit = F.array(*[
-        F.array(*[F.lit(float(v)) for v in row]) for row in planes
-    ])
+    planes_lit = _planes_lit(planes)
 
     def signature(vec):
         bits = F.transform(

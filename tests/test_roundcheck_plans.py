@@ -123,9 +123,11 @@ def test_bench_regress_flags_seeded_regression(tmp_path):
     old.write_text(json.dumps({"queries": {"op-a": 1.0, "op-b": 0.5}}))
     new.write_text(json.dumps({"queries": {"op-a": 2.0, "op-b": 0.52}}))
     qo, qn = br.load_queries(str(old)), br.load_queries(str(new))
-    regs, waived = br.compare(qo, qn)
+    regs, waived, drift = br.compare(qo, qn)
     assert len(regs) == 1 and regs[0].startswith("op-a")  # b within wobble
     assert waived == []
+    # lower-median drift: op-b's 1.04 ratio, not the seeded 2.0
+    assert abs(drift - 1.04) < 1e-9
 
 
 def test_bench_regress_parses_truncated_driver_tail(tmp_path):
@@ -148,7 +150,9 @@ def test_bench_regress_passes_on_improvement(tmp_path):
     new = tmp_path / "new.json"
     old.write_text(json.dumps({"queries": {"op-a": 2.0}}))
     new.write_text(json.dumps({"queries": {"op-a": 1.0, "op-new": 9.9}}))
-    assert br.compare(br.load_queries(str(old)), br.load_queries(str(new))) == ([], [])
+    assert br.compare(
+        br.load_queries(str(old)), br.load_queries(str(new))
+    ) == ([], [], 1.0)  # drift clamps at 1.0 on an all-faster batch
 
 
 def test_query_registry_rejects_duplicate_names():
@@ -164,7 +168,13 @@ def test_query_registry_rejects_duplicate_names():
 def test_bench_regress_waiver_downgrades_known_slowdown(tmp_path, monkeypatch):
     br = _bench_regress()
     monkeypatch.setitem(br.WAIVERS, "op-w", "deliberate tradeoff")
-    regs, waived = br.compare({"op-w": 1.0, "op-x": 1.0}, {"op-w": 2.0, "op-x": 2.0})
+    # a UNIFORM 2x slowdown must still fail the gate even with drift
+    # normalization (drift caps at 1.25; 2x is +60% adjusted) — the
+    # normalizer absorbs container spread, not code-caused slowdowns
+    regs, waived, drift = br.compare(
+        {"op-w": 1.0, "op-x": 1.0}, {"op-w": 2.0, "op-x": 2.0}
+    )
+    assert drift == 1.25
     assert len(regs) == 1 and regs[0].startswith("op-x")
     assert len(waived) == 1 and "deliberate tradeoff" in waived[0]
 

@@ -130,22 +130,58 @@ def latest_two() -> tuple[str, str] | None:
     return files[-2][1], files[-1][1]
 
 
+def drift_factor(old: dict[str, float], new: dict[str, float]) -> float:
+    """Median new/old ratio over shared queries — the CONTAINER drift.
+
+    The gate's purpose is to catch regressions the CODE caused, but the
+    two records it compares almost never come from the same machine: the
+    driver provisions a fresh container per round, and identical code
+    measured 63.9 s (r9) vs 73.2 s (r7) vs 74.1 s (r10) on the same
+    62-query batch — a ±15% whole-batch spread on untouched JVM-only
+    queries (r10: tpch-q11 +61%, q16 +34%, text-fingerprint +68%, none
+    of whose code or data changed; outputs hash-identical). A per-query
+    threshold that ignores this compares apples on one host to oranges
+    on another and flags noise — the 4th consecutive round of false
+    positives. The median ratio is a robust whole-batch estimator (a
+    real regression moves one query, not the median of 62); dividing it
+    out makes the per-query threshold mean 'regressed RELATIVE to how
+    this container runs everything else'. Clamped to >= 1.0 so a FASTER
+    container never hides a real regression, and capped at 1.25 (the top
+    of the observed honest cross-container spread) so a genuinely broad
+    slowdown (every query 2x — e.g. a session-conf bug, which IS code)
+    still fails the gate rather than being normalized away: 2x against a
+    1.25-capped drift is +60% adjusted, well past the 35% threshold.
+    Lower median (not upper) so a two-query record can't seed its own
+    regression into the drift estimate."""
+    shared = sorted(set(old) & set(new))
+    ratios = sorted(new[k] / old[k] for k in shared if old[k] > 0)
+    if not ratios:
+        return 1.0
+    m = ratios[(len(ratios) - 1) // 2]
+    return min(max(m, 1.0), 1.25)
+
+
 def compare(
     old: dict[str, float], new: dict[str, float]
-) -> tuple[list[str], list[str]]:
-    """(regressions, waived) — each entry a human-readable line."""
+) -> tuple[list[str], list[str], float]:
+    """(regressions, waived, drift) — entries are human-readable lines."""
     regressions, waived = [], []
+    m = drift_factor(old, new)
     for k, v in sorted(new.items()):
         if k not in old:
             continue
-        o = old[k]
+        o = old[k] * m  # container-normalized expectation
         if v > o * (1 + REL_FLOOR) and v - o > ABS_FLOOR_S:
-            line = f"{k}: {o:.2f}s -> {v:.2f}s (+{(v / o - 1) * 100:.0f}%)"
+            line = (
+                f"{k}: {old[k]:.2f}s -> {v:.2f}s "
+                f"(+{(v / old[k] - 1) * 100:.0f}%; "
+                f"+{(v / o - 1) * 100:.0f}% drift-adjusted)"
+            )
             if k in WAIVERS:
                 waived.append(f"{line} — waived: {WAIVERS[k]}")
             else:
                 regressions.append(line)
-    return regressions, waived
+    return regressions, waived, m
 
 
 def main() -> int:
@@ -165,14 +201,16 @@ def main() -> int:
             f"{os.path.basename(old_p)} and {os.path.basename(new_p)}"
         )
         return 0
-    regs, waived = compare(old, new)
+    regs, waived, drift = compare(old, new)
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     tot_old = sum(old[k] for k in shared)
     tot_new = sum(new[k] for k in shared)
     print(
         f"bench-regress: {os.path.basename(old_p)} -> {os.path.basename(new_p)}: "
-        f"{len(shared)} shared, total {tot_old:.1f}s -> {tot_new:.1f}s"
+        f"{len(shared)} shared, total {tot_old:.1f}s -> {tot_new:.1f}s, "
+        f"container drift x{drift:.2f} (median ratio; thresholds apply "
+        f"on top of it)"
     )
     if added:
         print(f"  new queries ({len(added)}): {', '.join(added[:8])}"
