@@ -15,12 +15,38 @@ key. ``maxFilesPerTrigger`` throttles catch-up batches at 100 TB backfills.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _drain_conf(spark: SparkSession, state_partitions: int | None):
+    """Scope `spark.sql.shuffle.partitions` to one bounded-backlog drain.
+
+    A streaming drain creates one state store per shuffle partition per
+    stateful operator per micro-batch (and the foreachBatch helpers run
+    their per-batch groupBy + parquet write at the same width), so the
+    session's batch-analytics width is pure overhead against a bounded
+    backlog — measured 7.6+ s -> ~2.5 s on op-stream-stream-join at
+    sf0.1 (32 -> 8 partitions), identical results. The conf is restored
+    in a finally; the session-hygiene sweep pins the restore. Streaming
+    queries snapshot the session conf at start, so holding the set until
+    after awaitTermination is belt-and-braces, not load-bearing."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        yield
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(key, saved)
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Type-driven ts normalization shared by the batch and stream readers.
@@ -157,10 +183,31 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    result: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Execute a streaming DataFrame to completion over its static backlog
     (Trigger.AvailableNow) into a memory sink; returns the materialized
     result as a batch DataFrame. Checkpoint is per-run (throwaway).
+
+    ``state_partitions`` sizes the stateful-operator partition count for
+    the drain (r10): a streaming query creates, commits, and snapshots
+    one state store PER shuffle partition PER stateful operator PER
+    micro-batch, so draining a bounded backlog under the session's
+    batch-analytics width (32 at the bench SF) is pure store-management
+    overhead — measured on op-stream-stream-join at sf0.1: 7.6+ s at 32
+    partitions vs ~2.5 s at 8 with identical results (state hash
+    partitioning is internal; the stream/batch-parity oracles and the
+    determinism/layout sweeps pin output equality). Spark pins the count
+    in the checkpoint at FIRST start, so a per-run throwaway drain picks
+    it fresh each time; a production stream against a durable checkpoint
+    sets it once, sized to state volume and cluster cores — pass an
+    explicit value (or None to inherit the session conf) there. The
+    session conf is set around query START only and restored in a
+    finally (the query captures it at start; the session-hygiene sweep
+    asserts the restore).
 
     Session hygiene (r10): the memory sink registers a uuid-named temp
     view and the throwaway checkpoint writes a per-run /tmp directory —
@@ -173,22 +220,21 @@ def run_available_now(result: DataFrame, output_mode: str = "complete") -> DataF
     per-run by construction; nothing can resume from it).
     tests/test_session_hygiene.py sweeps the whole registry for this
     invariant class."""
-    import shutil
-
     spark = result.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:10]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination()
-        out = spark.table(name)
+        with _drain_conf(spark, state_partitions):
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(name)
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -275,14 +321,16 @@ def run_foreach_batch_idempotent(result: DataFrame, agg_keys: list[str]) -> Data
             .parquet(os.path.join(sink, f"batch_id={batch_id}"))
         )
 
-    q = (
-        result.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = result.sparkSession
+    with _drain_conf(spark, 8):
+        q = (
+            result.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)  # per-run throwaway (hygiene)
     return spark.read.option("basePath", sink).parquet(os.path.join(sink, "batch_id=*"))
 
 
@@ -493,13 +541,15 @@ def run_incremental_state(
             os.path.join(root, f"v={batch_id}")
         )
 
-    q = (
-        result.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(spark, 8):
+        q = (
+            result.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)  # per-run throwaway (hygiene)
     vs = versions()
     return spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
 
@@ -563,13 +613,15 @@ def run_incremental_compact(
             os.path.join(root, f"v={batch_id}")
         )
 
-    q = (
-        result.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(spark, 8):
+        q = (
+            result.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)  # per-run throwaway (hygiene)
     vs = versions()
     final = spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
     return final.where(F.col(op_col) != "D").drop(op_col, *version_cols)
