@@ -50,6 +50,20 @@ WAIVERS: dict[str, str] = {
     "op-tpch-q1": "r10 decimal money sums (layout-invariant exact "
                   "arithmetic; double sums rounded differently per "
                   "partitioning)",
+    # r10: container small-query class, not a regression. psi-drift's
+    # code, data, and output are unchanged since r9 (stats.py untouched
+    # in git, sweep row counts identical) and the op is pure JVM (no
+    # UDF). This round's container runs SMALL queries disproportionately
+    # slower — seven other untouched sub-0.5 s JVM queries read
+    # 1.55-1.7x (q16/q20/q2/q11/cuped...) but pass only because they sit
+    # under the 0.3 s absolute floor; psi-drift at 0.74 s base crosses
+    # it. Isolated fresh-session 7-run median on this container: 1.14 s
+    # (min 0.91), bracketing the in-batch 1.21 s. Delete when the
+    # comparison window no longer spans the r9/r10 container change.
+    "op-psi-drift": "r10 container small-query drift (fixed per-query "
+                    "overheads slower on this host; same 1.55-1.7x band "
+                    "as seven sub-floor untouched JVM queries; code/"
+                    "data/output unchanged since r9)",
 }
 
 # Classified non-regressions (VERDICT r8 task 5): op-tpch-q21 read
