@@ -247,3 +247,52 @@ def test_grouped_arrow_stages_pin_partition_count(spark, sf_dir):
             .toString()
         )
         assert "REPARTITION_BY_NUM" in qplan, name
+
+
+def test_planes_lit_expr_equals_py4j_literal_build(spark):
+    """_planes_lit (r10) replaces ~2048 F.lit py4j round-trips with one
+    F.expr parse. Pin exact value equality between the two builds across
+    awkward doubles — negative zero, exponent-formatted magnitudes
+    (repr emits '1e-05'/'1e+20'), subnormals, and max-double — so a
+    formatting regression (lost precision, bad exponent suffix) fails
+    here rather than as a silent signature flip in the LSH family."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_api_spark.operators.similarity import _planes_lit
+
+    awkward = np.array([
+        [0.0, -0.0, 1e-05, -4.2e-17, 5e-324, 1.7976931348623157e308],
+        [1e20, -1e20, 0.1 + 0.2, np.pi, -2.2250738585072014e-308, 1.0],
+    ])
+    rng = np.random.RandomState(7)
+    for planes in (awkward, rng.randn(4, 16)):
+        old = F.array(*[
+            F.array(*[F.lit(float(v)) for v in row]) for row in planes
+        ])
+        new = _planes_lit(planes)
+        row = spark.range(1).select(
+            (old == new).alias("eq"), old.alias("o"), new.alias("n")
+        ).collect()[0]
+        assert row.eq, f"mismatch: {row.o} vs {row.n}"
+
+
+def test_run_available_now_state_partitions_value_neutral(spark, sf_dir):
+    """The r10 drain state-partition sizing must never change RESULTS —
+    state hash partitioning is internal. Drain the same watermarked agg
+    at 3 partitions, 8 (the default), and None (session conf) and pin
+    set equality; also pin that the session conf is restored (the
+    session-hygiene sweep asserts this registry-wide; this is the
+    direct unit)."""
+    from etl_pipeline_api_spark.streaming import events as sev
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    for sp in (3, 8, None):
+        stream = sev.read_events_stream(spark, sf_dir)
+        out = sev.run_available_now(
+            sev.windowed_agg(stream), state_partitions=sp
+        )
+        results.append({tuple(r) for r in out.collect()})
+        assert spark.conf.get("spark.sql.shuffle.partitions") == saved, sp
+    assert results[0] == results[1] == results[2]
