@@ -25,27 +25,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_DRAIN_CONF_LOCK = __import__("threading").Lock()
+
+
 @contextlib.contextmanager
 def _drain_conf(spark: SparkSession, state_partitions: int | None):
-    """Scope `spark.sql.shuffle.partitions` to one bounded-backlog drain.
+    """Scope `spark.sql.shuffle.partitions` to one stream START.
 
     A streaming drain creates one state store per shuffle partition per
     stateful operator per micro-batch (and the foreachBatch helpers run
     their per-batch groupBy + parquet write at the same width), so the
     session's batch-analytics width is pure overhead against a bounded
     backlog — measured 7.6+ s -> ~2.5 s on op-stream-stream-join at
-    sf0.1 (32 -> 8 partitions), identical results. The conf is restored
-    in a finally; the session-hygiene sweep pins the restore. Streaming
-    queries snapshot the session conf at start, so holding the set until
-    after awaitTermination is belt-and-braces, not load-bearing."""
+    sf0.1 (32 -> 8 partitions), identical results.
+
+    CONTRACT: the `with` block must contain ONLY the `.start()` call —
+    `awaitTermination` goes outside. Spark clones the session conf
+    DURING start (verified: numShufflePartitions in lastProgress
+    reports the scoped value even when the conf is restored immediately
+    after start returns), so the set window can be this narrow — and it
+    must be, because the window is serialized under a module lock to
+    make CONCURRENT drains safe: without it, thread B could read thread
+    A's temporary value as its `saved` and "restore" it permanently
+    (the set/restore race a query service with parallel drains would
+    hit). Holding the lock through a whole drain would serialize
+    drains; holding it only across start keeps them concurrent. The
+    session-hygiene sweep pins the restore; the concurrency test pins
+    both the snapshot and the race."""
     key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(key)
-    if state_partitions is not None:
-        spark.conf.set(key, str(state_partitions))
-    try:
+    if state_partitions is None:
         yield
-    finally:
-        if state_partitions is not None:
+        return
+    with _DRAIN_CONF_LOCK:
+        saved = spark.conf.get(key)
+        spark.conf.set(key, str(state_partitions))
+        try:
+            yield
+        finally:
             spark.conf.set(key, saved)
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
@@ -233,8 +249,8 @@ def run_available_now(
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
-            out = spark.table(name)
+        q.awaitTermination()
+        out = spark.table(name)
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -329,7 +345,7 @@ def run_foreach_batch_idempotent(result: DataFrame, agg_keys: list[str]) -> Data
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+    q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)  # per-run throwaway (hygiene)
     return spark.read.option("basePath", sink).parquet(os.path.join(sink, "batch_id=*"))
 
@@ -548,7 +564,7 @@ def run_incremental_state(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+    q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)  # per-run throwaway (hygiene)
     vs = versions()
     return spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
@@ -620,7 +636,7 @@ def run_incremental_compact(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+    q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)  # per-run throwaway (hygiene)
     vs = versions()
     final = spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))

@@ -339,3 +339,65 @@ def test_stream_funnel_checkpoint_restart(spark, tmp_path):
     g = {(r.user_id, r.stage) for r in got.collect()}
     e = {(r.user_id, r.stage) for r in expected.collect()}
     assert g == e and len(g) > 0
+
+
+def test_concurrent_drains_conf_race_and_snapshot(spark, sf_dir):
+    """Two drains racing from two driver threads (the query-service
+    shape; plans/corpus.py already runs threaded branches) must (a)
+    leave the session's shuffle-partition conf exactly as found — the
+    naive set/await/restore pattern lets thread B read thread A's
+    temporary value as its 'saved' and restore it permanently — and
+    (b) each actually run at its requested state-partition count even
+    though the conf is restored immediately after start (Spark clones
+    the session conf during start; numShufflePartitions in the last
+    progress is the ground truth). Results must equal the serial runs."""
+    import threading
+
+    from etl_pipeline_api_spark.streaming import events as sev
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def drain(out, idx, parts):
+        stream = sev.read_events_stream(spark, sf_dir)
+        res = sev.run_available_now(
+            sev.windowed_agg(stream), state_partitions=parts
+        )
+        out[idx] = {tuple(r) for r in res.collect()}
+
+    results: dict[int, set] = {}
+    for _ in range(3):  # three rounds of racing starts
+        threads = [
+            threading.Thread(target=drain, args=(results, i, parts))
+            for i, parts in ((0, 5), (1, 7))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    assert results[0] == results[1]
+
+    # snapshot pin: the scoped value reaches the state operator even
+    # though the conf is restored right after start
+    stream = sev.read_events_stream(spark, sf_dir)
+    agg = sev.windowed_agg(stream)
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    name = f"snap_{_uuid.uuid4().hex[:8]}"
+    ckpt = _os.path.join(_tf.gettempdir(), f"ckpt_{name}")
+    with sev._drain_conf(spark, 5):
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    q.awaitTermination()
+    ops = q.lastProgress.get("stateOperators", [])
+    assert ops and ops[0]["numShufflePartitions"] == 5, ops
+    spark.catalog.dropTempView(name)
+    import shutil as _sh
+
+    _sh.rmtree(ckpt, ignore_errors=True)
