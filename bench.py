@@ -109,8 +109,15 @@ def main() -> None:
     # batch. Opt-in only — the driver's own invocation must never dirty
     # the working tree.
     if "--out" in sys.argv:
+        # the FILE record additionally carries per-query minimums —
+        # scheduler/GC noise is one-sided (it only ever ADDS time), so
+        # min-of-runs is the low-noise estimator tools/bench_regress.py
+        # prefers for the NEW side of a comparison. Only in the file:
+        # the stdout line must stay short enough for the driver's tail
+        # capture (the r5 truncation).
+        out["queries_min"] = timings_min
         with open(sys.argv[sys.argv.index("--out") + 1], "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":

@@ -199,3 +199,28 @@ def test_bench_regress_orders_builder_head_records(tmp_path, monkeypatch):
     old_p, new_p = br.latest_two()
     assert old_p.endswith("BENCH_HEAD_r10.json")
     assert new_p.endswith("BENCH_r10.json")
+
+
+def test_bench_regress_min_strips_one_sided_noise(tmp_path):
+    """r10: when the new record carries per-query minimums, the gate
+    tests the min — scheduler/GC noise only ADDS time, so a median
+    inflated by mid-batch interference (min healthy) is noise, while a
+    real regression raises min and median together."""
+    br = _bench_regress()
+    import json
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"op-a": 1.0, "op-b": 1.0}}))
+    # op-a: median +80% but min healthy -> noise, not flagged
+    # op-b: median AND min +80% -> real, flagged
+    new.write_text(json.dumps({
+        "queries": {"op-a": 1.8, "op-b": 1.8},
+        "queries_min": {"op-a": 1.05, "op-b": 1.8},
+    }))
+    d = json.load(open(new))
+    regs, waived, drift = br.compare(
+        br.load_queries(str(old)), br.load_queries(str(new)),
+        d["queries_min"],
+    )
+    assert len(regs) == 1 and regs[0].startswith("op-b"), regs
+    assert waived == []
