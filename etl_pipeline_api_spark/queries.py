@@ -464,6 +464,46 @@ def _hive_scratch(sf_dir: str) -> str:
     )
 
 
+_HIVE_LAYOUT_LOCK = __import__("threading").Lock()
+
+
+def _ensure_hive_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build the shared keyed orders hive fixture exactly once, safely
+    under concurrency (r10 sweep): the old exists-check + in-place write
+    let a racing builder overwrite a directory another thread was
+    reading (dynamic partition overwrite is not atomic), and a crashed
+    half-write passed the bare exists-check forever after. Now: build
+    into a per-attempt temp sibling, then atomically os.rename into the
+    keyed path — a loser's rename fails (dest exists) and its temp is
+    discarded; completeness is signalled by Spark's own _SUCCESS marker,
+    checked under a module lock so in-process threads serialize on the
+    first build. Once present the fixture is immutable (the key rotates
+    with the source's mtime/size), so readers never see a rewrite."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from .sources import parquet_source
+
+    out = _hive_scratch(sf_dir)
+    with _HIVE_LAYOUT_LOCK:
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return out
+        if os.path.exists(out):  # stale half-write from a crashed run
+            _shutil.rmtree(out, ignore_errors=True)
+        tmp = f"{out}.build_{_uuid.uuid4().hex[:8]}"
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice",
+            F.year("o_orderdate").alias("ano"),
+            F.month("o_orderdate").alias("mes"),
+        )
+        parquet_source.write_partitioned(o, tmp, partition_cols=["ano", "mes"])
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)  # another process won
+    return out
+
+
 @query(
     "op-json-scan",
     oracle="SELECT doc_id, lang, source FROM documents",
@@ -517,10 +557,18 @@ def q_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-parquet-partitioned-sink + op-parquet-scan-hive (main.py:152-157,
     283-286): write orders hive-partitioned by ano/mes (snappy, dynamic
     overwrite), then partition-discover it back and aggregate — values must
-    survive the round trip exactly."""
+    survive the round trip exactly.
+
+    The write goes to a PER-RUN directory (r10 concurrency sweep): this
+    op's job is to exercise the sink every run, and rewriting a shared
+    path races a concurrent op-parquet-scan-hive reading it (overwrite
+    is not atomic). The shared keyed fixture the scan query reads is
+    built once, locked and sentinel-gated, by _ensure_hive_layout."""
+    import uuid as _uuid
+
     from .sources import parquet_source
 
-    out = _hive_scratch(sf_dir)
+    out = os.path.join(_SCRATCH, f"orders_sink_{_uuid.uuid4().hex[:10]}")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice",
         F.year("o_orderdate").alias("ano"), F.month("o_orderdate").alias("mes"),
@@ -550,13 +598,11 @@ def q_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_parquet_scan_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-parquet-scan-hive with PARTITION PRUNING: filter on the partition
     key hits directory pruning, not data reads (the 100 TB reason for the
-    ano/mes layout). Depends on the sink query having materialized the
-    layout; re-materializes if absent."""
+    ano/mes layout). Reads the shared keyed hive fixture, built once by
+    _ensure_hive_layout (locked + _SUCCESS-gated, write-then-rename)."""
     from .sources import parquet_source
 
-    out = _hive_scratch(sf_dir)
-    if not os.path.exists(out):
-        q_parquet_partitioned_sink(spark, sf_dir).count()
+    out = _ensure_hive_layout(spark, sf_dir)
     back = parquet_source.scan_parquet(
         spark, out,
         schema="o_orderkey BIGINT, o_totalprice DOUBLE, ano INT, mes INT",

@@ -84,9 +84,16 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_compact")
+    # per-run base (r10 concurrency sweep): the old fixed
+    # "spark_graft_compact" path + rmtree-at-start let a concurrent (or
+    # even a later) run delete a directory whose lazily-evaluated result
+    # frame a prior caller still held
+    import uuid as _uuid
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_compact_{_uuid.uuid4().hex[:10]}"
+    )
     frag, dense = os.path.join(base, "frag"), os.path.join(base, "dense")
-    shutil.rmtree(base, ignore_errors=True)
     # fixture: the pathological layout (40 shards of a small table)
     ev.repartition(40).write.mode("overwrite").parquet(frag)
     fragmented = spark.read.parquet(frag)
