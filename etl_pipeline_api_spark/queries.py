@@ -467,6 +467,51 @@ def _hive_scratch(sf_dir: str) -> str:
 _HIVE_LAYOUT_LOCK = __import__("threading").Lock()
 
 
+def _unique_view(df: DataFrame, base: str) -> str:
+    """Register ``df`` under a per-call UNIQUE temp-view name and return
+    the name (caller drops it when done). SQL-surface queries used to
+    register the lake-table names themselves ("customer", "lineitem",
+    "nation") and drop them after analysis — but two such queries running
+    concurrently in one session race: A registers "customer", B drops it
+    before A's spark.sql analyzes → TABLE_OR_VIEW_NOT_FOUND (r10 ADVICE;
+    the query-service shape). A unique name per call has no cross-query
+    aliasing, so registration and drop are both race-free; the canonical
+    SQL text keeps the lake-table name for the DuckDB oracle and the
+    Spark run substitutes the unique name via a word-boundary sub."""
+    import uuid as _uuid
+
+    name = f"{base}_{_uuid.uuid4().hex[:8]}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def _sweep_stale_siblings(base_dir: str, prefix: str, ttl_s: int = 1800) -> None:
+    """Delete per-run scratch dirs older than ``ttl_s`` (r10 ADVICE: the
+    per-run uuid dirs that made concurrent runs safe also made disk growth
+    unbounded in a long-lived session — one orders_sink_* / compact dir
+    leaked per run). Sweeping at query start with a TTL is safe: the only
+    reader of a per-run dir is the frame returned by that same run, and no
+    caller holds an undrained lazy frame for 30 minutes. Errors are
+    ignored — a racing sweep or an already-gone dir is fine."""
+    import shutil as _shutil
+    import time as _time
+
+    try:
+        names = os.listdir(base_dir)
+    except OSError:
+        return
+    cutoff = _time.time() - ttl_s
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        p = os.path.join(base_dir, name)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                _shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _ensure_hive_layout(spark: SparkSession, sf_dir: str) -> str:
     """Build the shared keyed orders hive fixture exactly once, safely
     under concurrency (r10 sweep): the old exists-check + in-place write
@@ -475,10 +520,16 @@ def _ensure_hive_layout(spark: SparkSession, sf_dir: str) -> str:
     half-write passed the bare exists-check forever after. Now: build
     into a per-attempt temp sibling, then atomically os.rename into the
     keyed path — a loser's rename fails (dest exists) and its temp is
-    discarded; completeness is signalled by Spark's own _SUCCESS marker,
-    checked under a module lock so in-process threads serialize on the
-    first build. Once present the fixture is immutable (the key rotates
-    with the source's mtime/size), so readers never see a rewrite."""
+    discarded; completeness is signalled by an EXPLICITLY written
+    _SUCCESS sentinel, checked under a module lock so in-process threads
+    serialize on the first build. The sentinel must be written by hand:
+    dynamic partition overwrite's commit protocol does NOT leave a
+    top-level _SUCCESS (r10 ADVICE — relying on Spark's marker made the
+    exists-check always false, so every call rebuilt and rmtree'd a
+    directory a concurrent reader could be scanning). It goes into the
+    temp sibling BEFORE the rename, so the keyed path is born complete.
+    Once present the fixture is immutable (the key rotates with the
+    source's mtime/size), so readers never see a rewrite."""
     import shutil as _shutil
     import uuid as _uuid
 
@@ -497,6 +548,7 @@ def _ensure_hive_layout(spark: SparkSession, sf_dir: str) -> str:
             F.month("o_orderdate").alias("mes"),
         )
         parquet_source.write_partitioned(o, tmp, partition_cols=["ano", "mes"])
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
         try:
             os.rename(tmp, out)
         except OSError:
@@ -568,6 +620,7 @@ def q_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources import parquet_source
 
+    _sweep_stale_siblings(_SCRATCH, "orders_sink_")
     out = os.path.join(_SCRATCH, f"orders_sink_{_uuid.uuid4().hex[:10]}")
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice",

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.layout import compact, scale_to_int, zorder_sql, zorder_value
-from .queries import _t, query
+from .queries import _sweep_stale_siblings, _t, query
 
 # Fixed, documented key domains for the events table (clamped outside):
 # user_id is a small integer id, value a bounded metric. Constants, not
@@ -90,6 +90,7 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame a prior caller still held
     import uuid as _uuid
 
+    _sweep_stale_siblings(tempfile.gettempdir(), "spark_graft_compact_")
     base = os.path.join(
         tempfile.gettempdir(), f"spark_graft_compact_{_uuid.uuid4().hex[:10]}"
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import _t, query
+from .queries import _t, _unique_view, query
 
 
 @query(
@@ -703,11 +703,15 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ANSI-compatible subset), so the query IS its own oracle; Catalyst
     plans it identically to the DataFrame API (one scan, partial+final
     hash agg)."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    out = spark.sql(_SHARED_SQL)
-    # analyzed eagerly — drop the view instead of leaking a session-global
-    # name as common as "lineitem" (session hygiene sweep invariant)
-    spark.catalog.dropTempView("lineitem")
+    import re as _re
+
+    # per-call UNIQUE view name: registering "lineitem" itself raced
+    # concurrent SQL-surface queries in one session (r10 ADVICE — B drops
+    # the shared name before A's spark.sql analyzes); the oracle keeps the
+    # canonical name, the Spark text substitutes the unique one
+    v = _unique_view(_t(spark, sf_dir, "lineitem"), "lineitem")
+    out = spark.sql(_re.sub(r"\blineitem\b", v, _SHARED_SQL))
+    spark.catalog.dropTempView(v)  # analyzed eagerly; unique → race-free
     return out
 
 

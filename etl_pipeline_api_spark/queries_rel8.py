@@ -27,7 +27,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import _SCRATCH, _t, query
+from .queries import _SCRATCH, _t, _unique_view, query
 
 
 # ---------------------------------------------------------------------
@@ -59,15 +59,19 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round. The oracle is the IDENTICAL query text in DuckDB. For
     unbounded-diameter graphs use dedup.connected_components instead
     (this recursion is depth-capped by construction)."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    import re as _re
+
+    # per-call UNIQUE view name: registering "customer" itself raced
+    # concurrent SQL-surface queries in one session (r10 ADVICE — B drops
+    # the shared name before A's spark.sql analyzes); the oracle keeps the
+    # canonical name, the Spark text substitutes the unique one
+    v = _unique_view(_t(spark, sf_dir, "customer"), "customer")
     # one dialect token differs: integer division is `//` in DuckDB and
     # `div` in Spark (`/` is fractional in BOTH — a bare `/` would break
     # the parent join the same way in each engine)
-    out = spark.sql(_RECURSIVE_SQL.replace("// 8", "div 8"))
-    # spark.sql analyzes eagerly, so the view is resolved into the plan
-    # already — drop it rather than leak a session-global name as common
-    # as "customer" (session hygiene sweep invariant)
-    spark.catalog.dropTempView("customer")
+    sql = _re.sub(r"\bcustomer\b", v, _RECURSIVE_SQL.replace("// 8", "div 8"))
+    out = spark.sql(sql)
+    spark.catalog.dropTempView(v)  # analyzed eagerly; unique → race-free
     return out
 
 

@@ -35,7 +35,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import _SCRATCH, _t, query
+from .queries import _SCRATCH, _t, _unique_view, query
 
 
 # ---------------------------------------------------------------------
@@ -257,14 +257,20 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATERAL subquery — the SQL-surface twin of the window row_number
     top-k (op-window-topk). Catalyst decorrelates the lateral into a
     ranked join (no per-row re-execution); the SAME SQL text runs on
-    DuckDB, so the query is its own oracle."""
-    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    out = spark.sql(_LATERAL_SQL)
-    # analyzed eagerly — drop both views instead of leaking session-global
-    # lake-table names (session hygiene sweep invariant)
-    spark.catalog.dropTempView("nation")
-    spark.catalog.dropTempView("customer")
+    DuckDB (with canonical table names), so the query is its own oracle.
+    The Spark run substitutes per-call UNIQUE view names — registering
+    the lake-table names themselves raced concurrent SQL-surface queries
+    in one session (r10 ADVICE: register→drop of a shared name)."""
+    import re as _re
+
+    vn = _unique_view(_t(spark, sf_dir, "nation"), "nation")
+    vc = _unique_view(_t(spark, sf_dir, "customer"), "customer")
+    sql = _re.sub(r"\bnation\b", vn, _LATERAL_SQL)
+    sql = _re.sub(r"\bcustomer\b", vc, sql)
+    out = spark.sql(sql)
+    # analyzed eagerly — drop both (unique, so the drop is race-free)
+    spark.catalog.dropTempView(vn)
+    spark.catalog.dropTempView(vc)
     return out
 
 

@@ -345,8 +345,13 @@ def run_foreach_batch_idempotent(result: DataFrame, agg_keys: list[str]) -> Data
             .trigger(availableNow=True)
             .start()
         )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)  # per-run throwaway (hygiene)
+    try:
+        q.awaitTermination()
+    finally:
+        # per-run throwaway checkpoint: cleaned even when the drain raises
+        # (r10 ADVICE — a StreamingQueryException used to leak the dir,
+        # the leak class run_available_now's try/finally already closes)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.option("basePath", sink).parquet(os.path.join(sink, "batch_id=*"))
 
 
@@ -564,8 +569,13 @@ def run_incremental_state(
             .trigger(availableNow=True)
             .start()
         )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)  # per-run throwaway (hygiene)
+    try:
+        q.awaitTermination()
+    finally:
+        # per-run throwaway checkpoint: cleaned even when the drain raises
+        # (r10 ADVICE — a StreamingQueryException used to leak the dir,
+        # the leak class run_available_now's try/finally already closes)
+        shutil.rmtree(ckpt, ignore_errors=True)
     vs = versions()
     return spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
 
@@ -636,8 +646,13 @@ def run_incremental_compact(
             .trigger(availableNow=True)
             .start()
         )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)  # per-run throwaway (hygiene)
+    try:
+        q.awaitTermination()
+    finally:
+        # per-run throwaway checkpoint: cleaned even when the drain raises
+        # (r10 ADVICE — a StreamingQueryException used to leak the dir,
+        # the leak class run_available_now's try/finally already closes)
+        shutil.rmtree(ckpt, ignore_errors=True)
     vs = versions()
     final = spark.read.parquet(os.path.join(root, f"v={vs[-1]}"))
     return final.where(F.col(op_col) != "D").drop(op_col, *version_cols)
