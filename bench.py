@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: the probe udf's type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # __spark_entry__ imports EVERY query-registering module (it is the
@@ -35,6 +37,89 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration_probe(spark) -> dict[str, float]:
+    """Engine-independent container-speed probe (VERDICT r10 task 2).
+
+    The regression gate compares bench records from DIFFERENT containers
+    (±15-25% honest spread), so it normalizes by a drift factor — but a
+    drift estimated from the median of the very queries being gated can
+    launder a genuinely uniform code regression (a session-conf bug that
+    slows everything 20% looks exactly like a slow container). This probe
+    is the absolute anchor: four fixed-size workloads that touch the four
+    machine surfaces the queries depend on, none of which execute any
+    engine code — so their round-over-round ratio measures the CONTAINER,
+    and only the container.
+
+      - cpu:     whole-stage-codegen arithmetic over range(64M) — JVM
+                 codegen + core clock
+      - shuffle: groupBy-agg over range(4M) % 4096 keys — exchange write/
+                 read + hash agg
+      - scan:    parquet scan+agg of a 2M-row file the probe itself wrote
+                 (content deterministic from range(); write untimed) —
+                 columnar reader + page decode + local disk
+      - python:  Arrow-batched pandas_udf over 1M rows — Python worker
+                 fork/reuse + Arrow serialization (the surface container
+                 drift hits hardest; r10 showed Python paths drifting
+                 2x when JVM paths drifted 1.3x)
+
+    Each component is min-of-5 after one warmup: interference noise is
+    one-sided, so the min estimates the container's floor (measured
+    steady-state spread of the min across repeated probes: ~5%, vs ~20%
+    for single runs). Total budget ~3 s. Recorded in every bench line;
+    tools/bench_regress.py derives its drift factor from probe ratios
+    when both records carry one."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    probe_dir = os.path.join("/tmp", "bench_probe_parquet")
+    if not os.path.exists(os.path.join(probe_dir, "_SUCCESS")):
+        (
+            spark.range(2_000_000)
+            .select(
+                F.col("id"),
+                (F.col("id") % 997).alias("k"),
+                (F.col("id") * 0.5).alias("v"),
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(probe_dir)
+        )
+
+    @pandas_udf("double")
+    def _probe_py(s: pd.Series) -> pd.Series:
+        return s * 1.5 + 1.0
+
+    workloads = {
+        "cpu": lambda: spark.range(64_000_000)
+        .selectExpr("sum(id * 3 + (id % 7)) AS s")
+        .collect(),
+        "shuffle": lambda: spark.range(4_000_000)
+        .select((F.col("id") % 4096).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .selectExpr("sum(s)", "sum(n)")
+        .collect(),
+        "scan": lambda: spark.read.parquet(probe_dir)
+        .selectExpr("sum(v)", "sum(k)", "count(*)")
+        .collect(),
+        "python": lambda: spark.range(1_000_000)
+        .select(_probe_py(F.col("id").cast("double")).alias("p"))
+        .selectExpr("sum(p)")
+        .collect(),
+    }
+    probe: dict[str, float] = {}
+    for name, fn in workloads.items():
+        fn()  # warmup (codegen compile / worker spin-up / page cache)
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        probe[name] = round(min(runs), 4)
+    probe["total"] = round(sum(v for k, v in probe.items() if k != "total"), 4)
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -45,6 +130,15 @@ def main() -> None:
 
     # JVM/codegen warmup on a trivial plan so q1 doesn't pay session startup
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # container-speed anchor, measured BEFORE the query batch so a
+    # mid-batch engine problem can't contaminate it. Two passes, keep the
+    # second: the first pass's cpu component is ~2x inflated by JIT
+    # tiering even after its own per-component warmup (measured), and the
+    # steady-state pass is the one whose round-over-round ratio means
+    # "this container vs last round's container".
+    calibration_probe(spark)
+    probe = calibration_probe(spark)
 
     # One warmup run + THREE measured runs per query, reporting the MEDIAN
     # (plus min, for the floor): with ~40 sub-second queries a ±0.3 s
@@ -94,6 +188,9 @@ def main() -> None:
         # line long enough that the driver's r5 tail capture truncated it
         "value_min": round(sum(timings_min.values()), 3),
         "sf": sf,
+        # engine-independent container-speed anchor (VERDICT r10 task 2):
+        # five floats — short enough for the driver's tail capture
+        "probe": probe,
     }
     if errors:
         # the total sums only the queries that ran — flag it so a failing

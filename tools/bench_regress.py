@@ -36,34 +36,13 @@ REL_FLOOR = 0.35
 # counted as failures. Keep entries only while the comparison window
 # still spans the round that introduced the change, then delete.
 WAIVERS: dict[str, str] = {
-    # (r8's op-corpus-curate-full waiver rotated out in r10: the window
-    # is now r9 -> r10 and the gate query improved 3.82 -> 3.16 s.)
-    # r10: op-tpch-q1's money sums moved double -> DECIMAL (the
-    # partition-invariance sweep caught sum_disc_price rounding to
-    # different cents on different file layouts — summation-order ulp on
-    # a half-cent boundary). Decimal sums are exact and layout/engine-
-    # independent; the long-cents trick would be as fast but overflows
-    # int64 at the 100 TB target (~3.6e8 scaled units x 6e11 rows ~ 2e20
-    # >> 2^63). Measured cost: 0.29 -> 0.76 s at sf0.1 — a deliberate
-    # correctness-over-constant trade. Delete once the comparison window
-    # no longer spans round 10.
-    "op-tpch-q1": "r10 decimal money sums (layout-invariant exact "
-                  "arithmetic; double sums rounded differently per "
-                  "partitioning)",
-    # r10: container small-query class, not a regression. psi-drift's
-    # code, data, and output are unchanged since r9 (stats.py untouched
-    # in git, sweep row counts identical) and the op is pure JVM (no
-    # UDF). This round's container runs SMALL queries disproportionately
-    # slower — seven other untouched sub-0.5 s JVM queries read
-    # 1.55-1.7x (q16/q20/q2/q11/cuped...) but pass only because they sit
-    # under the 0.3 s absolute floor; psi-drift at 0.74 s base crosses
-    # it. Isolated fresh-session 7-run median on this container: 1.14 s
-    # (min 0.91), bracketing the in-batch 1.21 s. Delete when the
-    # comparison window no longer spans the r9/r10 container change.
-    "op-psi-drift": "r10 container small-query drift (fixed per-query "
-                    "overheads slower on this host; same 1.55-1.7x band "
-                    "as seven sub-floor untouched JVM queries; code/"
-                    "data/output unchanged since r9)",
+    # (r8's op-corpus-curate-full waiver rotated out in r10; r10's
+    # op-tpch-q1 waiver — decimal money sums, a deliberate 0.29->0.76 s
+    # correctness trade — and op-psi-drift waiver — r9/r10 container
+    # small-query drift, isolated median 1.14 s bracketing in-batch —
+    # both rotated out in r11 per the contract: the comparison window is
+    # now r10 -> r11, BOTH sides of which already carry the r10 change,
+    # so the waivers would only mask NEW regressions in those queries.)
 }
 
 # Classified non-regressions (VERDICT r8 task 5): op-tpch-q21 read
@@ -144,8 +123,47 @@ def latest_two() -> tuple[str, str] | None:
     return files[-2][1], files[-1][1]
 
 
+def load_probe(path: str) -> dict[str, float] | None:
+    """Calibration-probe component timings from a bench record (r11+),
+    or None for older records that predate the probe."""
+    d = json.load(open(path))
+    if isinstance(d, dict) and "probe" in d:
+        return {k: float(v) for k, v in d["probe"].items()}
+    parsed = d.get("parsed") if isinstance(d, dict) else None
+    if parsed and "probe" in parsed:
+        return {k: float(v) for k, v in parsed["probe"].items()}
+    return None
+
+
+def probe_drift_factor(
+    old_probe: dict[str, float], new_probe: dict[str, float]
+) -> float:
+    """Container drift anchored OUTSIDE the gated query set (VERDICT r10
+    task 2): the median new/old ratio across the probe's fixed-size
+    components (cpu / shuffle / scan / python — none execute engine
+    code). Because the probe cannot contain a code regression, a large
+    ratio here is genuinely the machine, so the cap is looser than the
+    self-referential estimator's: clamped to [1.0, 2.0]. Below 1.0 a
+    faster container must never hide a real regression; above 2.0 the
+    container is too different to normalize silently — the gate should
+    fail and force an isolated look (tools/bench_isolated.py) rather
+    than scale expectations by 3x. Median over components (not mean):
+    r10 showed the python surface drifting 2x while JVM surfaces drifted
+    1.3x, and most gated queries are JVM-dominated."""
+    shared = sorted(
+        k for k in old_probe if k in new_probe and k != "total" and old_probe[k] > 0
+    )
+    ratios = sorted(new_probe[k] / old_probe[k] for k in shared)
+    if not ratios:
+        return 1.0
+    m = ratios[(len(ratios) - 1) // 2]
+    return min(max(m, 1.0), 2.0)
+
+
 def drift_factor(old: dict[str, float], new: dict[str, float]) -> float:
-    """Median new/old ratio over shared queries — the CONTAINER drift.
+    """FALLBACK container-drift estimator for record pairs where either
+    side predates the calibration probe: median new/old ratio over the
+    shared queries themselves — the CONTAINER drift.
 
     The gate's purpose is to catch regressions the CODE caused, but the
     two records it compares almost never come from the same machine: the
@@ -179,8 +197,21 @@ def compare(
     old: dict[str, float],
     new: dict[str, float],
     new_min: dict[str, float] | None = None,
-) -> tuple[list[str], list[str], float]:
-    """(regressions, waived, drift) — entries are human-readable lines.
+    drift: float | None = None,
+) -> tuple[list[str], list[str], list[str], float]:
+    """(regressions, waived, watch, drift) — human-readable lines.
+
+    ``drift`` is the probe-anchored factor when both records carry a
+    calibration probe (preferred — engine-independent); None falls back
+    to the self-referential query-median estimator.
+
+    WATCH lines (r10 ADVICE): min-of-runs gating stacks with drift
+    normalization, so a genuine 40-60% single-query regression can pass
+    silently. Any query whose drift-adjusted MEDIAN delta exceeds the
+    threshold while its MIN passes — or whose min sits in the
+    35%-to-pass band — is printed (non-fatal) so borderline real
+    regressions stay visible; the follow-up is an isolated 7-run median
+    (tools/bench_isolated.py) logged in the round evidence.
 
     When the new record carries per-query minimums (builder --out files,
     r10+), the threshold tests the MIN: per-query medians on a shared
@@ -193,25 +224,33 @@ def compare(
     the comparison is conservative against false positives without
     going blind: the historical true regressions were 2x+, far past
     the min-vs-median gap (~10%)."""
-    regressions, waived = [], []
-    m = drift_factor(old, new)
+    regressions, waived, watch = [], [], []
+    m = drift_factor(old, new) if drift is None else drift
     for k, v in sorted(new.items()):
         if k not in old:
             continue
         v_eff = min(v, new_min[k]) if new_min and k in new_min else v
         o = old[k] * m  # container-normalized expectation
-        if v_eff > o * (1 + REL_FLOOR) and v_eff - o > ABS_FLOOR_S:
-            line = (
-                f"{k}: {old[k]:.2f}s -> {v:.2f}s"
-                + (f" (min {v_eff:.2f}s)" if v_eff != v else "")
-                + f" (+{(v_eff / old[k] - 1) * 100:.0f}%; "
-                f"+{(v_eff / o - 1) * 100:.0f}% drift-adjusted)"
-            )
+        fails = v_eff > o * (1 + REL_FLOOR) and v_eff - o > ABS_FLOOR_S
+        line = (
+            f"{k}: {old[k]:.2f}s -> {v:.2f}s"
+            + (f" (min {v_eff:.2f}s)" if v_eff != v else "")
+            + f" (+{(v_eff / old[k] - 1) * 100:.0f}%; "
+            f"+{(v_eff / o - 1) * 100:.0f}% drift-adjusted)"
+        )
+        if fails:
             if k in WAIVERS:
                 waived.append(f"{line} — waived: {WAIVERS[k]}")
             else:
                 regressions.append(line)
-    return regressions, waived, m
+        elif (
+            # the median alone would have failed (the min rescued it), or
+            # the min itself is inside the 35%-band but under the floors
+            (v > o * (1 + REL_FLOOR) and v - o > ABS_FLOOR_S)
+            or (v_eff > o * (1 + REL_FLOOR) and v_eff - o > ABS_FLOOR_S / 2)
+        ):
+            watch.append(line)
+    return regressions, waived, watch, m
 
 
 def main() -> int:
@@ -236,7 +275,10 @@ def main() -> int:
             f"{os.path.basename(old_p)} and {os.path.basename(new_p)}"
         )
         return 0
-    regs, waived, drift = compare(old, new, new_min)
+    op, np_ = load_probe(old_p), load_probe(new_p)
+    anchored = op is not None and np_ is not None
+    drift_in = probe_drift_factor(op, np_) if anchored else None
+    regs, waived, watch, drift = compare(old, new, new_min, drift_in)
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     tot_old = sum(old[k] for k in shared)
@@ -244,8 +286,13 @@ def main() -> int:
     print(
         f"bench-regress: {os.path.basename(old_p)} -> {os.path.basename(new_p)}: "
         f"{len(shared)} shared, total {tot_old:.1f}s -> {tot_new:.1f}s, "
-        f"container drift x{drift:.2f} (median ratio; thresholds apply "
-        f"on top of it)"
+        f"container drift x{drift:.2f} ("
+        + (
+            "PROBE-anchored — engine-independent calibration components"
+            if anchored
+            else "query-median fallback; one side predates the probe"
+        )
+        + "; thresholds apply on top of it)"
     )
     if added:
         print(f"  new queries ({len(added)}): {', '.join(added[:8])}"
@@ -254,6 +301,11 @@ def main() -> int:
         print(f"  removed queries ({len(removed)}): {', '.join(removed)}")
     for w in waived:
         print(f"  WAIVED {w}")
+    for w in watch:
+        print(
+            f"  WATCH {w} — borderline (non-fatal); follow up with "
+            f"tools/bench_isolated.py"
+        )
     if regs:
         print(f"bench-regress FAILED ({len(regs)} regressions > "
               f"max({REL_FLOOR:.0%}, {ABS_FLOOR_S}s)):")
