@@ -40,6 +40,32 @@ def _norm(a):
     )
 
 
+def _band_array(bits, n_bands: int, width: int):
+    """``array("0:bb", "1:bb", ...)`` band keys with the ``bits``
+    expression embedded exactly ONCE.
+
+    The naive ``F.array(*[F.substring(bits, i*w+1, w) for i in ...])``
+    copies the whole ``bits`` subtree once per band — and ``bits`` here
+    is the sign-signature over the hyperplane literal (~2048 Literal
+    nodes), so 16 bands made a ~33k-node tree that the ANALYZER (which
+    classic PySpark runs on every Dataset creation) and the optimizer
+    (every execution) walked in full: measured 2.4 s of per-call plan
+    build at sf0.1, the residual half of op-dedup-embedding-lsh's r10
+    regression after _planes_lit killed the py4j storm. A ``transform``
+    over ``sequence(0, n_bands-1)`` references ``bits`` from one shared
+    node instead; the produced strings — and therefore every band key,
+    candidate set, and downstream hash — are identical (pinned by
+    tests/test_joins_embeddings.py)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.concat(
+            i.cast("string"),
+            F.lit(":"),
+            bits.substr(i * width + 1, F.lit(width)),
+        ),
+    )
+
+
 def _planes_lit(planes: np.ndarray):
     """The seeded hyperplane matrix as ONE nested-array literal expression.
 
@@ -370,13 +396,10 @@ def cosine_pairs_lsh(
                 ).otherwise(F.lit("0")),
             ),
         )
-        return F.array(*[
-            F.concat(
-                F.lit(f"{i}:"),
-                F.substring(bits, i * band_width + 1, band_width),
-            )
-            for i in range(n_bands)
-        ])
+        # single-embed band split (see _band_array: the per-band substring
+        # copies of this ~2048-literal subtree cost 2.4 s of analyzer time
+        # per plan build)
+        return _band_array(bits, n_bands, band_width)
 
     side = fan_out(df).select(
         F.col(id_col).alias("id"),
@@ -594,11 +617,8 @@ def lsh_topk(
     width = n_planes // n_bands
 
     def bands(vec):
-        sig = signature(vec)
-        return F.array(*[
-            F.concat(F.lit(f"{i}:"), F.substring(sig, i * width + 1, width))
-            for i in range(n_bands)
-        ])
+        # single-embed band split (see _band_array)
+        return _band_array(signature(vec), n_bands, width)
 
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),

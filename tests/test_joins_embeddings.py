@@ -277,6 +277,54 @@ def test_planes_lit_expr_equals_py4j_literal_build(spark):
         assert row.eq, f"mismatch: {row.o} vs {row.n}"
 
 
+def test_band_array_equals_per_band_substring_build(spark, sf_dir):
+    """_band_array (r11) embeds the signature-bits subtree ONCE via
+    transform-over-sequence instead of copying it per band (16 copies of
+    a ~2048-literal tree cost 2.4 s of analyzer time per plan build —
+    the residual half of op-dedup-embedding-lsh's r10 slowdown). Pin
+    band-key equality against the old per-band F.substring build on the
+    real corpus, for both LSH geometries in use (32 planes / width 2 and
+    the topk path's width), so a substring-offset or formatting slip
+    fails here rather than as a silent candidate-set change."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_api_spark.operators.similarity import (
+        _band_array,
+        _dot,
+        _planes_lit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    side = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    rng = np.random.RandomState(42)
+    dim = side.select(F.size("v")).first()[0]
+    for n_planes, width in ((32, 2), (16, 4)):
+        pl = _planes_lit(rng.randn(n_planes, dim))
+
+        def bits(vec):
+            return F.concat_ws("", F.transform(
+                pl,
+                lambda p: F.when(_dot(p, vec) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                ),
+            ))
+
+        n_bands = n_planes // width
+        old = F.array(*[
+            F.concat(
+                F.lit(f"{i}:"),
+                F.substring(bits(F.col("v")), i * width + 1, width),
+            )
+            for i in range(n_bands)
+        ])
+        new = _band_array(bits(F.col("v")), n_bands, width)
+        mism = side.select(old.alias("o"), new.alias("n")).filter(
+            F.col("o") != F.col("n")
+        ).count()
+        assert mism == 0, f"band keys diverged for {n_planes}p/{width}w"
+
+
 def test_run_available_now_state_partitions_value_neutral(spark, sf_dir):
     """The r10 drain state-partition sizing must never change RESULTS —
     state hash partitioning is internal. Drain the same watermarked agg
