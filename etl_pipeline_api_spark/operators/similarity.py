@@ -512,13 +512,14 @@ def ivf_topk(
         return _empty_result(
             corpus, "query_id {id}, neighbor_id {id}, rank int", [id_col]
         )
-    cent_lit = F.array(*[
-        F.struct(
-            F.lit(i).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in v]).alias("cv"),
-        )
-        for i, v in enumerate(cent_vecs)
-    ])
+    # single-parse literal build (see _planes_lit): the F.lit loop for
+    # K x dim centroid doubles was ~1k py4j round-trips = ~0.7 s of
+    # driver time per plan build; the transform's two-arg lambda supplies
+    # the cell index the old enumerate provided
+    cent_lit = F.transform(
+        _planes_lit(np.asarray(cent_vecs, dtype=float)),
+        lambda cv, i: F.struct(i.alias("cid"), cv.alias("cv")),
+    )
 
     def scored_cells(vec):
         # struct(dot, cid) array — struct ordering makes array_sort rank by dot
@@ -755,9 +756,10 @@ def kmeans(
     ).persist()
 
     def _min_d2(chosen: list[list[float]]):
-        cent_arr = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in chosen
-        ])
+        # single-parse literal build (see _planes_lit) — this is rebuilt
+        # EVERY Lloyd iteration, so the K x dim F.lit loop paid its
+        # ~0.7 s py4j storm once per round
+        cent_arr = _planes_lit(np.asarray(chosen, dtype=float))
         return F.array_min(
             F.transform(
                 cent_arr,
@@ -1067,17 +1069,18 @@ def random_project(
     m = _achlioptas_matrix(out_dim, in_dim)
     scale = (3.0 / out_dim) ** 0.5
     v = F.col(vec_col).cast("array<double>")
-    coords = [
-        F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(e)) for e in m[k]]),
-                lambda a, b: a * b,
-            ),
+    # one transform over the single-parse matrix literal (see
+    # _planes_lit / _band_array): the per-coordinate comprehension built
+    # out_dim x in_dim literals through F.lit (~1k py4j round-trips) AND
+    # embedded a copy of `v` per output coordinate; this embeds both
+    # exactly once, with identical per-row arithmetic and ordering
+    proj = F.transform(
+        _planes_lit(np.asarray(m, dtype=float)),
+        lambda row: F.aggregate(
+            F.zip_with(v, row, lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        * scale
-        for k in range(out_dim)
-    ]
-    return df.select(F.col(id_col), F.array(*coords).alias("proj"))
+        * scale,
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))
