@@ -564,28 +564,60 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-json-scan (main.py:109-124): dual-envelope JSON scan, end-to-end —
     documents are written out as raw page files in BOTH shapes the reference's
     checkout contains (bare array + {results} envelope, SURVEY §1.3) plus one
-    corrupt file, then recovered through the permissive distributed scan."""
-    import json as _json
+    corrupt file, then recovered through the permissive distributed scan.
+
+    The fixture write is DISTRIBUTED (r10 VERDICT task 6): rows hash into
+    ~50k-row pages, each page is serialized to one JSON document by
+    to_json over a per-page collect_list (bounded by the page cap, never
+    the table), and partitionBy lands exactly one page per file — the
+    old driver collect + json.dump serialized the whole table through
+    the driver, the bottleneck this harness exists to avoid. Even pages
+    take the bare-array shape, odd pages the envelope (n_pages >= 2
+    keeps both shapes present); the one corrupt file is a constant line
+    written into its own partition dir."""
     import shutil
 
     from pyspark.sql import types as T
 
     from .sources import json_source
 
-    docs = [
-        r.asDict()
-        for r in _t(spark, sf_dir, "documents").select("doc_id", "lang", "source").collect()
-    ]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     out = os.path.join(_SCRATCH, "json_scan_pages")
     shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    half = len(docs) // 2
-    with open(os.path.join(out, "page_1.json"), "w") as f:
-        _json.dump(docs[:half], f)  # bare-array shape
-    with open(os.path.join(out, "page_2.json"), "w") as f:
-        _json.dump({"count": len(docs), "next": None, "previous": None,
-                    "results": docs[half:]}, f)  # envelope shape
-    with open(os.path.join(out, "page_3.json"), "w") as f:
+    n_docs = docs.count()
+    n_pages = max(2, -(-n_docs // 50_000))
+    rows = F.col("rows")
+    payload = (
+        docs.withColumn(
+            "__page",
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_pages)),
+        )
+        .groupBy("__page")
+        .agg(F.collect_list(F.struct("doc_id", "lang", "source")).alias("rows"))
+        .select(
+            "__page",
+            F.when(F.col("__page") % 2 == 0, F.to_json(rows))
+            .otherwise(
+                F.to_json(
+                    F.struct(
+                        F.size(rows).alias("count"),
+                        F.lit(None).cast("string").alias("next"),
+                        F.lit(None).cast("string").alias("previous"),
+                        rows.alias("results"),
+                    ),
+                    # keep the explicit "next": null / "previous": null the
+                    # reference's envelope carries (to_json drops null
+                    # fields by default)
+                    {"ignoreNullFields": "false"},
+                )
+            )
+            .alias("value"),
+        )
+    )
+    payload.write.partitionBy("__page").mode("overwrite").text(out)
+    corrupt_dir = os.path.join(out, f"__page={n_pages}")
+    os.makedirs(corrupt_dir, exist_ok=True)
+    with open(os.path.join(corrupt_dir, "page_corrupt.json"), "w") as f:
         f.write("{corrupt!!")  # isolated, not fatal
     record = T.StructType([
         T.StructField("doc_id", T.LongType()),
