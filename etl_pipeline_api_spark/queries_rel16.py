@@ -371,62 +371,63 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "op-ppr-recommend",
-    oracle="""
-    WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
-    edges AS (
+# op-ppr-recommend's unrolled power iteration, one TEMP TABLE per round
+# (r10 VERDICT task 4): the pure-CTE form re-EXPANDS each round's
+# definition inside the next (DuckDB inlines non-materialized CTEs), so
+# round 3 carried the whole graph pipeline three times over — at sf1 the
+# unrolled plan exhausted temp disk and the query was the sweep's one
+# "documented infeasible" oracle. Materializing r0..r3 makes each round
+# read the PREVIOUS round's ~|V|-row table once, exactly like the Spark
+# side's per-round localCheckpoint. Same arithmetic, same literals, same
+# final SELECT — only the evaluation strategy changes. Multi-statement
+# oracles are supported: duckdb's con.sql() executes all statements and
+# returns the last relation; CREATE OR REPLACE keeps re-runs on a shared
+# connection idempotent, and the __ppr_ prefix keeps the temp names out
+# of every other oracle's way.
+_PPR_ROUND = """
+    CREATE OR REPLACE TEMP TABLE __ppr_r{n} AS
+      SELECT nd.node,
+             0.15 * (CASE WHEN nd.node = (SELECT sn FROM __ppr_s)
+                          THEN 1.0 ELSE 0.0 END)
+             + 0.85 * coalesce(sum(r.rank / deg.deg), 0) AS rank
+      FROM (SELECT node FROM __ppr_r0) nd
+      LEFT JOIN __ppr_dir dir ON dir.dst = nd.node
+      LEFT JOIN __ppr_deg deg ON deg.src = dir.src
+      LEFT JOIN __ppr_r{p} r  ON r.node = dir.src
+      GROUP BY 1;"""
+
+_PPR_ORACLE = (
+    """
+    CREATE OR REPLACE TEMP TABLE __ppr_bi AS
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem;
+    CREATE OR REPLACE TEMP TABLE __ppr_edges AS
       SELECT x.i AS a, y.i AS c
-      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
-      GROUP BY 1, 2 HAVING count(*) >= 2),
-    dir AS (SELECT a AS src, c AS dst FROM edges
-            UNION ALL SELECT c, a FROM edges),
-    deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY 1),
-    nodes AS (SELECT src AS node FROM deg),
-    s AS (
-      SELECT node AS sn FROM deg JOIN nodes ON node = src
-      ORDER BY deg DESC, node ASC LIMIT 1),
-    r0 AS (
-      SELECT node, CASE WHEN node = (SELECT sn FROM s)
-                        THEN 1.0 ELSE 0.0 END AS rank
-      FROM nodes),
-    r1 AS (
-      SELECT nd.node,
-             0.15 * (CASE WHEN nd.node = (SELECT sn FROM s)
-                          THEN 1.0 ELSE 0.0 END)
-             + 0.85 * coalesce(sum(r0.rank / deg.deg), 0) AS rank
-      FROM nodes nd
-      LEFT JOIN dir ON dir.dst = nd.node
-      LEFT JOIN deg ON deg.src = dir.src
-      LEFT JOIN r0  ON r0.node = dir.src
-      GROUP BY 1),
-    r2 AS (
-      SELECT nd.node,
-             0.15 * (CASE WHEN nd.node = (SELECT sn FROM s)
-                          THEN 1.0 ELSE 0.0 END)
-             + 0.85 * coalesce(sum(r1.rank / deg.deg), 0) AS rank
-      FROM nodes nd
-      LEFT JOIN dir ON dir.dst = nd.node
-      LEFT JOIN deg ON deg.src = dir.src
-      LEFT JOIN r1  ON r1.node = dir.src
-      GROUP BY 1),
-    r3 AS (
-      SELECT nd.node,
-             0.15 * (CASE WHEN nd.node = (SELECT sn FROM s)
-                          THEN 1.0 ELSE 0.0 END)
-             + 0.85 * coalesce(sum(r2.rank / deg.deg), 0) AS rank
-      FROM nodes nd
-      LEFT JOIN dir ON dir.dst = nd.node
-      LEFT JOIN deg ON deg.src = dir.src
-      LEFT JOIN r2  ON r2.node = dir.src
-      GROUP BY 1)
+      FROM __ppr_bi x JOIN __ppr_bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2 HAVING count(*) >= 2;
+    CREATE OR REPLACE TEMP TABLE __ppr_dir AS
+      SELECT a AS src, c AS dst FROM __ppr_edges
+      UNION ALL SELECT c, a FROM __ppr_edges;
+    CREATE OR REPLACE TEMP TABLE __ppr_deg AS
+      SELECT src, count(*) AS deg FROM __ppr_dir GROUP BY 1;
+    CREATE OR REPLACE TEMP TABLE __ppr_s AS
+      SELECT src AS sn FROM __ppr_deg ORDER BY deg DESC, src ASC LIMIT 1;
+    CREATE OR REPLACE TEMP TABLE __ppr_r0 AS
+      SELECT src AS node,
+             CASE WHEN src = (SELECT sn FROM __ppr_s)
+                  THEN 1.0 ELSE 0.0 END AS rank
+      FROM __ppr_deg;"""
+    + "".join(_PPR_ROUND.format(n=i, p=i - 1) for i in range(1, 4))
+    + """
     SELECT node, round(rank, 6) AS score, CAST(rn AS INT) AS rnk
     FROM (
-      SELECT r3.*, row_number() OVER (ORDER BY rank DESC, node ASC) AS rn
-      FROM r3 WHERE node != (SELECT sn FROM s))
+      SELECT __ppr_r3.*, row_number() OVER (ORDER BY rank DESC, node ASC) AS rn
+      FROM __ppr_r3 WHERE node != (SELECT sn FROM __ppr_s))
     WHERE rn <= 10
-    """,
+    """
 )
+
+
+@query("op-ppr-recommend", oracle=_PPR_ORACLE)
 def q_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op-ppr-recommend: "items related to X" — personalized PageRank
     (3 iterations, restart mass on the highest-degree part) over the
