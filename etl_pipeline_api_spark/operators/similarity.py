@@ -568,6 +568,93 @@ def ivf_topk(
     )
 
 
+def ivf_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int = 64,
+    n_probe: int = 2,
+    kmeans_iters: int = 0,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """All pairs with cosine >= threshold via IVF cell blocking — the
+    embedding pair-finding path PAST sign-LSH's bucket-resolution
+    ceiling (see cosine_pairs_lsh and the measured crossover in
+    BENCH_SCALING.md).
+
+    Every vector is assigned to its ``n_probe`` nearest of ``K``
+    centroids (deterministic hash-ordered sample; ``kmeans_iters > 0``
+    refines with Lloyd's — row-local K dot products either way, no
+    shuffle); a pair is a candidate iff the rows SHARE a cell, and
+    within-cell exact scoring reuses cosine_pairs_blocked's
+    group-restricted BLAS kernel. Duplicate candidates (pairs sharing
+    several probed cells) collapse on (id_a, id_b).
+
+    The scale contract: candidate mass ~ N² · n_probe² / K, so with K
+    tracking N (e.g. K = N/500) the work is LINEAR in N at fixed probe
+    count — unlike recall-viable sign-LSH at moderate thresholds, whose
+    bands can only take 2^w values and therefore degenerate to ~N²/c
+    buckets as N grows. Recall: a >= tau pair is missed iff the two
+    rows' probe sets are disjoint — near-dup pairs (tiny angles) almost
+    always share their nearest cell; the dial is n_probe (and kmeans
+    refinement for tighter cells). Measured against the exact sampled
+    reference in tools/bench_crossover.py."""
+    if kmeans_iters > 0:
+        _, cent_vecs = kmeans(
+            df, id_col, vec_col, k=n_centroids, max_iter=kmeans_iters
+        )
+    else:
+        cent_vecs = [
+            list(row.v)
+            for row in (
+                df.select(
+                    F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+                )
+                .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+                .limit(n_centroids)
+                .collect()
+            )
+        ]
+    if not cent_vecs:
+        return _empty_result(df, "id_a {id}, id_b {id}, cos double", [id_col])
+    cent_lit = F.transform(
+        _planes_lit(np.asarray(cent_vecs, dtype=float)),
+        lambda cv, i: F.struct(i.alias("cid"), cv.alias("cv")),
+    )
+
+    def scored_cells(vec):
+        return F.array_sort(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    (-_dot(c["cv"], vec)).alias("neg_dot"), c["cid"].alias("cid")
+                ),
+            )
+        )
+
+    assigned = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn(
+            "__cell",
+            F.explode(
+                F.transform(
+                    F.slice(scored_cells(F.col("__v")), 1, n_probe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+    )
+    return cosine_pairs_blocked(
+        assigned, id_col, "__v", threshold,
+        n_blocks=n_blocks, group_col="__cell",
+    ).dropDuplicates(["id_a", "id_b"])
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -277,6 +277,58 @@ def test_planes_lit_expr_equals_py4j_literal_build(spark):
         assert row.eq, f"mismatch: {row.o} vs {row.n}"
 
 
+def test_ivf_pairs_subset_of_exact_and_dialable(spark, sf_dir):
+    """ivf_pairs (r11): IVF cell-blocked pair finding — the embedding
+    pair path past sign-LSH's bucket-resolution ceiling. Contracts:
+    (a) zero false positives and value-exact cosines (candidates are
+    re-scored by the same blocked kernel the exact path uses);
+    (b) recall is monotone in n_probe;
+    (c) exhaustive probes (n_probe = n_centroids) recover the exact
+    pair set — every vector is then in every cell."""
+    from etl_pipeline_api_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.cosine_pairs_blocked(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    assert exact, "fixture corpus must contain >=0.4 pairs"
+    last_recall = -1.0
+    for p in (1, 2, 4):
+        got = {
+            (r.id_a, r.id_b): r.cos
+            for r in similarity.ivf_pairs(
+                emb, "vec_id", "embedding", threshold=0.4,
+                n_centroids=4, n_probe=p,
+            ).collect()
+        }
+        assert not set(got) - set(exact), "false positives"
+        for k, v in got.items():
+            assert abs(v - exact[k]) < 1e-9, "cosine must be value-exact"
+        recall = len(got) / len(exact)
+        assert recall >= last_recall - 1e-12, "recall must not drop with n_probe"
+        last_recall = recall
+    full = {
+        (r.id_a, r.id_b)
+        for r in similarity.ivf_pairs(
+            emb, "vec_id", "embedding", threshold=0.4,
+            n_centroids=4, n_probe=4,
+        ).collect()
+    }
+    assert full == set(exact), "exhaustive probes must recover the exact set"
+
+
+def test_ivf_pairs_empty_corpus(spark):
+    from etl_pipeline_api_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.ivf_pairs(empty, "vec_id", "embedding", threshold=0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "cos"]
+
+
 def test_band_array_equals_per_band_substring_build(spark, sf_dir):
     """_band_array (r11) embeds the signature-bits subtree ONCE via
     transform-over-sequence instead of copying it per band (16 copies of
