@@ -330,8 +330,18 @@ def cosine_pairs_lsh(
     dim: int | None = None,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold via sign-LSH blocking — the SCALE
-    path for embedding near-dup (no driver collect, no O(N^2) scoring).
+    """All pairs with cosine >= threshold via sign-LSH blocking (no driver
+    collect; candidate-bounded, not O(N^2), while band buckets stay small).
+
+    SCALE LIMIT, MEASURED (BENCH_SCALING.md "Sign-LSH -> IVF pair-finding
+    crossover"; tools/bench_crossover.py): band values are bounded by 2^w,
+    so buckets grow with N and recall-viable configs carry ~N^2/c
+    candidate mass — at tau=0.9 / equal 1.0 recall, ivf_pairs is faster
+    at EVERY measured corpus size (5k: 10.6 s vs 2.5 s; 60k: 299 s vs
+    12.7 s; 200k: LSH projected 1.1e9 candidates vs IVF 36 s). There is
+    no corpus size at which this operator out-scales ivf_pairs; use it
+    for the oracle-exact gate regime and small corpora, and ivf_pairs /
+    cosine_pairs_blocked(group_col) / semdedup as the production paths.
 
     Plan shape (three shuffles, all linear in candidates):
     1. signature: row-local sign bits over seeded random hyperplanes, split

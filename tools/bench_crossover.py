@@ -50,16 +50,19 @@ N_PLANES, BAND_W = 96, 8
 MASS_CAP = 5e8  # candidate pairs; ~several minutes of Arrow re-score
 
 
-def planted_corpus(emb, n: int):
-    """Deterministic n-row subset + 2% clones at cos ~0.99.
+def planted_corpus(emb, num: int, den: int):
+    """Deterministic ~num/den hash subset + 2% clones at cos ~0.99.
 
-    Returns (corpus, true_pairs_df[id_a,id_b]). Clone ids are
-    vec_id + 1_000_000_000; the perturbation is a per-coordinate
-    multiplicative sin ripple (deterministic, engine-side)."""
-    base = (
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id")
-        .limit(n)
+    Returns (corpus, true_pairs_df[id_a,id_b]). Subset by hash FILTER,
+    not orderBy+limit — TakeOrderedAndProject merges every partition's
+    top-n in ONE task, which ground for >10 min at the 200k point
+    (first harness version). Clone ids are vec_id + 1_000_000_000; the
+    perturbation is a per-coordinate multiplicative sin ripple
+    (deterministic, engine-side)."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(
+        F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(den)) < num
     )
     clones = base.filter(F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(50)) == 0).select(
         (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
@@ -113,16 +116,16 @@ def main() -> int:
     sf1 = os.path.join(REPO, "testdata_sf1", "embeddings.parquet")
     sf10 = os.path.join(REPO, "testdata_sf10", "embeddings.parquet")
     if os.path.exists(sf1):
-        sizes += [(5_000, sf1), (10_000, sf1), (20_000, sf1)]
+        sizes += [(5_000, 5, 20, sf1), (10_000, 10, 20, sf1), (20_000, 20, 20, sf1)]
     if os.path.exists(sf10):
-        sizes += [(60_000, sf10), (200_000, sf10)]
+        sizes += [(60_000, 6, 20, sf10), (200_000, 20, 20, sf10)]
     out = []
-    for n, path in sizes:
+    for n, num, den, path in sizes:
         emb = spark.read.parquet(path)
-        corpus, truth = planted_corpus(emb, n)
-        corpus.count()  # materialize the checkpoint outside the timings
+        corpus, truth = planted_corpus(emb, num, den)
+        n_corpus = corpus.count()  # materialize the checkpoint pre-timing
         n_truth = truth.count()
-        rec = {"n": n, "n_truth": n_truth}
+        rec = {"n": n, "n_corpus": n_corpus, "n_truth": n_truth}
 
         mass = lsh_mass(corpus)
         rec["lsh_mass"] = int(mass)
@@ -152,11 +155,16 @@ def main() -> int:
         rec["ivf_k"] = K
         out.append(rec)
         print(json.dumps(rec), file=sys.stderr, flush=True)
-    print(json.dumps({"tau": TAU, "lsh": f"{N_PLANES}p/w{BAND_W}",
-                      "theory_recall": round(
-                          1 - (1 - (1 - math.acos(TAU) / math.pi) ** BAND_W)
-                          ** (N_PLANES // BAND_W), 4),
-                      "rows": out}))
+    result = {"tau": TAU, "lsh": f"{N_PLANES}p/w{BAND_W}",
+              "theory_recall": round(
+                  1 - (1 - (1 - math.acos(TAU) / math.pi) ** BAND_W)
+                  ** (N_PLANES // BAND_W), 4),
+              "rows": out}
+    print(json.dumps(result))
+    # committed results file: tools/bench_scaling.write_md embeds the
+    # crossover section from here, so regeneration preserves it
+    with open(os.path.join(REPO, "tools", "crossover_results.json"), "w") as f:
+        json.dump(result, f, indent=1)
     return 0
 
 

@@ -360,7 +360,52 @@ def write_md() -> dict[str, dict]:
             f.write("\n")
             _emit_table(f, rows10, {}, with_delta=False)
             _summary(f, rows10, len(names10))
+        _emit_crossover(f)
     return acc if MODE != "sf10" else acc10
+
+
+def _emit_crossover(f) -> None:
+    """Embed the measured sign-LSH -> IVF pair-finding crossover
+    (tools/bench_crossover.py; VERDICT r10 task 7) so the qualitative
+    "bucket-resolution ceiling" claim above carries its number."""
+    src = os.path.join(REPO, "tools", "crossover_results.json")
+    if not os.path.exists(src):
+        return
+    d = json.load(open(src))
+    f.write(
+        f"\n# Sign-LSH -> IVF pair-finding crossover (measured, "
+        f"tau={d['tau']})\n\n"
+        "tools/bench_crossover.py: both methods at EQUAL MEASURED RECALL "
+        "on planted near-dup pairs (2% clones at cos ~0.99) over "
+        f"hash-subset corpora; LSH = {d['lsh']} "
+        f"(theory recall {d['theory_recall']}), max_bucket=20000 guard; "
+        "IVF = ivf_pairs with K = N/500, n_probe=2. lsh_mass = banded "
+        "candidate pairs (sum bucket^2 / 2), pre-measured linearly; runs "
+        "with projected mass > 5e8 are recorded, not ground through.\n\n"
+        "| N | truth pairs | LSH mass | LSH s | LSH recall | IVF s | "
+        "IVF recall |\n|---|---|---|---|---|---|---|\n"
+    )
+    for r in d["rows"]:
+        lsh_s = r.get("lsh_s")
+        lsh_cell = f"{lsh_s}" if lsh_s is not None else (
+            f"skipped: {r.get('lsh_note', 'projected infeasible')}")
+        f.write(
+            f"| {r['n']:,} | {r['n_truth']:,} | {r['lsh_mass']:.2e} | "
+            f"{lsh_cell} | {r.get('lsh_recall', '—')} | {r['ivf_s']} | "
+            f"{r['ivf_recall']} |\n"
+        )
+    f.write(
+        "\n**The measured answer: there is no crossover to wait for — "
+        "IVF pair finding is faster at EVERY measured size at equal "
+        "(1.0) recall, and the gap grows quadratically** (LSH candidate "
+        "mass x4 per x2 N: band values are bounded by 2^w, so buckets "
+        "scale with N and mass with N^2/c; IVF mass ~ N * n_probe^2 * "
+        "500 stays linear when K tracks N). Guarded sign-LSH's remaining "
+        "role is the oracle-exact gate regime at gate SFs "
+        "(op-dedup-embedding-lsh) and one-off small-corpus passes; the "
+        "production embedding pair path at any scale is ivf_pairs / "
+        "k-means blocking (cosine_pairs_blocked group_col) / semdedup.\n"
+    )
 
 
 def main() -> int:
