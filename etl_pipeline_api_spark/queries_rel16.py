@@ -740,6 +740,54 @@ def q_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "op-ivf-pairs",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs, true AS subset_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    AND substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1) <= '4'
+    AND substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 1) <= '4'
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+)
+def q_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-ivf-pairs: IVF cell-blocked embedding pair finding
+    (similarity.ivf_pairs) — the production pair path past sign-LSH's
+    bucket-resolution ceiling (measured crossover: BENCH_SCALING.md;
+    IVF faster at every corpus size at equal recall).
+
+    Gate design (sound on ANY corpus, no fitted constants): on the same
+    ~31% deterministic md5 corpus sample the embedding-LSH gate uses,
+    (a) EXHAUSTIVE probes (n_probe = n_centroids puts every vector in
+    every cell) make ivf_pairs EXACT by construction, so n_pairs is
+    hash-pinned against DuckDB's quadratic join — this exercises the
+    centroid sample, cell assignment, explode, and the group-restricted
+    BLAS kernel end-to-end; (b) the production config (n_probe=2) must
+    be a SUBSET of the exhaustive set — the precision contract
+    (candidates are re-scored exactly, so false positives are
+    impossible; a violation means the kernel or dedupe broke). Recall
+    of the approx config is a measured dial (tools/bench_crossover.py,
+    op-ivf-tuning's floors), not an invariant, so it is not gated
+    here."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) <= "4"
+    )
+    full = similarity.ivf_pairs(
+        emb, "vec_id", "embedding", threshold=0.4,
+        n_centroids=8, n_probe=8,
+    ).select("id_a", "id_b")
+    approx = similarity.ivf_pairs(
+        emb, "vec_id", "embedding", threshold=0.4,
+        n_centroids=8, n_probe=2,
+    ).select("id_a", "id_b")
+    stray = approx.join(full, ["id_a", "id_b"], "left_anti")
+    return full.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+        stray.agg((F.count(F.lit(1)) == 0).alias("subset_ok"))
+    )
+
+
+@query(
     "op-lsh-planes-tuning",
     oracle="""
     WITH exact AS (
