@@ -960,3 +960,160 @@ def classification_report(
             4,
         ).alias("f1"),
     )
+
+
+def linear_fit(
+    df: DataFrame,
+    features: list[tuple[str, Column]],
+    target: Column,
+    l2: float = 0.0,
+    add_intercept: bool = True,
+) -> DataFrame:
+    """Multivariate linear / ridge regression in ONE distributed pass.
+
+    The 100 TB way to fit a (small-K) linear model — e.g. a document-
+    quality regressor over text statistics: reduce the fact table to the
+    normal-equation sufficient statistics X'X (K(K+1)/2 upper-triangle
+    entries), X'y (K), y'y and n in a single map-combined aggregation,
+    then solve the K x K system on the driver. The data pass is exactly
+    one scan + one tiny shuffle of partial-agg states regardless of row
+    count; the driver holds K^2 numbers, never rows (the same bounded-
+    collect contract as kmeans seeds / the BPE merge table).
+
+    Exactness contract: every per-row product is cast to DECIMAL before
+    summation, so the sufficient statistics are EXACT and independent of
+    partitioning, task count, and engine — a DuckDB oracle recomputes
+    them bit-for-bit (the op-tpch-q1 decimal-money lesson applied to
+    X'X). The K x K solve then runs in EXACT RATIONAL arithmetic
+    (fractions.Fraction Gaussian elimination — K is small and bounded,
+    cost is driver-side microseconds), so the coefficients are a pure
+    function of the data with NO float-summation or LAPACK dependence:
+    when the target is exactly linear in the features, OLS recovers the
+    generating coefficients exactly, and the oracle can pin them as
+    literals at any scale factor.
+
+    Ridge (``l2 > 0``) adds l2 to every non-intercept diagonal entry of
+    X'X (the intercept is conventionally unpenalized). Guaranteed
+    invariants surfaced for gating: ``normal_eq_ok`` (the exact solve
+    satisfies its own normal equations — a self-check that degenerates
+    only on a singular system, where the fit returns NULL coefficients)
+    and ``r2`` (computed exactly, rounded to 6dp).
+
+    Output: one row per feature (plus ``__intercept__``):
+    (feature, coef double round-6, xty double — the EXACT decimal X'y
+    entry for that feature, the oracle's recomputation hook), with
+    per-fit scalars repeated on every row: n_rows, r2, normal_eq_ok.
+
+    Singular X'X (collinear features, n < K): coefficients and r2 come
+    back NULL with normal_eq_ok = 0 — never a raise (the empty-corpus /
+    degenerate-input posture every operator here follows).
+    """
+    from decimal import Decimal
+    from fractions import Fraction
+
+    names = [n for n, _ in features]
+    cols = [c for _, c in features]
+    if add_intercept:
+        names = ["__intercept__"] + names
+        cols = [F.lit(1)] + cols
+    k = len(cols)
+    # per-row values on the exact decimal grid: features are expected to
+    # be integer-valued expressions (counts, lengths, flags); the target
+    # is expected on the 0.001 grid (e.g. binary-fraction generating
+    # coefficients). Precisions are chosen so every PRODUCT stays within
+    # DECIMAL(38,_) without scale reduction — (18,0)x(18,0) -> (37,0),
+    # (18,0)x(18,3) -> (37,3), (18,3)x(18,3) -> (37,6) — because a
+    # 38-digit overflow makes Spark round the product scale (engine-
+    # dependent!) while these shapes stay EXACT in both Spark and DuckDB.
+    xd = [c.cast("decimal(18,0)") for c in cols]
+    yd = target.cast("decimal(18,3)")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(xd[i] * xd[j]).alias(f"xx_{i}_{j}"))
+    for i in range(k):
+        aggs.append(F.sum(xd[i] * yd).alias(f"xy_{i}"))
+    aggs.append(F.sum(yd * yd).alias("yy"))
+    row = df.agg(*aggs).collect()[0]  # ONE row, K(K+1)/2 + K + 2 cells
+
+    spark = df.sparkSession
+    schema = (
+        "feature string, coef double, xty double, n_rows bigint, "
+        "r2 double, normal_eq_ok int"
+    )
+    n = int(row["n"])
+    if n == 0 or row["xx_0_0"] is None:
+        return spark.createDataFrame(
+            [(nm, None, None, 0, None, 0) for nm in names], schema
+        )
+
+    def frac(v) -> Fraction:
+        return Fraction(Decimal(v))
+
+    A = [[Fraction(0)] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            A[i][j] = A[j][i] = frac(row[f"xx_{i}_{j}"])
+    c = [frac(row[f"xy_{i}"]) for i in range(k)]
+    xty_out = [float(row[f"xy_{i}"]) for i in range(k)]
+    if l2:
+        pen = Fraction(l2)
+        for i in range(k):
+            if not (add_intercept and i == 0):
+                A[i][i] += pen
+
+    # exact Gaussian elimination with partial (max-|pivot|) pivoting —
+    # pivot choice only affects intermediate sizes, never the result
+    M = [A[i][:] + [c[i]] for i in range(k)]
+    sol: list[Fraction] | None = [Fraction(0)] * k
+    for col in range(k):
+        piv = max(range(col, k), key=lambda r: abs(M[r][col]))
+        if M[piv][col] == 0:
+            sol = None  # singular: collinear features or n < K
+            break
+        M[col], M[piv] = M[piv], M[col]
+        for r in range(col + 1, k):
+            f = M[r][col] / M[col][col]
+            if f:
+                for cc in range(col, k + 1):
+                    M[r][cc] -= f * M[col][cc]
+    if sol is not None:
+        for i in range(k - 1, -1, -1):
+            acc = M[i][k] - sum(M[i][j] * sol[j] for j in range(i + 1, k))
+            sol[i] = acc / M[i][i]
+
+    if sol is None:
+        out = [(nm, None, xty_out[i], n, None, 0) for i, nm in enumerate(names)]
+        return spark.createDataFrame(out, schema)
+
+    # exact self-check + exact R^2 (rational arithmetic end to end)
+    ok = all(
+        sum(A[i][j] * sol[j] for j in range(k)) == c[i] for i in range(k)
+    )
+    yy = frac(row["yy"])
+    sse = yy - 2 * sum(c[i] * sol[i] for i in range(k)) + sum(
+        sol[i] * A[i][j] * sol[j] for i in range(k) for j in range(k)
+    )
+    if l2:  # A carries the penalty; SSE needs the raw X'X quadratic form
+        sse = yy - 2 * sum(c[i] * sol[i] for i in range(k))
+        for i in range(k):
+            for j in range(k):
+                aij = A[i][j]
+                if i == j and not (add_intercept and i == 0):
+                    aij = aij - Fraction(l2)
+                sse += sol[i] * aij * sol[j]
+    ybar = c[0] / n if add_intercept else Fraction(0)
+    sst = yy - n * ybar * ybar if add_intercept else yy
+    r2 = float(1 - sse / sst) if sst != 0 else None
+    out = [
+        (
+            nm,
+            round(float(sol[i]), 6),
+            xty_out[i],
+            n,
+            round(r2, 6) if r2 is not None else None,
+            int(ok),
+        )
+        for i, nm in enumerate(names)
+    ]
+    return spark.createDataFrame(out, schema)
