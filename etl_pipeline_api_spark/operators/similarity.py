@@ -1192,3 +1192,190 @@ def random_project(
         * scale,
     )
     return df.select(F.col(id_col), proj.alias("proj"))
+
+
+# =====================================================================
+# Product quantization (PQ): memory-compressed embeddings for ANN
+# =====================================================================
+
+def _pq_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, k: int, dim: int
+) -> np.ndarray:
+    """k codebook centroids = a deterministic md5-ordered corpus sample.
+
+    md5 (not xxhash64) so a SQL oracle can reproduce the exact sample:
+    DuckDB computes the identical md5 hex of the identical id string.
+    Bounded collect: k full vectors (k*dim doubles), the same driver
+    contract as kmeans seeds / ivf_topk's centroid sample."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            _checked_vec(F.col(vec_col).cast("array<double>"), dim, "pq").alias("v"),
+        )
+        .orderBy(F.md5(F.col("id").cast("string")))
+        .limit(k)
+        .collect()
+    )
+    return np.asarray([list(r["v"]) for r in rows], dtype=float)
+
+
+def _pq_subspace_dists(v, cents: np.ndarray, s: int, d_sub: int):
+    """array<double> of squared L2 distances from v's s-th subvector to
+    every centroid's s-th subvector — sequential left-fold summation
+    ((a-b)*(a-b), acc+x), bit-identical to DuckDB's list_reduce over the
+    same doubles, so code assignments are engine-exact."""
+    sub = F.slice(v, s * d_sub + 1, d_sub)
+    mat = _planes_lit(cents[:, s * d_sub : (s + 1) * d_sub])
+    return F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    dim: int | None = None,
+    cents: np.ndarray | None = None,
+    with_recon2: bool = False,
+) -> DataFrame:
+    """Product-quantization encode: each vector becomes m small codes
+    (one nearest-centroid index per subspace) — the memory path for
+    100 TB ANN: dim float32 -> m bytes (here 64x4B -> 4B, 64x), with
+    distances still computable from codes alone (see pq_adc_topk).
+
+    Codebook: per subspace s, the k sampled centroids' s-th subvectors
+    (sampling in _pq_centroids; pass ``cents`` to reuse a codebook).
+    Encode is ONE scan with zero shuffle and zero Python — per row,
+    m*k sequential-fold subvector distances inside whole-stage codegen,
+    argmin per subspace (first-index tie-break, matching SQL
+    row_number ties). Output: (id, codes array<int>); ``with_recon2``
+    adds the exact squared reconstruction error sum_s min_j d(x_s, c_j)
+    — the quantization-error bound op-pq-quality's triangle gate uses.
+
+    Each subspace's distance array is materialized ONCE behind a
+    projection boundary and the argmin/min read the column reference —
+    the _band_array lesson: embedding the k-centroid fold subtree once
+    per consumer would double the analyzer/optimizer tree per output.
+
+    Scale: linear, embarrassingly parallel, no driver state beyond the
+    k x dim codebook (broadcast as a plan literal). At petabyte corpus
+    size the collect-free alternative is a kmeans()-refined codebook —
+    the sample codebook here is the deterministic, oracle-replayable
+    variant (Jegou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — public method)."""
+    out_schema = "id {id}, codes array<int>" + (
+        ", recon2 double" if with_recon2 else ""
+    )
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return _empty_result(corpus, out_schema, [id_col])
+        dim = int(first["d"])
+    if dim % m:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    if cents is None:
+        cents = _pq_centroids(corpus, id_col, vec_col, k, dim)
+    if cents.size == 0:
+        return _empty_result(corpus, out_schema, [id_col])
+    v = _checked_vec(F.col(vec_col).cast("array<double>"), dim, "pq_encode")
+    staged = corpus.select(
+        F.col(id_col).alias("id"),
+        *[
+            _pq_subspace_dists(v, cents, s, d_sub).alias(f"__d{s}")
+            for s in range(m)
+        ],
+    )
+    codes = [
+        (
+            F.array_position(F.col(f"__d{s}"), F.array_min(F.col(f"__d{s}"))) - 1
+        ).cast("int")
+        for s in range(m)
+    ]
+    cols = [F.col("id"), F.array(*codes).alias("codes")]
+    if with_recon2:
+        recon2 = None
+        for s in range(m):
+            t = F.array_min(F.col(f"__d{s}"))
+            recon2 = t if recon2 is None else recon2 + t
+        cols.append(recon2.alias("recon2"))
+    return staged.select(*cols)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int = 5,
+    m: int = 4,
+    k: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via asymmetric distance computation (ADC) over
+    PQ codes: the query keeps its full vector; every corpus vector is
+    m codes, and its approximate squared L2 distance is a sum of m
+    lookup-table entries LUT[s][code_s] = ||q_s - cent_s[code]||^2.
+
+    Plan shape: encode (one corpus scan, zero shuffle) -> crossJoin a
+    BROADCAST of the bounded query set carrying its m*k-entry LUT as an
+    array column (the op-sim-search / knn shape) -> per-row distance is
+    an m-term fold of element_at lookups (no vector arithmetic on the
+    corpus side at all — that is ADC's point: the scan touches m ints
+    per row, not dim floats) -> window top-k per query on
+    (approx distance, neighbor id).
+
+    Approximation is quantization-bounded, not probabilistic; the gate
+    (op-pq-topk) measures recall against the exact top-k universe with
+    floors, the ivf_topk pattern."""
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return _empty_result(
+                corpus, "query_id {id}, neighbor_id {id}, rank int", [id_col]
+            )
+        dim = int(first["d"])
+    d_sub = dim // m
+    cents = _pq_centroids(corpus, id_col, vec_col, k, dim)
+    if cents.size == 0:
+        return _empty_result(
+            corpus, "query_id {id}, neighbor_id {id}, rank int", [id_col]
+        )
+    codes = pq_encode(corpus, id_col, vec_col, m=m, k=k, dim=dim, cents=cents)
+    qv = _checked_vec(F.col(vec_col).cast("array<double>"), dim, "pq_adc")
+    # flat LUT: entry s*k + j = squared distance from the query's s-th
+    # subvector to centroid j's s-th subvector (concat of m transforms —
+    # the query side is bounded, so the wide expression rides on few rows)
+    lut = F.concat(
+        *[_pq_subspace_dists(qv, cents, s, d_sub) for s in range(m)]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
+    k_lit = F.lit(k)
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.element_at(F.col("lut"), (s * k_lit + code + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col("id").alias("neighbor_id"), approx.alias("adist")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -154,3 +154,232 @@ def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ridge.select("feature", "xty", "n_rows", "normal_eq_ok").crossJoin(
         F.broadcast(gate)
     )
+
+
+# =====================================================================
+# Product quantization (similarity.pq_encode / pq_adc_topk)
+# =====================================================================
+#
+# The DuckDB oracles REPLICATE the engine bit-for-bit rather than gate
+# on invariants: the codebook is an md5-ordered corpus sample (md5 is
+# identical SQL in both engines, unlike xxhash64), subspace distances
+# are sequential left-fold sums of exact double ops (Spark F.aggregate
+# == DuckDB list_reduce — same element order, same IEEE results), and
+# ties break on (distance, centroid index) / (distance, neighbor id)
+# in both. So codes and ADC ranks are hash-exact, not tolerance-gated.
+
+_PQ_CENT = """
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+               AS cid, embedding
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+"""
+
+# squared L2 between subvectors [s*16+1 .. s*16+16] of two float lists,
+# summed in list order (sequential fold), all arithmetic in DOUBLE
+def _pq_subdist_sql(a: str, b: str) -> str:
+    return f"""list_reduce(list_transform(
+        list_zip({a}[s.s*16+1 : s.s*16+16], {b}[s.s*16+1 : s.s*16+16]),
+        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+        (a, b) -> a + b)"""
+
+
+_PQ_CODES = f"""
+    cent AS ({_PQ_CENT}),
+    sub AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(s)),
+    cdist AS (
+      SELECT e.vec_id, s.s, c.cid,
+             {_pq_subdist_sql('e.embedding', 'c.embedding')} AS d
+      FROM embeddings e, cent c, sub s
+    ),
+    codes AS (
+      SELECT vec_id, s, CAST(cid AS INT) AS code FROM cdist
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+    )
+"""
+
+
+@query(
+    "op-pq-encode",
+    oracle=f"""
+    WITH {_PQ_CODES}
+    SELECT vec_id AS id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes
+    FROM codes GROUP BY vec_id
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-pq-encode: product-quantize the embedding corpus — 64 floats
+    per row become 4 codes (one nearest-codebook-centroid index per
+    16-dim subspace), the 64x memory compression that makes
+    billion-vector ANN RAM-resident. One scan, zero shuffle, zero
+    Python; the oracle replays the identical codebook sample, distance
+    folds, and argmin tie-breaks in SQL, so every code is hash-pinned
+    (operators/similarity.py pq_encode)."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = similarity.pq_encode(emb, "vec_id", "embedding", m=4, k=16)
+    return codes.select(
+        "id",
+        F.concat_ws(
+            "-", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("codes"),
+    )
+
+
+@query(
+    "op-pq-topk",
+    oracle=f"""
+    WITH {_PQ_CODES},
+    q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+    qlut AS (
+      SELECT q.qid, s.s, c.cid,
+             {_pq_subdist_sql('q.embedding', 'c.embedding')} AS d
+      FROM q, cent c, sub s
+    ),
+    adist AS (
+      SELECT l.qid, x.vec_id AS nid,
+             list_reduce(list(l.d ORDER BY l.s), (a, b) -> a + b) AS ad
+      FROM codes x JOIN qlut l ON l.s = x.s AND l.cid = x.code
+      GROUP BY l.qid, x.vec_id
+    )
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, nid)
+             AS INTEGER) AS rank
+    FROM adist WHERE nid != qid
+    QUALIFY rank <= 5
+    """,
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-pq-topk: asymmetric-distance top-5 per query over PQ codes —
+    the corpus scan touches 4 ints per row (table lookups into the
+    query's 64-entry LUT), never the 64 floats; that is the ADC scan
+    shape that serves billion-vector ANN from RAM. The oracle replays
+    the whole path (codebook, codes, LUT, 4-term ordered fold, tie
+    order) in SQL — ranks are hash-exact, and PQ's approximation
+    quality is gated separately by op-pq-quality
+    (operators/similarity.py pq_adc_topk)."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k_neighbors=5, m=4, k=16,
+    )
+
+
+@query(
+    "op-pq-quality",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 8)
+                * (SELECT count(*) FROM embeddings) AS BIGINT) AS n_pairs,
+           CAST(1 AS INTEGER) AS triangle_ok,
+           CAST(1 AS INTEGER) AS recall_floor_ok
+    """,
+)
+def q_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-pq-quality: MEASURE the PQ approximation against the exact
+    distances it replaces, over every (query, corpus) pair.
+
+    Two gates, one a theorem and one a floor:
+
+    - triangle_ok — ADC distance is ||q - recon(x)||, so the L2
+      triangle inequality bounds it within the reconstruction error:
+      | sqrt(adist) - ||q-x|| | <= ||x - recon(x)|| for EVERY pair
+      (1e-9 fp headroom on the sqrt scale). This is exact-arithmetic
+      truth about the encode+ADC pair, not an empirical tolerance —
+      any lookup-table indexing bug, wrong-subspace slice, or code/
+      centroid mismatch breaks it immediately.
+    - recall_floor_ok — ADC top-5 must recover >= 3x the random-scan
+      baseline (5/N) of the exact-L2 top-5 universe. m=4/k=16 on iid
+      random 64-d embeddings is deliberately coarse quantization
+      (measured recall 0.05-0.075 vs random 0.0025-0.01, i.e. 5-30x);
+      the gate pins "better than chance by a margin", not corpus luck.
+
+    Fully in-plan: codes + recon2 in one scan (pq_encode with_recon2),
+    pairs via crossJoin(broadcast(8 queries)), exact distance as a
+    JVM fold over the full vectors, top-5 windows on (dist, id) both
+    sides (operators/similarity.py pq_encode / pq_adc_topk)."""
+    from .operators import similarity
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    m, k, dim, kn = 4, 16, 64, 5
+    d_sub = dim // m
+    cents = similarity._pq_centroids(emb, "vec_id", "embedding", k, dim)
+    enc = similarity.pq_encode(
+        emb, "vec_id", "embedding", m=m, k=k, dim=dim, cents=cents,
+        with_recon2=True,
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    side = enc.join(vecs, "id")
+    qv = F.col("embedding").cast("array<double>")
+    lut = F.concat(
+        *[similarity._pq_subspace_dists(qv, cents, s, d_sub) for s in range(m)]
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), lut.alias("lut"), qv.alias("qv")
+    )
+    k_lit = F.lit(k)
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.element_at(
+                F.col("lut"), (s * k_lit + code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = side.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        adist.alias("ad"),
+        exact.alias("ex"),
+        F.col("recon2"),
+    )
+    tri_viol = (
+        F.abs(F.sqrt(F.col("ad")) - F.sqrt(F.col("ex")))
+        - F.sqrt(F.col("recon2"))
+        > 1e-9
+    )
+    nonself = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    w_ad = Window.partitionBy("query_id").orderBy(
+        F.col("ad").asc(), F.col("neighbor_id").asc()
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.col("ex").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = nonself.select(
+        "query_id", "neighbor_id",
+        F.row_number().over(w_ad).alias("r_ad"),
+        F.row_number().over(w_ex).alias("r_ex"),
+    )
+    hits = ranked.agg(
+        F.sum(
+            ((F.col("r_ad") <= kn) & (F.col("r_ex") <= kn)).cast("int")
+        ).alias("n_hit"),
+        F.count(F.lit(1)).alias("n_nonself"),
+        F.count_distinct("query_id").alias("n_q"),
+    )
+    tri = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(tri_viol.cast("int")).alias("any_viol"),
+    )
+    n_corpus = F.col("n_nonself") / F.col("n_q") + 1  # N, derived in-plan
+    recall = F.col("n_hit") / (F.col("n_q") * kn)
+    return tri.crossJoin(F.broadcast(hits)).select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (1 - F.col("any_viol")).cast("int").alias("triangle_ok"),
+        (recall >= 3 * kn / n_corpus).cast("int").alias("recall_floor_ok"),
+    )
