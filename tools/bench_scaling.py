@@ -83,6 +83,10 @@ QUERIES_TO_SCALE = [
     # or grows with data. AvailableNow over the flat events file drains
     # in few micro-batches, so the ratio reads state+shuffle growth.
     "op-stream-stream-join", "op-stream-stateful",
+    # r11: PQ encode is the new zero-shuffle scan-only family member —
+    # its ratio should read the pure scan/codegen growth; pq-topk adds
+    # the ADC crossJoin + one window shuffle over the coded corpus
+    "op-pq-encode", "op-pq-topk",
 ]
 
 # query -> documented output-driven cause; reported but not counted as a
