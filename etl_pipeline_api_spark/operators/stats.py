@@ -1008,9 +1008,6 @@ def linear_fit(
     back NULL with normal_eq_ok = 0 — never a raise (the empty-corpus /
     degenerate-input posture every operator here follows).
     """
-    from decimal import Decimal
-    from fractions import Fraction
-
     names = [n for n, _ in features]
     cols = [c for _, c in features]
     if add_intercept:
@@ -1027,6 +1024,24 @@ def linear_fit(
     # dependent!) while these shapes stay EXACT in both Spark and DuckDB.
     xd = [c.cast("decimal(18,0)") for c in cols]
     yd = target.cast("decimal(18,3)")
+    row = df.agg(*_linfit_aggs(xd, yd)).collect()[0]  # ONE row of stats
+
+    spark = df.sparkSession
+    schema = (
+        "feature string, coef double, xty double, n_rows bigint, "
+        "r2 double, normal_eq_ok int"
+    )
+    out = [
+        (nm,) + tail
+        for nm, tail in zip(names, _linfit_solve(row, k, l2, add_intercept))
+    ]
+    return spark.createDataFrame(out, schema)
+
+
+def _linfit_aggs(xd: list[Column], yd: Column) -> list[Column]:
+    """The normal-equation sufficient-statistic aggregates (exact
+    decimal sums; see linear_fit's exactness contract)."""
+    k = len(xd)
     aggs = [F.count(F.lit(1)).alias("n")]
     for i in range(k):
         for j in range(i, k):
@@ -1034,18 +1049,22 @@ def linear_fit(
     for i in range(k):
         aggs.append(F.sum(xd[i] * yd).alias(f"xy_{i}"))
     aggs.append(F.sum(yd * yd).alias("yy"))
-    row = df.agg(*aggs).collect()[0]  # ONE row, K(K+1)/2 + K + 2 cells
+    return aggs
 
-    spark = df.sparkSession
-    schema = (
-        "feature string, coef double, xty double, n_rows bigint, "
-        "r2 double, normal_eq_ok int"
-    )
+
+def _linfit_solve(row, k: int, l2: float, add_intercept: bool):
+    """Exact-rational solve of one fit's sufficient statistics.
+
+    ``row`` is any mapping of the _linfit_aggs aliases to values
+    (a Spark Row or a pandas row). Returns, per coefficient index, the
+    tuple (coef, xty, n_rows, r2, normal_eq_ok) — Nones on empty or
+    singular input, never a raise."""
+    from decimal import Decimal
+    from fractions import Fraction
+
     n = int(row["n"])
     if n == 0 or row["xx_0_0"] is None:
-        return spark.createDataFrame(
-            [(nm, None, None, 0, None, 0) for nm in names], schema
-        )
+        return [(None, None, 0, None, 0)] * k
 
     def frac(v) -> Fraction:
         return Fraction(Decimal(v))
@@ -1083,8 +1102,7 @@ def linear_fit(
             sol[i] = acc / M[i][i]
 
     if sol is None:
-        out = [(nm, None, xty_out[i], n, None, 0) for i, nm in enumerate(names)]
-        return spark.createDataFrame(out, schema)
+        return [(None, xty_out[i], n, None, 0) for i in range(k)]
 
     # exact self-check + exact R^2 (rational arithmetic end to end)
     ok = all(
@@ -1105,15 +1123,78 @@ def linear_fit(
     ybar = c[0] / n if add_intercept else Fraction(0)
     sst = yy - n * ybar * ybar if add_intercept else yy
     r2 = float(1 - sse / sst) if sst != 0 else None
-    out = [
+    return [
         (
-            nm,
             round(float(sol[i]), 6),
             xty_out[i],
             n,
             round(r2, 6) if r2 is not None else None,
             int(ok),
         )
-        for i, nm in enumerate(names)
+        for i in range(k)
     ]
-    return spark.createDataFrame(out, schema)
+
+
+def grouped_linear_fit(
+    df: DataFrame,
+    group_col: str,
+    features: list[tuple[str, Column]],
+    target: Column,
+    l2: float = 0.0,
+    add_intercept: bool = True,
+) -> DataFrame:
+    """Per-group linear / ridge regression — one model per group value
+    (per-language quality calibration, per-source drift slopes), fully
+    distributed end to end.
+
+    Same exactness contract as ``linear_fit``, different topology: ONE
+    grouped map-combined aggregation reduces the fact table to |groups|
+    rows of exact-decimal sufficient statistics (the only data shuffle,
+    and it moves partial-agg states, not rows), then the K x K
+    exact-rational solves run INSIDE an applyInPandas over the tiny
+    stats frame — per-group model fitting with zero driver state, so
+    a million groups fit as cheaply as five. Arrow delivers Spark
+    decimals as Python Decimal, so the workers' Fraction solve sees the
+    exact values the aggregation produced.
+
+    Output: one row per (group, feature): (group_col, feature, coef,
+    xty, n_rows, r2, normal_eq_ok) — the linear_fit surface plus the
+    group key; degenerate groups (singular X'X) carry NULL coef with
+    normal_eq_ok = 0 while healthy groups are unaffected.
+    """
+    from ..session import ship_package
+
+    names = [n for n, _ in features]
+    cols = [c for _, c in features]
+    if add_intercept:
+        names = ["__intercept__"] + names
+        cols = [F.lit(1)] + cols
+    k = len(cols)
+    xd = [c.cast("decimal(18,0)") for c in cols]
+    yd = target.cast("decimal(18,3)")
+    stats_df = df.groupBy(F.col(group_col).alias("__g")).agg(
+        *_linfit_aggs(xd, yd)
+    )
+    g_dtype = df.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {g_dtype}, feature string, coef double, xty double, "
+        "n_rows bigint, r2 double, normal_eq_ok int"
+    )
+    ship_package(df.sparkSession)  # the solver closure unpickles on workers
+
+    def solve_groups(pdf):
+        import pandas as pd
+
+        out_rows = []
+        for _, r in pdf.iterrows():
+            for nm, tail in zip(names, _linfit_solve(r, k, l2, add_intercept)):
+                out_rows.append((r["__g"], nm) + tail)
+        return pd.DataFrame(
+            out_rows,
+            columns=[
+                group_col, "feature", "coef", "xty",
+                "n_rows", "r2", "normal_eq_ok",
+            ],
+        )
+
+    return stats_df.groupBy("__g").applyInPandas(solve_groups, out_schema)

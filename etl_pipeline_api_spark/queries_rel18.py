@@ -398,3 +398,45 @@ def q_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 - F.col("any_viol")).cast("int").alias("triangle_ok"),
         F.col("all_near_opt").cast("int").alias("adc_near_opt_ok"),
     )
+
+
+@query(
+    "op-grouped-regression",
+    oracle=f"""
+    WITH f AS (
+        SELECT lang,
+               length(text)                                    AS f1,
+               length(text) - length(replace(text, ' ', ''))   AS f2,
+               length(text) - length(replace(text, 'e', ''))   AS f3
+        FROM documents WHERE text IS NOT NULL
+    ),
+    per AS (
+      SELECT lang, 1.5 AS coef, '__intercept__' AS feature,
+             {_oracle_xty('1')} AS xty, CAST(count(*) AS BIGINT) AS n_rows
+      FROM f GROUP BY lang
+      UNION ALL
+      SELECT lang, 2.0, 'f1', {_oracle_xty('f1')},
+             CAST(count(*) AS BIGINT) FROM f GROUP BY lang
+      UNION ALL
+      SELECT lang, -0.25, 'f2', {_oracle_xty('f2')},
+             CAST(count(*) AS BIGINT) FROM f GROUP BY lang
+      UNION ALL
+      SELECT lang, 0.5, 'f3', {_oracle_xty('f3')},
+             CAST(count(*) AS BIGINT) FROM f GROUP BY lang
+    )
+    SELECT lang, feature, coef, xty, n_rows,
+           CAST(1.0 AS DOUBLE) AS r2, CAST(1 AS INTEGER) AS normal_eq_ok
+    FROM per
+    """,
+)
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-grouped-regression: one OLS model PER LANGUAGE over the same
+    text-statistics design (stats.grouped_linear_fit) — per-domain
+    calibration with zero driver state: one grouped exact-decimal
+    aggregation, then exact-rational solves inside applyInPandas over
+    the |langs|-row stats frame. The generating model is global, so
+    every group recovers the SAME binary-fraction coefficients exactly
+    (oracle literals), while per-group X'y sums and row counts are
+    recomputed by DuckDB per language."""
+    docs, feats, y = _doc_features(spark, sf_dir)
+    return stats.grouped_linear_fit(docs, "lang", feats, y)

@@ -95,3 +95,45 @@ def test_no_intercept(spark):
     )
     assert set(m) == {"a"}
     assert m["a"]["coef"] == 4.0
+
+
+def test_grouped_fit_per_group_models(spark):
+    # two groups with DIFFERENT generating models: the grouped fit must
+    # recover each group's own coefficients exactly
+    rows = [("a", i, (i * 7) % 13) for i in range(30)] + [
+        ("b", i, (i * 5) % 11) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, x1 int, x2 int")
+    y = F.when(F.col("g") == "a", 1.0 + 2 * F.col("x1") - 0.5 * F.col("x2"))\
+         .otherwise(-3.0 + 0.25 * F.col("x1") + 1.5 * F.col("x2"))
+    out = stats.grouped_linear_fit(
+        df, "g", [("x1", F.col("x1")), ("x2", F.col("x2"))], y
+    ).collect()
+    m = {(r["g"], r["feature"]): r for r in out}
+    assert m[("a", "__intercept__")]["coef"] == 1.0
+    assert m[("a", "x1")]["coef"] == 2.0
+    assert m[("a", "x2")]["coef"] == -0.5
+    assert m[("b", "__intercept__")]["coef"] == -3.0
+    assert m[("b", "x1")]["coef"] == 0.25
+    assert m[("b", "x2")]["coef"] == 1.5
+    assert all(r["normal_eq_ok"] == 1 for r in out)
+    assert m[("a", "x1")]["n_rows"] == 30 and m[("b", "x1")]["n_rows"] == 30
+
+
+def test_grouped_fit_degenerate_group_isolated(spark):
+    # group "bad" is collinear (x2 = 2*x1): NULL coefs there, while the
+    # healthy group is untouched
+    rows = [("ok", i, (i * 3) % 7) for i in range(20)] + [
+        ("bad", i, 2 * i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, x1 int, x2 int")
+    y = F.col("x1") * 1.0 + F.col("x2") * 0.5
+    out = stats.grouped_linear_fit(
+        df, "g", [("x1", F.col("x1")), ("x2", F.col("x2"))], y
+    ).collect()
+    m = {(r["g"], r["feature"]): r for r in out}
+    assert m[("bad", "x1")]["coef"] is None
+    assert m[("bad", "x1")]["normal_eq_ok"] == 0
+    assert m[("ok", "x1")]["coef"] == 1.0
+    assert m[("ok", "x2")]["coef"] == 0.5
+    assert m[("ok", "x1")]["normal_eq_ok"] == 1
