@@ -1351,14 +1351,20 @@ def pq_adc_topk(
         )
     codes = pq_encode(corpus, id_col, vec_col, m=m, k=k, dim=dim, cents=cents)
     qv = _checked_vec(F.col(vec_col).cast("array<double>"), dim, "pq_adc")
-    # flat LUT: entry s*k + j = squared distance from the query's s-th
-    # subvector to centroid j's s-th subvector (concat of m transforms —
-    # the query side is bounded, so the wide expression rides on few rows)
+    # flat LUT: entry s*k_eff + j = squared distance from the query's
+    # s-th subvector to centroid j's s-th subvector (concat of m
+    # transforms — the query side is bounded, so the wide expression
+    # rides on few rows). STRIDE = the ACTUAL codebook size: a corpus
+    # smaller than the requested k yields fewer sampled centroids, and
+    # striding by the request would index past the LUT (caught by the
+    # adversarial-corpus sweep — element_at out of bounds on a
+    # 12-vector corpus with k=16).
+    k_eff = cents.shape[0]
     lut = F.concat(
         *[_pq_subspace_dists(qv, cents, s, d_sub) for s in range(m)]
     )
     q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
-    k_lit = F.lit(k)
+    k_lit = F.lit(k_eff)
     approx = F.aggregate(
         F.zip_with(
             F.col("codes"),

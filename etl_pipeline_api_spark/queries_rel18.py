@@ -78,21 +78,25 @@ def _oracle_xty(expr: str) -> str:
     "op-linear-regression",
     oracle=f"""
     WITH f AS ({_ORACLE_FEATURES})
-    SELECT * FROM (
+    SELECT feature,
+           CASE WHEN n_rows > 0 THEN coef END AS coef, xty, n_rows,
+           CASE WHEN n_rows > 0 THEN CAST(1.0 AS DOUBLE) END AS r2,
+           CAST(CASE WHEN n_rows > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS normal_eq_ok
+    FROM (
       SELECT '__intercept__' AS feature, 1.5 AS coef,
              {_oracle_xty('1')} AS xty,
-             CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(1.0 AS DOUBLE) AS r2, CAST(1 AS INTEGER) AS normal_eq_ok
+             CAST(count(*) AS BIGINT) AS n_rows
       FROM f
       UNION ALL
       SELECT 'f1', 2.0, {_oracle_xty('f1')},
-             CAST(count(*) AS BIGINT), 1.0, 1 FROM f
+             CAST(count(*) AS BIGINT) FROM f
       UNION ALL
       SELECT 'f2', -0.25, {_oracle_xty('f2')},
-             CAST(count(*) AS BIGINT), 1.0, 1 FROM f
+             CAST(count(*) AS BIGINT) FROM f
       UNION ALL
       SELECT 'f3', 0.5, {_oracle_xty('f3')},
-             CAST(count(*) AS BIGINT), 1.0, 1 FROM f
+             CAST(count(*) AS BIGINT) FROM f
     )
     """,
 )
@@ -111,18 +115,19 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op-ridge-regression",
     oracle=f"""
     WITH f AS ({_ORACLE_FEATURES})
-    SELECT * FROM (
+    SELECT feature, xty, n_rows,
+           CAST(CASE WHEN n_rows > 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS normal_eq_ok,
+           CAST(CASE WHEN n_rows > 0 THEN 1 END AS INTEGER) AS norm_shrunk
+    FROM (
       SELECT '__intercept__' AS feature, {_oracle_xty('1')} AS xty,
-             CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(1 AS INTEGER) AS normal_eq_ok,
-             CAST(1 AS INTEGER) AS norm_shrunk
-      FROM f
+             CAST(count(*) AS BIGINT) AS n_rows FROM f
       UNION ALL
-      SELECT 'f1', {_oracle_xty('f1')}, CAST(count(*) AS BIGINT), 1, 1 FROM f
+      SELECT 'f1', {_oracle_xty('f1')}, CAST(count(*) AS BIGINT) FROM f
       UNION ALL
-      SELECT 'f2', {_oracle_xty('f2')}, CAST(count(*) AS BIGINT), 1, 1 FROM f
+      SELECT 'f2', {_oracle_xty('f2')}, CAST(count(*) AS BIGINT) FROM f
       UNION ALL
-      SELECT 'f3', {_oracle_xty('f3')}, CAST(count(*) AS BIGINT), 1, 1 FROM f
+      SELECT 'f3', {_oracle_xty('f3')}, CAST(count(*) AS BIGINT) FROM f
     )
     """,
 )
@@ -314,7 +319,13 @@ def q_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     m, k, dim, kn = 4, 16, 64, 5
     d_sub = dim // m
+    out_schema = "n_pairs bigint, triangle_ok int, adc_near_opt_ok int"
     cents = similarity._pq_centroids(emb, "vec_id", "embedding", k, dim)
+    if cents.size == 0:
+        # empty corpus: zero pairs, both theorems vacuously true — the
+        # same row the oracle's count(*)-products produce
+        return spark.createDataFrame([(0, 1, 1)], out_schema)
+    k_eff = cents.shape[0]  # actual codebook size (see pq_adc_topk)
     enc = similarity.pq_encode(
         emb, "vec_id", "embedding", m=m, k=k, dim=dim, cents=cents,
         with_recon2=True,
@@ -331,7 +342,7 @@ def q_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), lut.alias("lut"), qv.alias("qv")
     )
-    k_lit = F.lit(k)
+    k_lit = F.lit(k_eff)
     adist = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -395,8 +406,12 @@ def q_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tri.crossJoin(F.broadcast(near_opt)).select(
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
-        (1 - F.col("any_viol")).cast("int").alias("triangle_ok"),
-        F.col("all_near_opt").cast("int").alias("adc_near_opt_ok"),
+        # coalesce = vacuous truth: zero pairs/queries means zero
+        # violations (the all-empty sweep exercises this)
+        (1 - F.coalesce(F.col("any_viol"), F.lit(0)))
+        .cast("int").alias("triangle_ok"),
+        F.coalesce(F.col("all_near_opt"), F.lit(1))
+        .cast("int").alias("adc_near_opt_ok"),
     )
 
 
@@ -424,8 +439,11 @@ def q_pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, 0.5, 'f3', {_oracle_xty('f3')},
              CAST(count(*) AS BIGINT) FROM f GROUP BY lang
     )
-    SELECT lang, feature, coef, xty, n_rows,
-           CAST(1.0 AS DOUBLE) AS r2, CAST(1 AS INTEGER) AS normal_eq_ok
+    SELECT lang, feature,
+           CASE WHEN n_rows >= 4 THEN coef END AS coef, xty, n_rows,
+           CASE WHEN n_rows >= 4 THEN CAST(1.0 AS DOUBLE) END AS r2,
+           CAST(CASE WHEN n_rows >= 4 THEN 1 ELSE 0 END AS INTEGER)
+             AS normal_eq_ok
     FROM per
     """,
 )
@@ -436,7 +454,13 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, then exact-rational solves inside applyInPandas over
     the |langs|-row stats frame. The generating model is global, so
     every group recovers the SAME binary-fraction coefficients exactly
-    (oracle literals), while per-group X'y sums and row counts are
+    (oracle literals). Degeneracy-aware gate: n < K(=4) forces a
+    singular X'X — a THEOREM (rank <= n) — so such groups carry NULL
+    coef / normal_eq_ok=0 in BOTH engines (the adversarial-corpus
+    sweep's 1-doc languages exercise this); for n >= K full rank is
+    the generator contract (varied texts), the same assumption the
+    flat op-linear-regression oracle makes. Per-group X'y sums and
+    row counts are
     recomputed by DuckDB per language."""
     docs, feats, y = _doc_features(spark, sf_dir)
     return stats.grouped_linear_fit(docs, "lang", feats, y)

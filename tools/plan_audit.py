@@ -59,6 +59,16 @@ TRIAGE = {
     "op-sim-search": "BNLJ = crossJoin(broadcast(query vectors)) — bounded "
                      "query set against the distributed corpus, the exact "
                      "top-k search shape (similarity.cosine_topk).",
+    "op-pq-topk": "BNLJ = crossJoin(broadcast(bounded query set carrying "
+                  "its m*k-entry ADC lookup table)) — the op-sim-search "
+                  "shape; the corpus side scans 4 ints per row and "
+                  "shuffles once for the per-query top-k window.",
+    "op-pq-quality": "BNLJ = the measurement harness's crossJoins: "
+                     "broadcast(8 queries) onto the coded corpus for the "
+                     "every-pair triangle check, plus 1-row gate "
+                     "aggregates (max recon error, near-opt flag) — "
+                     "bounded sides only; apparatus, not a production "
+                     "path (the production search is op-pq-topk).",
     "op-lm-score": "BNLJ = join(broadcast(1-row corpus total)) — scalar "
                    "normalization constant attached to every row; a shuffle "
                    "join on a literal key would be strictly worse.",
