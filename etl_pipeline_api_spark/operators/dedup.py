@@ -755,3 +755,68 @@ def span_dup_stats(
             4,
         ).alias("dup_frac"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """op-containment-dedup: near-SUPERSET pairs by shingle containment
+    C(a,b) = |S(a)∩S(b)| / min(|S(a)|,|S(b)|) — the asymmetric score
+    symmetric Jaccard structurally misses: a document quoted whole
+    inside a 10× larger one has J ≈ 0.1 but C = 1.0. LLM-corpus dedup
+    needs both (MinHash/Jaccard for near-identical pairs, containment
+    for embedded copies — the Broder resemblance/containment split).
+
+    Same two-shuffle shape as ``ngram_jaccard_pairs`` (shared-shingle
+    equi-join on xxhash64'd int64 keys with set sizes riding along, one
+    pair aggregation), same ``max_df`` hot-shingle guard bounding the
+    candidate mass to O(max_df · corpus). Emits (id_a, id_b, inter,
+    n_small, n_big, containment, jaccard) with id_a < id_b — jaccard
+    rides along so a consumer can split "embedded copy" (high C, low J)
+    from "near-identical" (both high) without a second pass.
+    """
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "shingle", F.xxhash64("shingle")
+    )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle").count().filter(F.col("count") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle").withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("__id"))
+        )
+    a = sh.select(F.col("__id").alias("id_a"), "shingle", F.col("n_sh").alias("na"))
+    b = sh.select(F.col("__id").alias("id_b"), "shingle", F.col("n_sh").alias("nb"))
+    scored = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("na")).alias("na"),
+            F.any_value(F.col("nb")).alias("nb"),
+        )
+        .withColumn("n_small", F.least("na", "nb"))
+        .withColumn("n_big", F.greatest("na", "nb"))
+        .withColumn("containment", F.col("inter") / F.col("n_small"))
+    )
+    return (
+        scored.filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("n_small").cast("long").alias("n_small"),
+            F.col("n_big").cast("long").alias("n_big"),
+            F.round("containment", 4).alias("containment"),
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+    )

@@ -1198,3 +1198,133 @@ def grouped_linear_fit(
         )
 
     return stats_df.groupBy("__g").applyInPandas(solve_groups, out_schema)
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    c_alpha: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the first and
+    second half of each series — the distribution-shape companion to
+    ``psi_drift`` (PSI sees bucket mass shifts; KS sees ANY CDF
+    separation, bucket-free).
+
+    The split point is the same deterministic integer time midpoint as
+    psi_drift. The statistic is computed EXACTLY in integers: with
+    per-side cumulative counts c_base(x), c_cur(x) at each distinct
+    value x, D = max|c_base·n_cur − c_cur·n_base| / (n_base·n_cur) —
+    the numerator is an int64 max (no float CDF subtraction), so the
+    result is partitioning- and engine-independent and the final
+    division is ONE IEEE op both engines perform identically.
+    ``drifted`` applies the standard two-sample rejection bound
+    D > c(α)·√((n1+n2)/(n1·n2)) (c=1.358 ↔ α=0.05).
+
+    Scale shape: one map-combined groupBy(group, value, side) collapses
+    the fact table to the distinct-value frame FIRST; the ordered
+    running-sum window then runs over that collapsed frame, one task
+    per group. For bounded-cardinality metrics that frame is tiny; for
+    a continuous metric with ~all-distinct values on a 100 TB single
+    group, pre-quantize the value (the psi_drift bucketing) or use the
+    global_row_index range-partition prefix-sum shape instead.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    spans = df.groupBy(F.col(group_col).alias("__kg")).agg(
+        ((F.min(us) + F.max(us)) / 2).cast("long").alias("__mid")
+    )
+    tagged = df.join(
+        F.broadcast(spans), F.col(group_col) == F.col("__kg")
+    ).withColumn("__cur", (us >= F.col("__mid")).cast("int"))
+    per_val = tagged.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col("__cur") == 0, 1).otherwise(0)).alias("d_base"),
+        F.sum(F.col("__cur")).alias("d_cur"),
+    )
+    w_run = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("g")
+    cum = per_val.select(
+        "g",
+        F.sum("d_base").over(w_run).alias("c_base"),
+        F.sum("d_cur").over(w_run).alias("c_cur"),
+        F.sum("d_base").over(w_all).alias("n_base"),
+        F.sum("d_cur").over(w_all).alias("n_cur"),
+    )
+    out = cum.groupBy("g").agg(
+        F.max(
+            F.abs(
+                F.col("c_base") * F.col("n_cur")
+                - F.col("c_cur") * F.col("n_base")
+            )
+        ).alias("d_num"),
+        F.max("n_base").alias("n_base"),
+        F.max("n_cur").alias("n_cur"),
+    )
+    nn = F.col("n_base") * F.col("n_cur")
+    ks_d = F.col("d_num") / nn
+    bound = F.lit(c_alpha) * F.sqrt(
+        (F.col("n_base") + F.col("n_cur")) / nn
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.round(ks_d, 6).alias("ks_d"),
+        F.when(nn > 0, (ks_d > bound).cast("int")).alias("drifted"),
+    )
+
+
+def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Pearson χ² test of independence between two categorical columns —
+    the hypothesis-test companion to ``mutual_info`` (MI measures the
+    association's size in bits; χ²/Cramér's V calibrates it against the
+    independence null).
+
+    One map-combined joint ``groupBy(x, y).count()`` is the ONLY pass
+    over the fact table (the mutual_info shape); marginals are window
+    sums over the tiny |X|·|Y| joint frame. Observed-zero cells
+    contribute e (not 0) to χ², so the sum runs over the PRESENT cells
+    plus a closed-form correction: Σ_missing e = n − Σ_present e — no
+    dense cell cross join is materialized. Output one row:
+    (n, n_levels_x, n_levels_y, dof, chi2, cramers_v).
+    """
+    joint = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    w_all = Window.partitionBy()
+    cells = joint.select(
+        "n_xy",
+        F.sum("n_xy").over(w_all).alias("n"),
+        F.sum("n_xy").over(Window.partitionBy("x")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("y")).alias("n_y"),
+        F.size(F.collect_set("x").over(w_all)).alias("kx"),
+        F.size(F.collect_set("y").over(w_all)).alias("ky"),
+    )
+    # n_x·n_y as double BEFORE the divide: a long×long product overflows
+    # at n ≳ 3e9 rows; sub-ulp exactness holds while counts < 2^53 (and
+    # DuckDB's hugeint product lands on the same double in that range)
+    e = F.col("n_x").cast("double") * F.col("n_y") / F.col("n")
+    chi2 = (
+        F.sum((F.col("n_xy") - e) * (F.col("n_xy") - e) / e)
+        + F.max("n")
+        - F.sum(e)
+    )
+    k_min = F.least(F.max("kx") - 1, F.max("ky") - 1)
+    return cells.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("kx").cast("int").alias("n_levels_x"),
+        F.max("ky").cast("int").alias("n_levels_y"),
+        ((F.max("kx") - 1) * (F.max("ky") - 1)).cast("int").alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.when(
+                k_min > 0, F.sqrt(chi2 / (F.max("n") * k_min))
+            ),
+            4,
+        ).alias("cramers_v"),
+    )

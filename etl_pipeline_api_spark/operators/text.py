@@ -658,3 +658,82 @@ def bpe_encode(
     return df.select(
         F.col(id_col), _enc(F.col(text_col)).alias("__e")
     ).select(id_col, "__e.n_chars_tok", "__e.n_bpe_tok")
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information phrase mining: adjacent-token pairs
+    that co-occur far more than their unigram frequencies predict — the
+    classic collocation detector (word2vec-style phrase merging) a
+    corpus pipeline runs before vocabulary decisions.
+
+    PMI(w1,w2) = ln( (c12/N2) / ((c1/N1)·(c2/N1)) ) over corpus-total
+    counts: c12 = bigram occurrences (N2 their total), c1/c2 = unigram
+    occurrences (N1 their total). All five inputs are exact integers
+    carried into the output, so the one ln+round is the only float step.
+
+    Scale shape: two map-combined explode→groupBy counts (bigrams,
+    unigrams) collapse the corpus to vocabulary-sized frames; unigram
+    counts then attach to the bigram frame via two BROADCAST joins
+    (vocabulary ≪ corpus — the standard assumption; if the vocab
+    outgrows broadcast, drop the hint and the same plan shuffles on the
+    word key). ``min_count`` bounds the output to stable collocations.
+    """
+    from ..session import fan_out
+
+    toks_df = fan_out(df).select(tokens_expr(text_col).alias("__toks"))
+    toks_df = toks_df.withColumn(
+        "__toks", F.filter("__toks", lambda t: t != F.lit(""))
+    )
+    uni = (
+        toks_df.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    m = F.size("__toks") - 1
+    pairs = toks_df.select(
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.zip_with(
+                    F.slice("__toks", 1, m),
+                    F.slice("__toks", 2, m),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_12"))
+    w_all = Window.partitionBy()
+    big = big.withColumn("n_bigrams", F.sum("c_12").over(w_all))
+    uni = uni.withColumn("n_unigrams", F.sum("c_w").over(w_all))
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_1"),
+                                "n_unigrams"))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_2")))
+    out = (
+        big.filter(F.col("c_12") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+    )
+    pmi = F.log(
+        (F.col("c_12") / F.col("n_bigrams"))
+        / (
+            (F.col("c_1") / F.col("n_unigrams"))
+            * (F.col("c_2") / F.col("n_unigrams"))
+        )
+    )
+    return out.select(
+        "w1",
+        "w2",
+        F.col("c_12").cast("long").alias("c_12"),
+        F.col("c_1").cast("long").alias("c_1"),
+        F.col("c_2").cast("long").alias("c_2"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_unigrams").cast("long").alias("n_unigrams"),
+        # +0.0 canonicalizes IEEE negative zero (round(ln(1-ε),4) → -0.0)
+        (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
+    )
