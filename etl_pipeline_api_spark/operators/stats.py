@@ -1264,10 +1264,13 @@ def ks_test(
         F.max("n_base").alias("n_base"),
         F.max("n_cur").alias("n_cur"),
     )
+    # try_divide: a one-sided group (all rows before/after its midpoint —
+    # fuzz-reachable) has n_base·n_cur = 0; KS is undefined there and both
+    # engines must say NULL (ANSI `/` would throw, DuckDB returns NULL)
     nn = F.col("n_base") * F.col("n_cur")
-    ks_d = F.col("d_num") / nn
+    ks_d = F.try_divide(F.col("d_num"), nn)
     bound = F.lit(c_alpha) * F.sqrt(
-        (F.col("n_base") + F.col("n_cur")) / nn
+        F.try_divide(F.col("n_base") + F.col("n_cur"), nn)
     )
     return out.select(
         F.col("g").alias(group_col),
@@ -1315,7 +1318,7 @@ def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
         - F.sum(e)
     )
     k_min = F.least(F.max("kx") - 1, F.max("ky") - 1)
-    return cells.agg(
+    out = cells.agg(
         F.max("n").cast("long").alias("n"),
         F.max("kx").cast("int").alias("n_levels_x"),
         F.max("ky").cast("int").alias("n_levels_y"),
@@ -1328,3 +1331,7 @@ def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             4,
         ).alias("cramers_v"),
     )
+    # empty input: the global agg manufactures one all-NULL row, but the
+    # test is undefined on no data — emit ZERO rows (what a SQL twin's
+    # GROUP BY over the empty cell frame produces)
+    return out.where(F.col("n").isNotNull())
