@@ -364,6 +364,17 @@ def write_md() -> dict[str, dict]:
             f.write("\n")
             _emit_table(f, rows10, {}, with_delta=False)
             _summary(f, rows10, len(names10))
+        else:
+            f.write(
+                "\n# Second decade: sf1 -> sf10 — not re-measured in "
+                "this run\n\nThe sf10 scratch replica (gitignored "
+                "./testdata_sf10, ~60M-row lineitem) was evicted with a "
+                "container reset and regenerating + re-running the heavy "
+                "family does not fit the round budget; the r10-measured "
+                "rows live in git history (BENCH_SCALING.md @ cf9740d). "
+                "Engine changes since are covered by the sf1 curve above "
+                "and the full sf1 oracle disposition (SF1CHECK_r11.md).\n"
+            )
         _emit_crossover(f)
     return acc if MODE != "sf10" else acc10
 
