@@ -123,9 +123,9 @@ def test_bench_regress_flags_seeded_regression(tmp_path):
     old.write_text(json.dumps({"queries": {"op-a": 1.0, "op-b": 0.5}}))
     new.write_text(json.dumps({"queries": {"op-a": 2.0, "op-b": 0.52}}))
     qo, qn = br.load_queries(str(old)), br.load_queries(str(new))
-    regs, waived, drift = br.compare(qo, qn)
+    regs, waived, watch, drift = br.compare(qo, qn)
     assert len(regs) == 1 and regs[0].startswith("op-a")  # b within wobble
-    assert waived == []
+    assert waived == [] and watch == []
     # lower-median drift: op-b's 1.04 ratio, not the seeded 2.0
     assert abs(drift - 1.04) < 1e-9
 
@@ -152,7 +152,7 @@ def test_bench_regress_passes_on_improvement(tmp_path):
     new.write_text(json.dumps({"queries": {"op-a": 1.0, "op-new": 9.9}}))
     assert br.compare(
         br.load_queries(str(old)), br.load_queries(str(new))
-    ) == ([], [], 1.0)  # drift clamps at 1.0 on an all-faster batch
+    ) == ([], [], [], 1.0)  # drift clamps at 1.0 on an all-faster batch
 
 
 def test_query_registry_rejects_duplicate_names():
@@ -171,7 +171,7 @@ def test_bench_regress_waiver_downgrades_known_slowdown(tmp_path, monkeypatch):
     # a UNIFORM 2x slowdown must still fail the gate even with drift
     # normalization (drift caps at 1.25; 2x is +60% adjusted) — the
     # normalizer absorbs container spread, not code-caused slowdowns
-    regs, waived, drift = br.compare(
+    regs, waived, watch, drift = br.compare(
         {"op-w": 1.0, "op-x": 1.0}, {"op-w": 2.0, "op-x": 2.0}
     )
     assert drift == 1.25
@@ -218,9 +218,12 @@ def test_bench_regress_min_strips_one_sided_noise(tmp_path):
         "queries_min": {"op-a": 1.05, "op-b": 1.8},
     }))
     d = json.load(open(new))
-    regs, waived, drift = br.compare(
+    regs, waived, watch, drift = br.compare(
         br.load_queries(str(old)), br.load_queries(str(new)),
         d["queries_min"],
     )
     assert len(regs) == 1 and regs[0].startswith("op-b"), regs
     assert waived == []
+    # the min rescued op-a's inflated median -> visible as a WATCH line
+    # (r10 ADVICE), never silently dropped
+    assert len(watch) == 1 and watch[0].startswith("op-a"), watch
