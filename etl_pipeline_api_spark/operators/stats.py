@@ -677,7 +677,7 @@ def psi_drift(
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     spans = df.groupBy(F.col(group_col).alias("__pg")).agg(
-        ((F.min(us) + F.max(us)) / 2).cast("long").alias("__mid")
+        F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("__mid")
     )
     tagged = df.join(
         F.broadcast(spans), F.col(group_col) == F.col("__pg")
@@ -871,7 +871,7 @@ def cuped_adjustment(
     m = events.where(F.col(type_col) == metric_type)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     span = m.agg(
-        ((F.min(us) + F.max(us)) / 2).cast("long").alias("mid")
+        F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("mid")
     )
     tagged = m.crossJoin(F.broadcast(span))
     per_user = tagged.groupBy(F.col(user_col).alias("u")).agg(
@@ -1232,7 +1232,7 @@ def ks_test(
     """
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     spans = df.groupBy(F.col(group_col).alias("__kg")).agg(
-        ((F.min(us) + F.max(us)) / 2).cast("long").alias("__mid")
+        F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("__mid")
     )
     tagged = df.join(
         F.broadcast(spans), F.col(group_col) == F.col("__kg")
@@ -1312,23 +1312,32 @@ def chi2_independence(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     # at n ≳ 3e9 rows; sub-ulp exactness holds while counts < 2^53 (and
     # DuckDB's hugeint product lands on the same double in that range)
     e = F.col("n_x").cast("double") * F.col("n_y") / F.col("n")
-    chi2 = (
+    # clamp at 0: at (near-)exact independence the closed-form missing-
+    # cell correction can cancel to a tiny NEGATIVE float, which would
+    # make sqrt() NaN here and CRASH DuckDB's sqrt in the oracle twin
+    chi2 = F.greatest(
         F.sum((F.col("n_xy") - e) * (F.col("n_xy") - e) / e)
         + F.max("n")
-        - F.sum(e)
+        - F.sum(e),
+        F.lit(0.0),
     )
     k_min = F.least(F.max("kx") - 1, F.max("ky") - 1)
+    # + 0.0 canonicalizes -0.0 → +0.0 at knife-edge rounds (the
+    # pmi_bigrams convention) so both engines hash identically
     out = cells.agg(
         F.max("n").cast("long").alias("n"),
         F.max("kx").cast("int").alias("n_levels_x"),
         F.max("ky").cast("int").alias("n_levels_y"),
         ((F.max("kx") - 1) * (F.max("ky") - 1)).cast("int").alias("dof"),
-        F.round(chi2, 4).alias("chi2"),
-        F.round(
-            F.when(
-                k_min > 0, F.sqrt(chi2 / (F.max("n") * k_min))
-            ),
-            4,
+        (F.round(chi2, 4) + F.lit(0.0)).alias("chi2"),
+        (
+            F.round(
+                F.when(
+                    k_min > 0, F.sqrt(chi2 / (F.max("n") * k_min))
+                ),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("cramers_v"),
     )
     # empty input: the global agg manufactures one all-NULL row, but the

@@ -94,14 +94,17 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(kx AS INTEGER) AS n_levels_x,
            CAST(ky AS INTEGER) AS n_levels_y,
            CAST((kx - 1) * (ky - 1) AS INTEGER) AS dof,
-           round(sum((n_xy - (n_x * n_y) / n) * (n_xy - (n_x * n_y) / n)
+           round(greatest(
+                 sum((n_xy - (n_x * n_y) / n) * (n_xy - (n_x * n_y) / n)
                      / ((n_x * n_y) / n))
-                 + max(n) - sum((n_x * n_y) / n), 4) AS chi2,
+                 + max(n) - sum((n_x * n_y) / n), 0.0), 4) + 0.0 AS chi2,
            round(CASE WHEN least(kx - 1, ky - 1) > 0 THEN
-             sqrt((sum((n_xy - (n_x * n_y) / n) * (n_xy - (n_x * n_y) / n)
+             sqrt(greatest(
+                  sum((n_xy - (n_x * n_y) / n) * (n_xy - (n_x * n_y) / n)
                        / ((n_x * n_y) / n))
-                   + max(n) - sum((n_x * n_y) / n))
-                  / (max(n) * least(kx - 1, ky - 1))) END, 4) AS cramers_v
+                   + max(n) - sum((n_x * n_y) / n), 0.0)
+                  / (max(n) * least(kx - 1, ky - 1))) END, 4) + 0.0
+             AS cramers_v
     FROM cells, k GROUP BY kx, ky
     """,
 )

@@ -103,14 +103,29 @@ def test_chi2_exact_independence_is_zero(spark):
     assert r["cramers_v"] == pytest.approx(0.0)
 
 
+def test_chi2_independence_clamped_non_negative_plus_zero(spark):
+    # At (near-)exact independence float cancellation in
+    # sum((n_xy-e)^2/e) + n - sum(e) can land a tiny NEGATIVE chi2,
+    # which would NaN Spark's sqrt and CRASH DuckDB's (it throws on
+    # sqrt(<0)). The greatest(chi2, 0) clamp plus the +0.0 negative-
+    # zero canonicalization must pin BOTH outputs to exactly +0.0.
+    rows = [("a", "u")] * 3 + [("a", "v")] * 3 + [("b", "u")] * 3 + [
+        ("b", "v")
+    ] * 3
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = stats.chi2_independence(df, "x", "y").collect()[0]
+    assert r["chi2"] == 0.0 and math.copysign(1.0, r["chi2"]) == 1.0
+    assert not math.isnan(r["cramers_v"])
+    assert r["cramers_v"] == 0.0
+    assert math.copysign(1.0, r["cramers_v"]) == 1.0
+
+
 def test_chi2_observed_zero_cell_counts_expected_mass(spark):
-    # ('b','v') never observed: its expected count e = 6*6/12 = 3 must
-    # still contribute e to chi2 (closed-form missing-cell fold). Hand
-    # value: cells (a,u)=2 e=3, (a,v)=4... wait — marginals: x:a=6,b=6;
-    # y:u=6,v=6; observed (a,u)=2,(a,v)=4,(b,u)=4? -> use a clean case:
-    # (a,u)=6, (b,v)=0 absent, (b,u)=0 absent... keep dependence total:
-    # x=a always u (6 rows), x=b always v (6 rows): chi2 = 12, V = 1,
-    # and TWO cells are missing from the joint frame.
+    # Total dependence with TWO cells absent from the joint frame:
+    # x=a always pairs with u (6 rows), x=b always with v (6 rows), so
+    # (a,v) and (b,u) are never observed. Each absent cell's expected
+    # count e = 6*6/12 = 3 must still contribute e to chi2 via the
+    # closed-form missing-cell fold: chi2 = 12, Cramér's V = 1.
     rows = [("a", "u")] * 6 + [("b", "v")] * 6
     df = spark.createDataFrame(rows, "x string, y string")
     r = stats.chi2_independence(df, "x", "y").collect()[0]
