@@ -201,6 +201,71 @@ def test_bench_regress_orders_builder_head_records(tmp_path, monkeypatch):
     assert new_p.endswith("BENCH_r10.json")
 
 
+def test_bench_regress_segment_pressure_brackets_and_clamps():
+    """r12 (VERDICT r11 task 1): mid-batch probe samples let the gate
+    scale each query's expectation by the pressure its own SEGMENT
+    measured — the max of the two bracketing samples' component-median
+    ratios vs the batch-start anchor, clamped to [1.0, 2.0]."""
+    br = _bench_regress()
+    anchor = {"cpu": 0.1, "shuffle": 0.4, "scan": 0.2, "python": 0.3,
+              "total": 1.0, "after": 0}
+    calm = dict(anchor, after=15)
+    hot = {"cpu": 0.16, "shuffle": 0.64, "scan": 0.32, "python": 0.48,
+           "total": 1.6, "after": 30}
+    probes = [anchor, calm, hot]
+    # pos 5: bracketed by (anchor, calm) -> no pressure
+    assert br.segment_pressure(probes, 5) == 1.0
+    # pos 20: bracketed by (calm, hot) -> max of the two = 1.6
+    assert abs(br.segment_pressure(probes, 20) - 1.6) < 1e-9
+    # pos 40: past the last sample -> that sample's pressure
+    assert abs(br.segment_pressure(probes, 40) - 1.6) < 1e-9
+    # legacy record (no samples) -> neutral
+    assert br.segment_pressure(None, 5) == 1.0
+    # a 5x sample clamps at 2.0 — beyond that the gate must fail loud
+    wild = {k: (v * 5 if k != "after" else 60) for k, v in anchor.items()}
+    assert br.segment_pressure([anchor, wild], 50) == 2.0
+
+
+def test_bench_regress_segment_pressure_scales_expectation():
+    """A query inside a measured-hot segment passes when its delta is
+    inside the segment's pressure; a query in a CALM segment with the
+    same delta still fails (pressure elsewhere can't launder it)."""
+    br = _bench_regress()
+    anchor = {"cpu": 0.1, "shuffle": 0.4, "scan": 0.2, "python": 0.3,
+              "total": 1.0, "after": 0}
+    hot = {k: (v * 1.8 if k != "after" else 1) for k, v in anchor.items()}
+    calm_tail = dict(anchor, after=2)
+    # op-a sits in the hot segment (pos 0: bracketed by anchor+hot);
+    # op-b in the calm tail (pos 1: bracketed by hot+calm -> max 1.8...)
+    # use three queries so op-c (pos 2) is bracketed calm-calm.
+    old = {"op-a": 1.0, "op-b": 1.0, "op-c": 1.0}
+    new = {"op-a": 1.7, "op-b": 1.0, "op-c": 1.7}
+    probes = [anchor, hot, calm_tail, dict(anchor, after=3)]
+    regs, waived, watch, drift = br.compare(
+        old, new, drift=1.0, new_probes=probes
+    )
+    # op-a (+70%) cleared by its segment's 1.8x pressure; op-c (+70%)
+    # sits between two CALM samples -> real regression, flagged
+    assert len(regs) == 1 and regs[0].startswith("op-c"), regs
+
+
+def test_bench_regress_retry_rescues_spike_but_stays_visible():
+    """r12: the bench's own deferred re-measurement (retries) joins the
+    v_eff pool — a pressure spike re-measures healthy and clears the
+    flag (as a WATCH line, never silently); a regression whose retry is
+    still slow stands."""
+    br = _bench_regress()
+    old = {"op-spike": 1.0, "op-real": 1.0}
+    new = {"op-spike": 3.4, "op-real": 3.4}
+    regs, waived, watch, drift = br.compare(
+        old, new, drift=1.0,
+        retries={"op-spike": 1.05, "op-real": 3.3},
+        retries_min={"op-spike": 0.98, "op-real": 3.2},
+    )
+    assert len(regs) == 1 and regs[0].startswith("op-real"), regs
+    assert any(w.startswith("op-spike") and "[retry" in w for w in watch)
+
+
 def test_bench_regress_min_strips_one_sided_noise(tmp_path):
     """r10: when the new record carries per-query minimums, the gate
     tests the min — scheduler/GC noise only ADDS time, so a median
