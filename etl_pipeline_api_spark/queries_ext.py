@@ -791,18 +791,14 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import events as sev
 
     stream = sev.read_events_stream(spark, sf_dir)
-    # A PYTHON-stateful drain is parallelism-bound, not store-overhead-
-    # bound: each partition is one python worker, so size the count to
-    # the session's CORES rather than the JVM-stateful drain default (8)
-    # or the SQL shuffle width. Measured: at local[32]/sf1 the drain
-    # reads 4.1 s at 32 partitions vs 7.4 s at 8 (workers starved); at
-    # the gate's local[4]/sf0.01 it reads ~1.4 s at 4-8 partitions vs
-    # 15-22 s at 32 (8 task waves, each paying python spawn + state
-    # store init on 4 cores). defaultParallelism is both at once.
+    # Python-stateful drain width sized to the BACKLOG (r12): one
+    # worker+store per ~128 KiB clamped to [min(8, cores), cores] —
+    # the measured winner at sf0.01/0.1/1 on both local[4] and
+    # local[32]; see python_stateful_drain_partitions for the numbers.
     out = sev.run_available_now(
         sev.user_running_totals(stream),
         output_mode="update",
-        state_partitions=spark.sparkContext.defaultParallelism,
+        state_partitions=sev.python_stateful_drain_partitions(spark, sf_dir),
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (

@@ -506,7 +506,11 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = ["view", "click", "purchase"]
     stream = sev.read_events_stream(spark, sf_dir)
     per_user = sev.run_available_now(
-        sev.funnel_stage_stream(stream, steps), output_mode="update"
+        sev.funnel_stage_stream(stream, steps),
+        output_mode="update",
+        # python-stateful drain: backlog-sized width (r12, measured in
+        # python_stateful_drain_partitions)
+        state_partitions=sev.python_stateful_drain_partitions(spark, sf_dir),
     )
     final = per_user.groupBy("user_id").agg(F.max("stage").alias("_stage"))
     # coalesce: counts are 0 on an empty stream, not NULL (r10 all-empty

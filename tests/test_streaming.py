@@ -401,3 +401,33 @@ def test_concurrent_drains_conf_race_and_snapshot(spark, sf_dir):
     import shutil as _sh
 
     _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_python_stateful_drain_partitions_backlog_sized(spark, tmp_path):
+    """r12: the python-stateful drain width follows the backlog —
+    one partition per ~128 KiB clamped to [min(8, cores), cores] —
+    so a tiny backlog never pays 32 workers' spin-up and a large one
+    never starves the box (measured table in the function docstring)."""
+    dp = spark.sparkContext.defaultParallelism
+    floor = min(8, dp)
+    # tiny flat file -> floor
+    small = tmp_path / "events.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert sev.python_stateful_drain_partitions(spark, str(tmp_path)) == floor
+    # directory layout: sums leaf files, skips _SUCCESS-style sentinels
+    big = tmp_path / "dir" / "events.parquet"
+    big.mkdir(parents=True)
+    (big / "part-0.parquet").write_bytes(b"x" * (128 * 1024 * 10))
+    (big / "part-1.parquet").write_bytes(b"x" * (128 * 1024 * 10))
+    (big / "_SUCCESS").write_bytes(b"x" * (128 * 1024 * 100))
+    got = sev.python_stateful_drain_partitions(spark, str(tmp_path / "dir"))
+    assert got == max(floor, min(dp, 20))
+    # huge backlog clamps at the session's cores
+    (big / "part-2.parquet").write_bytes(b"x" * (128 * 1024 * 500))
+    assert sev.python_stateful_drain_partitions(
+        spark, str(tmp_path / "dir")
+    ) == dp
+    # missing path (non-local URI shape) -> full width, no crash
+    assert sev.python_stateful_drain_partitions(
+        spark, str(tmp_path / "nope")
+    ) == dp

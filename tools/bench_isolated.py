@@ -54,7 +54,16 @@ def main() -> int:
         fn = QUERIES[name]
         gc.collect()
         spark._jvm.System.gc()
-        bench.force(fn(spark, sf_dir))  # warmup
+        # TWO warmups (r12): the streaming drains showed a multi-run JIT
+        # decay curve — a fresh session's first stateful drain reads
+        # ~8.9 s, the second ~4.0 s, then stable 2.2-2.7 s (the micro-
+        # batch engine, state store, and Arrow stateful-runner classes
+        # all compile on the first drains). One warmup sampled the curve
+        # mid-decay and produced r11's 2.2-8.6 s "variance"; two warmups
+        # collapse the 7-run spread to <=1.3x. Batch queries reach
+        # steady state on warmup 1 and are unaffected by warmup 2.
+        bench.force(fn(spark, sf_dir))
+        bench.force(fn(spark, sf_dir))
         runs = []
         for _ in range(RUNS):
             gc.collect()
