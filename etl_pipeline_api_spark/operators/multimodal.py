@@ -133,6 +133,87 @@ def frame_sample(
     )
 
 
+def phash_fingerprints(
+    feats: DataFrame, id_col: str, feature_dim: int = 8
+) -> DataFrame:
+    """pHash-style 64-bit perceptual fingerprint from decoded features
+    (VERDICT r11 task 4).
+
+    Classic pHash quantizes an image's low-frequency DCT coefficients
+    and compares fingerprints by Hamming distance; here the decoder's
+    feature vector plays the coefficient role (with a real decoder,
+    inject one that returns the 8 lowest DCT coefficients — same
+    signature, same plumbing). Each feature in [0, 1] is quantized to a
+    byte (``floor(f*256)`` clamped) and GRAY-CODED (``q XOR q>>1``) so
+    a small feature delta flips few bits — the property plain binary
+    quantization lacks (127 vs 128 differ in 8 bits; Gray: 1) and the
+    reason Hamming distance on the packed code tracks feature
+    distance. The 8 Gray bytes pack into one signed 64-bit fingerprint
+    (byte 7 sign-handled portably, so a DuckDB oracle reproduces the
+    exact long), column-named ``simhash`` so the banded-candidate
+    machinery (dedup.simhash_band_candidates) applies unchanged.
+
+    Everything here is JVM-side Column arithmetic over the feature
+    array — the only Python in the pipeline is the decoder batch UDF.
+    """
+    assert feature_dim == 8, "the 64-bit packing is 8 bytes by design"
+    cols = [F.col(id_col)]
+    for i in range(feature_dim):
+        q = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor(F.col("features").getItem(i) * 256).cast("int"),
+            ),
+        )
+        cols.append(q.bitwiseXOR(F.shiftright(q, 1)).alias(f"g{i}"))
+    withg = feats.select(*cols)
+    # byte 7 occupies bits 56-63: map [128, 255] to its negative two's-
+    # complement value BEFORE the multiply so the arithmetic stays in
+    # signed-long range on engines that overflow-check (DuckDB)
+    fp = (
+        F.when(F.col("g7") >= 128, F.col("g7") - 256)
+        .otherwise(F.col("g7"))
+        .cast("long")
+        * F.lit(1 << 56)
+    )
+    for i in range(7):
+        fp = fp + F.col(f"g{i}").cast("long") * F.lit(1 << (8 * i))
+    return withg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def neardup_payloads(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    decoder: Callable[[bytes, dict], np.ndarray] = fake_decode,
+    hamming_max: int = 12,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Perceptual near-dup pairs for multimodal payloads — the
+    one-bit-re-encode case ``dedup_payloads`` (exact sha256) cannot see.
+
+    Pipeline: Arrow-batched decode (``decode_features``) → Gray-coded
+    pHash fingerprints (``phash_fingerprints``) → banded Hamming
+    candidates via the simhash LSH machinery (equal 16-bit band ⇒
+    candidate; hamming ≤ n_bands−1 guarantees a shared band, so the
+    band join is a lossless filter for ``hamming_max < n_bands``
+    thresholds per band width, and a high-recall one above) → exact
+    Hamming filter JVM-side (``bit_count(xor)``). Linear shuffles
+    end-to-end; ``max_bucket`` is the standard bucket-skew guard
+    (oversized 16-bit-band clusters are the exact-dup case, handled by
+    ``dedup_payloads`` first). Output: (id_a, id_b, hamming) with
+    id_a < id_b.
+    """
+    from .dedup import simhash_band_candidates
+
+    feats = decode_features(df, id_col, payload_col, meta_col, decoder)
+    fp = phash_fingerprints(feats, id_col)
+    cand = simhash_band_candidates(fp, id_col, n_bands=4, max_bucket=max_bucket)
+    return cand.where(F.col("hamming") <= hamming_max)
+
+
 def dedup_payloads(
     df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:

@@ -720,6 +720,77 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# op-multimodal-neardup oracle: re-derive the ENTIRE perceptual pipeline
+# in SQL — sha256-digest features (as in _DECODE_ORACLE), [0,1]-byte
+# quantization, Gray coding, signed-64 packing, 16-bit band self-join
+# with the bucket-skew guard, Hamming filter. Every step is integer-
+# or single-IEEE-op exact, so the pair set hash-matches bit-for-bit.
+_NEARDUP_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, sha256(coalesce(text, '')) AS hx FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"CAST(least(255, greatest(0, floor(({_digest_byte(i)})"
+                 f" / 255.0 * 256))) AS INTEGER) AS q{i}"
+                 for i in range(8)
+             )}
+      FROM h
+    ),
+    g AS (
+      SELECT doc_id,
+             {", ".join(f"xor(q{i}, q{i} >> 1) AS g{i}" for i in range(8))}
+      FROM q
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(CASE WHEN g7 >= 128 THEN g7 - 256 ELSE g7 END AS BIGINT)
+               * (CAST(1 AS BIGINT) << 56)
+             + {" + ".join(f"CAST(g{i} AS BIGINT) * {1 << (8 * i)}" for i in range(7))}
+               AS fp,
+             {", ".join(f"(g{2 * k} + 256 * g{2 * k + 1}) AS band{k}" for k in range(4))}
+      FROM g
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, fp, {k} AS band, band{k} AS val FROM fp"
+          for k in range(4)
+      )}
+    ),
+    guarded AS (
+      SELECT doc_id, fp, band, val FROM (
+        SELECT doc_id, fp, band, val,
+               count(*) OVER (PARTITION BY band, val) AS bn
+        FROM bands)
+      WHERE bn <= 64
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM guarded a JOIN guarded b ON a.band = b.band AND a.val = b.val
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 12
+"""
+
+
+@query("op-multimodal-neardup", oracle=_NEARDUP_ORACLE)
+def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-multimodal-neardup: perceptual near-dup pairs over opaque
+    payloads (multimodal.neardup_payloads) — Arrow-batched decode →
+    Gray-coded pHash fingerprints → banded Hamming candidates (the
+    simhash LSH machinery) → exact bit_count(xor) filter. The exact
+    sha256 dedup (op-multimodal-dedup) misses a one-bit re-encode by
+    construction; this is the curation pass that catches it. The stub
+    decoder keeps the fingerprints deterministic, so the oracle replays
+    the full pipeline in SQL."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    wrapped = multimodal.attach_payload(
+        docs, "payload", "image", "application/octet-stream"
+    )
+    return multimodal.neardup_payloads(wrapped, "doc_id")
+
+
 # ---------------------------------------------------------------------
 # streaming (batch/stream dual plans; streaming execution via AvailableNow)
 # ---------------------------------------------------------------------

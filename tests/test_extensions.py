@@ -200,6 +200,80 @@ def test_multimodal_real_decode_is_stubbed():
         multimodal.real_decode(b"x", {})
 
 
+def _make_byte_decoder():
+    """Locality-preserving stand-in for a perceptual decoder: features =
+    the first 8 payload bytes / 255 (a real pHash decoder returns low-
+    frequency DCT coefficients — near-identical media give near features;
+    sha-avalanche fake_decode deliberately does NOT, so the perceptual
+    property is pinned through the injection point). Returned as a
+    CLOSURE so cloudpickle ships it by value — a module-level test
+    function would serialize by reference to a module the executors
+    cannot import."""
+
+    def decode(payload, meta):
+        import numpy as np
+
+        return (
+            np.frombuffer(
+                (payload or b"")[:8].ljust(8, b"\0"), dtype=np.uint8
+            )
+            / 255.0
+        )
+
+    return decode
+
+
+def test_multimodal_neardup_pairs_near_payload_not_unrelated(spark):
+    # A and B differ by one quantization step in ONE feature byte (a
+    # one-bit-re-encode analog); C is unrelated. Gray coding keeps the
+    # A-B Hamming distance tiny (shared bands -> candidate -> kept);
+    # C shares no band with either and must not pair.
+    a = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    b = bytes([10, 20, 30, 40, 50, 60, 70, 81])
+    c = bytes([200, 150, 99, 3, 250, 17, 128, 64])
+    df = spark.createDataFrame(
+        [Row(item_id=0, payload=a), Row(item_id=1, payload=b),
+         Row(item_id=2, payload=c)]
+    )
+    wrapped = multimodal.attach_payload(df, "payload", "image", "image/png")
+    pairs = multimodal.neardup_payloads(
+        wrapped, "item_id", decoder=_make_byte_decoder()
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    assert pairs[0].hamming <= 2  # one Gray step in one byte
+
+
+def test_multimodal_neardup_exact_dup_hamming_zero(spark):
+    # byte-identical payloads fingerprint identically: hamming 0 through
+    # the full banded pipeline (the exact-dedup case stays visible here)
+    p = bytes(range(8))
+    df = spark.createDataFrame(
+        [Row(item_id=7, payload=p), Row(item_id=3, payload=p)]
+    )
+    wrapped = multimodal.attach_payload(df, "payload", "image", "image/png")
+    pairs = multimodal.neardup_payloads(
+        wrapped, "item_id", decoder=_make_byte_decoder()
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(3, 7, 0)]
+
+
+def test_multimodal_phash_gray_locality(spark):
+    # the Gray-coding property the fingerprint depends on: adjacent
+    # quantization levels differ in exactly ONE bit, while plain binary
+    # can flip 8 (127 vs 128) — pin it at the worst-case boundary
+    df = spark.createDataFrame(
+        [
+            Row(item_id=0, features=[127 / 255.0] + [0.0] * 7),
+            Row(item_id=1, features=[128 / 255.0] + [0.0] * 7),
+        ]
+    )
+    fps = {
+        r.item_id: r.simhash
+        for r in multimodal.phash_fingerprints(df, "item_id").collect()
+    }
+    assert bin(fps[0] ^ fps[1]).count("1") == 1
+
+
 def test_frame_sample(spark):
     df = spark.createDataFrame([Row(vid_id=0, raw=b"fake-video")])
     wrapped = multimodal.attach_payload(df, "raw", "video", "video/mp4", duration_s=3.0)
