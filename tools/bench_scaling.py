@@ -87,6 +87,15 @@ QUERIES_TO_SCALE = [
     # its ratio should read the pure scan/codegen growth; pq-topk adds
     # the ADC crossJoin + one window shuffle over the coded corpus
     "op-pq-encode", "op-pq-topk",
+    # r12 (VERDICT r11 task 6): the r11 batch-19 ops' first scaling rows —
+    # grouped regression (per-group applyInPandas over sufficient stats),
+    # KS (distinct-value window; the documented all-distinct single-task
+    # ceiling is the thing to watch), chi2 (joint groupBy + tiny window),
+    # PMI (bigram explode + two group-bys), containment (shingle join
+    # under the df<=64 guard), and the r12 perceptual near-dup (decode
+    # UDF + band self-join)
+    "op-grouped-regression", "op-ks-drift", "op-chi2-independence",
+    "op-pmi-bigrams", "op-containment-dedup", "op-multimodal-neardup",
 ]
 
 # query -> documented output-driven cause; reported but not counted as a
@@ -163,6 +172,15 @@ SF10_QUERIES = [
     # gate on a ~31% md5 sample of the prefix survivors, cutting the
     # candidate mass to (sample/full)^2 ~ 1.5% of that run — feasible.
     "op-corpus-curate-full",
+    # r12 (VERDICT r11 task 6): second-decade rows for the r11 batch-19
+    # ops (sf1 evidence only until now) + the streaming drain at its new
+    # backlog-sized width + the r12 perceptual near-dup. op-ks-drift's
+    # ratio reads the documented distinct-value-window ceiling growing
+    # with 10x values per group — the measurement that tells us when the
+    # pre-quantize alternative becomes mandatory.
+    "op-pq-encode", "op-pq-topk", "op-grouped-regression", "op-ks-drift",
+    "op-chi2-independence", "op-pmi-bigrams", "op-containment-dedup",
+    "op-multimodal-neardup", "op-stream-stateful",
 ]
 
 # sf10 triage (named causes, same policy as EXPECTED_SUPERLINEAR):
@@ -200,6 +218,11 @@ these rows measure the production path itself):
   exact Jaccard join, whose Theta(Sum df^2) candidate mass under the
   generator's bounded vocab spilled >60 GB and filled the disk at sf10
   — measurement apparatus, excluded with that named cause.
+- path-ivf-pairs-k-scaled (r12): ivf_pairs under its documented scale
+  contract, K = N/500 tracking the corpus (candidate mass
+  ~ N^2 n_probe^2 / K stays linear) — the production embedding pair
+  path per the measured crossover table below; the registered
+  op-ivf-pairs pins K for its exhaustive-probe oracle.
 """
 
 
@@ -235,10 +258,28 @@ def _path_minhash_lsh(spark, sf_dir):
     )
 
 
+def _path_ivf_pairs_k_scaled(spark, sf_dir):
+    from etl_pipeline_api_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # the operator's documented scale contract: K tracks N (candidate
+    # mass ~ N^2 * n_probe^2 / K stays linear) — K = N/500 as in the
+    # measured sign-LSH->IVF crossover (tools/bench_crossover.py); at
+    # sf10 that is ~1200 cells over ~600k vectors (VERDICT r11 task 6:
+    # "ivf_pairs's K-tracks-N contract shown at 60M rows" — the sf10
+    # replica; embeddings are its 600k-vector table)
+    n = emb.count()  # parquet metadata count — no full scan
+    return similarity.ivf_pairs(
+        emb, "vec_id", "embedding", threshold=0.8,
+        n_centroids=max(16, n // 500), n_probe=2,
+    )
+
+
 SF10_PATHS = {
     "path-ivf-topk": _path_ivf_topk,
     "path-semdedup-k-scaled": _path_semdedup_k_scaled,
     "path-minhash-lsh": _path_minhash_lsh,
+    "path-ivf-pairs-k-scaled": _path_ivf_pairs_k_scaled,
 }
 
 RESULTS = os.path.join(REPO, ".scratch", "scaling_results.jsonl")
