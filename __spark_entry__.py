@@ -45,6 +45,7 @@ import etl_pipeline_api_spark.queries_rel16  # noqa: E402,F401  (registers relat
 import etl_pipeline_api_spark.queries_rel17  # noqa: E402,F401  (registers relational batch 17: partsupp TPC-H four)
 import etl_pipeline_api_spark.queries_rel18  # noqa: E402,F401  (registers relational batch 18: one-pass model fitting)
 import etl_pipeline_api_spark.queries_rel19  # noqa: E402,F401  (registers relational batch 19: KS/chi2 tests, PMI phrases, containment dedup)
+import etl_pipeline_api_spark.queries_rel20  # noqa: E402,F401  (registers relational batch 20: count-min frequency sketch)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,243 @@
+"""Mergeable frequency sketches (count-min) — SURVEY.md §2.9 breadth.
+
+A 100 TB token/URL/user stream cannot afford an exact per-item count for
+ad-hoc frequency questions; the count-min sketch (Cormode & Muthukrishnan
+2005 — public method) answers point-frequency queries from d·w counters
+with one-sided error: est(x) >= true(x) always, and
+est(x) <= true(x) + N/w with probability 1 - (1/2)^d (d independent
+rows). Both build and probe are single map-combined shuffles here — the
+sketch IS a (row, bucket, cnt) DataFrame, so it merges across
+partitions, days, or clusters by a further groupBy-sum (the
+mergeability that makes it a streaming/distributed primitive).
+
+Hash family: row j's bucket is derived from two sha256 digest bytes of
+the item — deterministic, engine-portable (a DuckDB oracle replays the
+exact sketch: sha256 + hex arithmetic), and pairwise-independent enough
+for the CM guarantee in practice. depth <= 16 (2 bytes per row from the
+32-byte digest).
+
+Reference for parity: the reference engine (proj-eng-dados/main.py) has
+no sketch surface; this is §2.9 LLM-pipeline breadth, same family as
+op-approx-distinct (HLL vs exact anchor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket(item_col, j: int, width: int):
+    """Row-j bucket of an item: digest bytes 2j,2j+1 of sha256(item)
+    mod width — F.conv turns the hex pair into the byte value JVM-side;
+    the DuckDB twin uses the shared strpos hex arithmetic."""
+    hx = F.sha2(item_col.cast("string"), 256)
+    b = (
+        F.conv(F.substring(hx, 4 * j + 1, 2), 16, 10).cast("int") * 256
+        + F.conv(F.substring(hx, 4 * j + 3, 2), 16, 10).cast("int")
+    )
+    return (b % width).cast("int")
+
+
+def countmin_build(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the sketch: (j, bucket, cnt), d·w rows max. ONE
+    map-combined groupBy over the exploded (item, j) stream — at any
+    corpus size the reduce side is bounded by d·w counters, so the
+    shuffle is a broadcast-sized aggregate no matter the input. Items
+    NULL are skipped (they are absence, not a countable token)."""
+    if not 1 <= depth <= 16:
+        raise ValueError(f"countmin: depth {depth} not in [1, 16]")
+    it = df.select(F.col(item_col).alias("__item")).where(
+        F.col("__item").isNotNull()
+    )
+    rows = it.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(F.col("__item"), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb")
+    )
+    return rows.groupBy(
+        F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str, depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for a set of items: join each item's d
+    (j, bucket) probes to the sketch, min over rows — est >= true
+    always (collisions only ADD). Missing (j, bucket) cells count 0
+    (bucket never hit ⇒ estimate 0 ⇒ item unseen). The sketch side is
+    d·w rows — broadcast; the probe is shuffle-free on the item side."""
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(F.col(item_col), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb"),
+    ).select("item", "jb.j", "jb.bucket")
+    joined = probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Top-k items by COUNT-MIN ESTIMATE, with the exact count and the
+    sketch's overestimate carried as the in-plan gate (overcount >= 0
+    always — CM is one-sided; a negative value anywhere is a bug, and
+    the oracle hash-pins every estimate).
+
+    The estimate column genuinely comes from the d·w-counter sketch
+    (what a 100 TB run would keep); the exact column is the gate
+    apparatus — at scale you would drop it and keep the CM guarantee
+    est <= true + N/w w.p. 1-2^-d. Ties break on item for a total
+    order. Output: (item, est, exact, overcount, rank)."""
+    sketch = countmin_build(df, item_col, depth, width)
+    exact = (
+        df.select(F.col(item_col).alias("item"))
+        .where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    est = countmin_estimate(sketch, exact.select("item"), "item", depth, width)
+    scored = est.join(exact, "item").select(
+        "item",
+        F.col("est").cast("long").alias("est"),
+        F.col("exact").cast("long").alias("exact"),
+        (F.col("est") - F.col("exact")).cast("long").alias("overcount"),
+    )
+    # TakeOrdered (sort+limit) — per-partition top-k then a k-row merge,
+    # never the single-task global window sort; the rank window then
+    # runs over k rows only
+    top = scored.orderBy(F.col("est").desc(), F.col("item")).limit(k)
+    w = Window.orderBy(F.col("est").desc(), F.col("item"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "item", "est", "exact", "overcount", "rank"
+    )
+
+
+# ------------------------------------------------------- bloom filter
+
+_BLOOM_WORD_BITS = 32  # 32-bit words held in BIGINTs: 1 << bit stays in
+# signed range on engines that overflow-check shifts (DuckDB errors on
+# 1::BIGINT << 63)
+
+
+def _bloom_positions(key_col, k: int, m_bits: int):
+    """k bit positions for a key: digest byte-pairs of sha256(key) mod m
+    (the count-min hash family ``_bucket`` — deterministic and
+    engine-portable)."""
+    return [_bucket(key_col, j, m_bits) for j in range(k)]
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1024, k: int = 4) -> DataFrame:
+    """Bloom filter over a key set as a (word, bits) DataFrame —
+    m_bits/32 rows. ONE map-combined groupBy(bit_or): like the count-min
+    build, the reduce side is bounded by the filter size regardless of
+    input rows, and two filters over disjoint inputs merge by a further
+    groupBy-bit_or (mergeability again).
+    """
+    keys = df.select(F.col(key_col).alias("__k")).where(F.col("__k").isNotNull())
+    pos = keys.select(
+        F.explode(
+            F.array(*[p.alias("p") for p in _bloom_positions(F.col("__k"), k, m_bits)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word"),
+            # pow, not shiftleft: F.shiftleft requires a PYTHON-int shift
+            # amount; 2^bit is double-exact for bit <= 31, cast back exact
+            F.pow(F.lit(2.0), (F.col("pos") % _BLOOM_WORD_BITS).cast("int"))
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_semijoin_stats(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    m_bits: int = 1024,
+    k: int = 4,
+) -> DataFrame:
+    """The 100 TB join-pruning pattern, made explicit and measurable:
+    build a Bloom filter on the DIM key set (bounded build, see
+    bloom_build), probe every FACT row against it (k sha-derived bit
+    tests on a literal word array — zero shuffle, zero Python), and
+    report what the filter would save vs the exact semi-join:
+
+      (n_fact, n_candidates, n_true, n_false_pos, fp_rate)
+
+    A Bloom probe has NO false negatives (every true match passes —
+    asserted by construction in the unit suite) and a bounded
+    false-positive rate ~(1-e^{-kn/m})^k; rows failing the probe never
+    reach the join exchange, which is the saving at scale (Spark's own
+    runtime row-group pruning applies the same idea below the API).
+    The word array is m_bits/32 longs collected to the driver — the
+    filter is broadcast-sized BY DESIGN (that is what makes the pattern
+    work on a 1000-executor cluster).
+    """
+    words = bloom_build(dim, dim_key, m_bits, k).collect()
+    arr = [0] * (m_bits // _BLOOM_WORD_BITS)
+    for r in words:
+        arr[r.word] = r.bits
+    words_lit = F.array(*[F.lit(v).cast("long") for v in arr])
+    fk = F.col(fact_key)
+    probes = _bloom_positions(fk, k, m_bits)
+    hit = None
+    for p in probes:
+        word_val = F.element_at(words_lit, (p / _BLOOM_WORD_BITS).cast("int") + 1)
+        mask = F.pow(F.lit(2.0), (p % _BLOOM_WORD_BITS).cast("int")).cast(
+            "long"
+        )
+        test = word_val.bitwiseAND(mask) != 0
+        hit = test if hit is None else (hit & test)
+    truth = dim.select(F.col(dim_key).alias("__dk")).distinct()
+    tagged = (
+        fact.where(fk.isNotNull())
+        .withColumn("__bloom", hit)
+        .join(F.broadcast(truth), fk == F.col("__dk"), "left")
+        .withColumn("__true", F.col("__dk").isNotNull())
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.col("__bloom").cast("long")).alias("n_candidates"),
+        F.sum(F.col("__true").cast("long")).alias("n_true"),
+        F.sum((F.col("__bloom") & ~F.col("__true")).cast("long")).alias(
+            "n_false_pos"
+        ),
+        F.round(
+            F.sum((F.col("__bloom") & ~F.col("__true")).cast("long"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -102,6 +102,12 @@ BENCH_QUERIES: list[str] = [
     "op-lsh-tuning",
     "op-asof-cogroup",
     "op-semdedup",
+    # round-12: perceptual near-dup + the sketch family — perf-tracked
+    # from birth so a regression is never invisible to bench_regress
+    "op-multimodal-neardup",
+    "op-countmin-freq",
+    "op-bloom-semijoin",
+    "op-stream-countmin",
 ]
 
 
