@@ -553,12 +553,18 @@ def ivf_topk(
             )
         )
 
-    c = fan_out(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    c = c.withColumn("cell", scored_cells(F.col("cv"))[0]["cid"]).withColumn(
-        "cn", _norm(F.col("cv"))
+    # corpus side: BLAS-batched nearest-cell assignment (the Catalyst-
+    # lambda version is O(N*K) interpreted dots — the measured heavy
+    # term of this path's sf10 row); query side below stays the lambda,
+    # it runs on the bounded query set only
+    c = (
+        _ivf_assign_blocked(corpus, id_col, vec_col, cent_vecs, 1)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__v").alias("cv"),
+            F.col("__cell").alias("cell"),
+        )
+        .withColumn("cn", _norm(F.col("cv")))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -586,6 +592,66 @@ def ivf_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _ivf_assign_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: "np.ndarray",
+    n_probe: int,
+) -> DataFrame:
+    """n_probe-nearest-cell assignment as a BLAS batch product
+    (mapInPandas over Arrow batches): batch @ cents.T then a stable
+    argsort row-slice — ties break by ascending cell id, the same total
+    order as the Catalyst struct-sort it replaces.
+
+    WHY: the r12 sf10 sweep measured the Catalyst-lambda assignment
+    (array_sort over K transform dots, interpreted per element) as the
+    quadratic term of the K-tracks-N contract — N*K interpreted dots
+    read 2.3 s -> 39.4 s across the sf1 -> sf10 decade (x17.1 at x10
+    data). The same flops as one BLAS matmul per Arrow batch run ~50x
+    cheaper, the cosine_pairs_blocked lesson applied to assignment.
+    Output: (id, __v array<double>, __cell int), one row per probed
+    cell. The asymptotic successor past ~10^8 vectors is hierarchical
+    (coarse-then-fine) assignment — documented, not needed at any
+    measured size."""
+    import pandas as pd
+
+    from ..session import fan_out, ship_package
+
+    spark = df.sparkSession
+    ship_package(spark)
+    b_c = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+    n_probe_eff = max(1, min(n_probe, len(cents)))
+    id_dtype = df.schema[id_col].dataType.simpleString()
+
+    def assign(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            order = np.argsort(
+                -(mat @ b_c.value.T), axis=1, kind="stable"
+            )[:, :n_probe_eff]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(b[id_col].to_numpy(), n_probe_eff),
+                    "__v": [
+                        v
+                        for v in b[vec_col]
+                        for _ in range(n_probe_eff)
+                    ],
+                    "__cell": order.ravel().astype("int32"),
+                }
+            )
+
+    src = fan_out(df).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    return src.mapInPandas(
+        assign, f"{id_col} {id_dtype}, __v array<double>, __cell int"
     )
 
 
@@ -639,37 +705,10 @@ def ivf_pairs(
         ]
     if not cent_vecs:
         return _empty_result(df, "id_a {id}, id_b {id}, cos double", [id_col])
-    cent_lit = F.transform(
-        _planes_lit(np.asarray(cent_vecs, dtype=float)),
-        lambda cv, i: F.struct(i.alias("cid"), cv.alias("cv")),
-    )
-
-    def scored_cells(vec):
-        return F.array_sort(
-            F.transform(
-                cent_lit,
-                lambda c: F.struct(
-                    (-_dot(c["cv"], vec)).alias("neg_dot"), c["cid"].alias("cid")
-                ),
-            )
-        )
-
-    assigned = (
-        fan_out(df)
-        .select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-        )
-        .withColumn(
-            "__cell",
-            F.explode(
-                F.transform(
-                    F.slice(scored_cells(F.col("__v")), 1, n_probe),
-                    lambda s: s["cid"],
-                )
-            ),
-        )
-    )
+    # BLAS-batched assignment (see _ivf_assign_blocked): the Catalyst-
+    # lambda version was the measured quadratic term of the K-tracks-N
+    # contract at the second scaling decade (x17.1 at x10 data)
+    assigned = _ivf_assign_blocked(df, id_col, vec_col, cent_vecs, n_probe)
     return cosine_pairs_blocked(
         assigned, id_col, "__v", threshold,
         n_blocks=n_blocks, group_col="__cell",
