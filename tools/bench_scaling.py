@@ -121,6 +121,24 @@ EXPECTED_SUPERLINEAR = {
                         "at 10× data; the production path (banded LSH + "
                         "max_bucket) is measured separately as "
                         "path-minhash-lsh at 5.8×/decade.",
+    # r12, measured at the second decade: the dual-path gate's
+    # exact-Jaccard branch (ngram_jaccard_pairs, deliberately unguarded
+    # — it IS the anchor the LSH path is gated against) has candidate
+    # mass Σ df² = 11.68M on the sf1 gate sample → 848.4M on the sf10
+    # gate sample: 72.6× at 9.8× sampled docs, the bounded-vocab
+    # quadratic (distinct shingles grew only 1.76×, so per-shingle df
+    # grows ~linearly). The production stages of this query — prefix,
+    # MinHash-LSH pairs, tails — are all measured linear elsewhere
+    # (path-minhash-lsh, op-dedup-fuzzy, op-line-dedup).
+    "op-corpus-curate-full": "dual-path gate apparatus: the exact-"
+                             "Jaccard branch's candidate mass is "
+                             "Θ(Σ df²) = 11.68M (sf1 sample) → 848.4M "
+                             "(sf10 sample), 72.6× at 9.8× docs under "
+                             "the generator's bounded vocab; the "
+                             "production path (prefix + banded LSH + "
+                             "tails) is measured linear as "
+                             "path-minhash-lsh / op-dedup-fuzzy / "
+                             "op-line-dedup.",
 }
 
 
