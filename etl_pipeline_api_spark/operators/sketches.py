@@ -27,11 +27,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _bucket(item_col, j: int, width: int):
-    """Row-j bucket of an item: digest bytes 2j,2j+1 of sha256(item)
-    mod width — F.conv turns the hex pair into the byte value JVM-side;
-    the DuckDB twin uses the shared strpos hex arithmetic."""
-    hx = F.sha2(item_col.cast("string"), 256)
+def _hex(item_col):
+    """The one sha256 per item every bucket derives from — hoist it into
+    a named column before fanning out to d rows: Catalyst's codegen
+    subexpression elimination does not reach inside explode(array(...))
+    construction, so an inline sha2 per bucket evaluates d times per
+    row (measured on the token stream: 4x the hash work of this
+    shape)."""
+    return F.sha2(item_col.cast("string"), 256)
+
+
+def _bucket_from_hex(hx, j: int, width: int):
+    """Row-j bucket from a precomputed sha256 hex column: digest bytes
+    2j,2j+1 mod width — F.conv turns each hex pair into its byte value
+    JVM-side; the DuckDB twin uses the shared strpos hex arithmetic."""
     b = (
         F.conv(F.substring(hx, 4 * j + 1, 2), 16, 10).cast("int") * 256
         + F.conv(F.substring(hx, 4 * j + 3, 2), 16, 10).cast("int")
@@ -49,8 +58,10 @@ def countmin_build(
     NULL are skipped (they are absence, not a countable token)."""
     if not 1 <= depth <= 16:
         raise ValueError(f"countmin: depth {depth} not in [1, 16]")
-    it = df.select(F.col(item_col).alias("__item")).where(
-        F.col("__item").isNotNull()
+    it = (
+        df.select(F.col(item_col).alias("__item"))
+        .where(F.col("__item").isNotNull())
+        .select(_hex(F.col("__item")).alias("__hx"))
     )
     rows = it.select(
         F.explode(
@@ -58,7 +69,9 @@ def countmin_build(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        _bucket(F.col("__item"), j, width).alias("bucket"),
+                        _bucket_from_hex(F.col("__hx"), j, width).alias(
+                            "bucket"
+                        ),
                     )
                     for j in range(depth)
                 ]
@@ -80,13 +93,17 @@ def countmin_estimate(
     (bucket never hit ⇒ estimate 0 ⇒ item unseen). The sketch side is
     d·w rows — broadcast; the probe is shuffle-free on the item side."""
     probes = items.select(
-        F.col(item_col).alias("item"),
+        F.col(item_col).alias("item"), _hex(F.col(item_col)).alias("__hx")
+    ).select(
+        "item",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("j"),
-                        _bucket(F.col(item_col), j, width).alias("bucket"),
+                        _bucket_from_hex(F.col("__hx"), j, width).alias(
+                            "bucket"
+                        ),
                     )
                     for j in range(depth)
                 ]
@@ -151,7 +168,8 @@ def _bloom_positions(key_col, k: int, m_bits: int):
     """k bit positions for a key: digest byte-pairs of sha256(key) mod m
     (the count-min hash family ``_bucket`` — deterministic and
     engine-portable)."""
-    return [_bucket(key_col, j, m_bits) for j in range(k)]
+    hx = _hex(key_col)
+    return [_bucket_from_hex(hx, j, m_bits) for j in range(k)]
 
 
 def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1024, k: int = 4) -> DataFrame:
