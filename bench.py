@@ -130,6 +130,32 @@ def calibration_probe(spark, fast: bool = False) -> dict[str, float]:
     return probe
 
 
+def retry_suspects(
+    timings: dict[str, float],
+    timings_min: dict[str, float],
+    prev: dict[str, float],
+    drift: float,
+    rel_floor: float,
+    abs_floor: float,
+    cap: int = 8,
+) -> list[str]:
+    """Queries whose fresh median AND min both exceed the regression-gate
+    threshold against the previous committed record — the deferred-retry
+    trigger (VERDICT r11 task 1). Pure so the gate semantics are unit-
+    testable without a session; insertion (execution) order preserved,
+    bounded at ``cap`` so a genuinely broad regression still finishes
+    (its flags stand un-retried)."""
+    out = []
+    for n, v in timings.items():
+        if n not in prev:
+            continue
+        v_eff = min(v, timings_min.get(n, v))
+        exp = prev[n] * drift
+        if v_eff > exp * (1 + rel_floor) and v_eff - exp > abs_floor:
+            out.append(n)
+    return out[:cap]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -238,13 +264,9 @@ def main() -> None:
         drift = (
             _br.probe_drift_factor(prev_probe, probe) if prev_probe else 1.0
         )
-        suspects = [
-            n
-            for n, v in timings.items()
-            if n in prev
-            and min(v, timings_min[n]) > prev[n] * drift * (1 + _br.REL_FLOOR)
-            and min(v, timings_min[n]) - prev[n] * drift > _br.ABS_FLOOR_S
-        ][:8]
+        suspects = retry_suspects(
+            timings, timings_min, prev, drift, _br.REL_FLOOR, _br.ABS_FLOOR_S
+        )
         for name in suspects:
             fn = QUERIES[name]
             gc.collect()

@@ -292,3 +292,30 @@ def test_bench_regress_min_strips_one_sided_noise(tmp_path):
     # the min rescued op-a's inflated median -> visible as a WATCH line
     # (r10 ADVICE), never silently dropped
     assert len(watch) == 1 and watch[0].startswith("op-a"), watch
+
+
+def test_bench_retry_suspects_trigger_semantics():
+    """r12: the deferred-retry trigger fires only when median AND min
+    both clear the gate threshold vs the previous committed record —
+    min-rescued medians are noise (no retry), new queries have no
+    baseline (no retry), and the cap bounds a broad regression."""
+    import importlib
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).parent.parent))
+    bench = importlib.import_module("bench")
+    prev = {f"op-{i}": 1.0 for i in range(12)}
+    timings = {"op-0": 3.0, "op-1": 3.0, "op-new": 9.0, "op-2": 1.1}
+    tmin = {"op-0": 2.8, "op-1": 1.05, "op-new": 9.0, "op-2": 1.0}
+    got = bench.retry_suspects(timings, tmin, prev, 1.0, 0.35, 0.3)
+    # op-0: med+min both over -> retried; op-1: min rescued -> not;
+    # op-new: no baseline -> not; op-2: inside threshold -> not
+    assert got == ["op-0"]
+    # drift scales the expectation: at x2.5 drift op-0's 2.8 min is
+    # inside 1.0*2.5*1.35 -> nothing retried
+    assert bench.retry_suspects(timings, tmin, prev, 2.5, 0.35, 0.3) == []
+    # cap bounds a broad regression, preserving execution order
+    broad = {f"op-{i}": 5.0 for i in range(12)}
+    got = bench.retry_suspects(broad, dict(broad), prev, 1.0, 0.35, 0.3, cap=8)
+    assert len(got) == 8 and got == [f"op-{i}" for i in range(8)]
