@@ -188,3 +188,75 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def negative_samples(
+    emb: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    max_cos: float = 0.5,
+) -> DataFrame:
+    """Deterministic contrastive negative sampling — for each anchor,
+    ``m`` pseudo-random corpus items that are NOT semantically close
+    (cosine < ``max_cos``), the standard guard against false negatives
+    when mining contrastive training pairs (a random "negative" that is
+    actually a near-duplicate teaches the model to collapse).
+
+    Sampling key: sha256(anchor_id:candidate_id) hex — a per-PAIR
+    deterministic uniform, so the draw is rerunnable, shard-independent,
+    and engine-portable (a DuckDB oracle replays the exact sample; the
+    repo-wide no-RNG rule). Plan shape is the op-sim-search scan: the
+    bounded anchor set broadcasts across ONE corpus pass (JVM dot
+    products, no Python), then a per-anchor window takes the m smallest
+    keys among the far-enough candidates — |anchors| partitions, each
+    a linear scan. Output: (anchor_id, neg_id, rank), rank 1..m by
+    (key, neg_id) — the sampled SET is the contract; cosine scores are
+    engine-arithmetic-specific and stay internal (the op-dedup-embedding
+    convention).
+    """
+    from .similarity import _dot, _norm
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).cast("array<double>").alias("av"),
+    ).withColumn("an", _norm(F.col("av")))
+    c = emb.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("anchor_id") != F.col("neg_id"))
+        .withColumn(
+            # try_divide: zero-norm candidates have no direction; NULL
+            # cosine fails the < max_cos guard (cannot be certified far)
+            "cos",
+            F.try_divide(
+                _dot(F.col("av"), F.col("cv")), F.col("an") * F.col("cn")
+            ),
+        )
+        .filter(F.col("cos") < max_cos)
+        .withColumn(
+            "__key",
+            F.sha2(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                ),
+                256,
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("__key", "neg_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

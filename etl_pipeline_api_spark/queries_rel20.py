@@ -200,3 +200,40 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j", F.col("bucket").cast("int").alias("bucket"),
         F.col("cnt").cast("long").alias("cnt"),
     )
+
+
+@query(
+    "op-negative-sampling",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av FROM embeddings
+      WHERE vec_id < 8),
+    scored AS (
+      SELECT a.anchor_id, c.vec_id AS neg_id,
+             sha256(CAST(a.anchor_id AS VARCHAR) || ':'
+                    || CAST(c.vec_id AS VARCHAR)) AS key
+      FROM a JOIN embeddings c ON c.vec_id <> a.anchor_id
+      WHERE list_cosine_similarity(
+              CAST(a.av AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])
+            ) < 0.5)
+    SELECT anchor_id, neg_id, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT anchor_id, neg_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY key, neg_id) AS rn
+      FROM scored)
+    WHERE rn <= 4
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-negative-sampling: deterministic contrastive negatives — for
+    each of 8 anchor vectors, 4 sha-ranked pseudo-random corpus items
+    certified far (cosine < 0.5, the false-negative guard)
+    (sampling.negative_samples). One broadcast corpus pass, JVM dots,
+    per-anchor window; the sampled SET is the oracle contract."""
+    from pyspark.sql import functions as F
+
+    from .operators import sampling
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return sampling.negative_samples(emb, anchors, "vec_id", "embedding")

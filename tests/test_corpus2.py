@@ -223,3 +223,27 @@ def test_weighted_mix_quotas_and_exclusion(spark, sf_dir):
         .select("doc_id").collect()
     }
     assert ids1 == ids2
+
+
+def test_negative_samples_far_only_deterministic_and_capped(spark):
+    # anchor 0 along e0; ids 1-2 are near-dups of it (cos ~1) and must
+    # NEVER be sampled as negatives; 10-15 are orthogonal (cos 0) fair
+    # game; a zero vector (id 99) has NULL cosine -> not certifiable far
+    rows = [(0, [1.0, 0.0, 0.0])]
+    rows += [(i, [1.0, 0.001 * i, 0.0]) for i in (1, 2)]
+    rows += [(10 + i, [0.0, 1.0, float(i)]) for i in range(6)]
+    rows += [(99, [0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = emb.filter(F.col("vec_id") == 0)
+    got = sampling.negative_samples(emb, anchors, "vec_id", "embedding", m=4)
+    out = [(r.anchor_id, r.neg_id, r.rank) for r in got.collect()]
+    assert len(out) == 4
+    assert all(a == 0 for a, _, _ in out)
+    sampled = {n for _, n, _ in out}
+    assert sampled <= {10, 11, 12, 13, 14, 15}  # never self/near/zero
+    assert sorted(r for _, _, r in out) == [1, 2, 3, 4]
+    # rerunnable: the sha-keyed draw is identical on a second run
+    again = [(r.anchor_id, r.neg_id, r.rank) for r in
+             sampling.negative_samples(
+                 emb, anchors, "vec_id", "embedding", m=4).collect()]
+    assert sorted(out) == sorted(again)
