@@ -108,6 +108,7 @@ BENCH_QUERIES: list[str] = [
     "op-countmin-freq",
     "op-bloom-semijoin",
     "op-stream-countmin",
+    "op-negative-sampling",
 ]
 
 
