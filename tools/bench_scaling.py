@@ -96,6 +96,11 @@ QUERIES_TO_SCALE = [
     # UDF + band self-join)
     "op-grouped-regression", "op-ks-drift", "op-chi2-independence",
     "op-pmi-bigrams", "op-containment-dedup", "op-multimodal-neardup",
+    # r12 second batch: the sketch family (state bounded by d*w or m/32
+    # regardless of input — the ratio should read pure scan growth) and
+    # the broadcast-anchor negative sampler
+    "op-countmin-freq", "op-bloom-semijoin", "op-stream-countmin",
+    "op-negative-sampling",
 ]
 
 # query -> documented output-driven cause; reported but not counted as a
@@ -199,6 +204,8 @@ SF10_QUERIES = [
     "op-pq-encode", "op-pq-topk", "op-grouped-regression", "op-ks-drift",
     "op-chi2-independence", "op-pmi-bigrams", "op-containment-dedup",
     "op-multimodal-neardup", "op-stream-stateful",
+    "op-countmin-freq", "op-bloom-semijoin", "op-stream-countmin",
+    "op-negative-sampling",
 ]
 
 # sf10 triage (named causes, same policy as EXPECTED_SUPERLINEAR):
