@@ -348,6 +348,51 @@ def _assert_single_shingle_eval(out: DataFrame) -> None:
     _SHINGLE_GUARD_OK[app_id] = True
 
 
+def jaccard_pairs_from_sets(sets: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard pairs derived from a
+    :func:`minhash_signature_sets` frame — the same (id_a, id_b, jaccard)
+    rows as ``ngram_jaccard_pairs(max_df=None)`` over the same corpus.
+
+    Equivalence: the sets frame's ``hshs`` IS the per-doc distinct
+    xxhash64'd shingle set ngram_jaccard_pairs explodes (same
+    array_distinct, same hash keying — collision analysis there), and
+    ``n_sh`` the same pre-filter set size; docs with empty shingle sets
+    contribute no exploded rows on either path (explode of an empty
+    array vs explode_outer + null-filter). The pair arithmetic below is
+    the byte-identical tail of ngram_jaccard_pairs.
+
+    Why it exists (r12 optimization round, guide §2.4 "remove shuffles
+    outright"/"share one exchange"): recall-gated queries that need BOTH
+    the exact pair set and the MinHash pipeline (op-dedup-minhash,
+    op-lsh-tuning) were tokenizing + shingling the corpus twice — once
+    inside ngram_jaccard_pairs, once inside minhash_signature_sets.
+    Deriving the exact pairs from the already-checkpointed sets frame
+    makes the shingle build ONE corpus pass shared by both paths (at
+    100 TB the shingle build is a full-corpus scan + per-row n-gram
+    transform — the dominant pre-join cost)."""
+    sh = sets.select(
+        F.col("__id"), F.col("n_sh"), F.explode("hshs").alias("shingle")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), "shingle", F.col("n_sh").alias("na"))
+    b = sh.select(F.col("__id").alias("id_b"), "shingle", F.col("n_sh").alias("nb"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("na")).alias("na"),
+            F.any_value(F.col("nb")).alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs_from_sets(
     sets: DataFrame,
     threshold: float = 0.5,

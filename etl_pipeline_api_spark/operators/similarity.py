@@ -1089,6 +1089,15 @@ def semdedup(
     cluster-centroid distance).
     """
     assigned, _ = kmeans(df, id_col, vec_col, k=k, max_iter=max_iter)
+    # lazy checkpoint (r12 optimization round, guide §4: pay the Python
+    # boundary once): `assigned` is a mapInPandas subtree consumed TWICE
+    # below — by the clustered pair search and by the final keep join —
+    # and Catalyst does not dedupe Python-eval subtrees, so without the
+    # checkpoint every action re-ran the corpus scan + numpy assign pass
+    # per occurrence (kmeans unpersists its input on return). The
+    # LogicalRDD makes the second consumer read the first's blocks;
+    # plan-build also shrinks (ArrowEvalPython appears once).
+    assigned = assigned.localCheckpoint(eager=False)
     vecs = df.select(
         F.col(id_col).alias("_sid"),
         F.col(vec_col).cast("array<double>").alias("_v"),

@@ -480,6 +480,13 @@ def bpe_train(
             ),
         )
         .select("symbols", "n")
+        # eager, deliberately: a lazy checkpoint here (and per round
+        # below) was MEASURED SLOWER in the r12 optimization round
+        # (isolated 7-run median 2.565 s -> 2.780 s at sf0.1) — folding
+        # the materialization into the argmax job beats nothing out of
+        # fusing the stages on this shape, and the separate tiny job is
+        # cheaper than the fused recompute. Left as the measured winner
+        # (guide §1.1: empirical loop over first-principles).
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
@@ -510,6 +517,13 @@ def bpe_train(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((a, b, cnt))
+        if len(merges) == n_merges:
+            # merge table complete — the post-final-merge vocab is never
+            # read (the return value is the merge table; encoding re-applies
+            # the merges from scratch), so skip its fold + eager
+            # materialization job outright (r12 optimization round,
+            # guide §1.2 step 1: don't compute things you throw away).
+            break
         vocab = vocab.select(
             _bpe_apply_merge(F.col("symbols"), a, b).alias("symbols"), "n"
         ).localCheckpoint(eager=True)

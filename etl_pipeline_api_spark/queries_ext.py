@@ -135,12 +135,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression) still hash-mismatches; the pair-level output stays
     pinned by op-dedup-fuzzy's oracle."""
     docs = _t(spark, sf_dir, "documents")
-    lsh = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5
+    # ONE shared shingle/signature pass (r12 optimization round, guide
+    # §2.4): both paths read the checkpointed sets frame — the exact
+    # pairs explode its hshs arrays, the LSH pipeline bands its sig
+    # column — instead of each re-tokenizing and re-shingling the corpus.
+    # Pair-level equivalence to the old two-pass shape is pinned by
+    # tests/test_extensions.py::test_jaccard_pairs_from_sets_matches_direct
+    # and this query's unchanged oracle hash.
+    sets = dedup.minhash_signature_sets(
+        docs, "doc_id", "text", n=3, num_hashes=32
+    )
+    lsh = dedup.minhash_lsh_pairs_from_sets(
+        sets, threshold=0.5, num_hashes=32
     ).select("id_a", "id_b")
-    exact = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5
-    ).select("id_a", "id_b")
+    exact = dedup.jaccard_pairs_from_sets(sets, threshold=0.5).select(
+        "id_a", "id_b"
+    )
     # one full-outer pass counts exact / lsh / common together so the
     # shingle self-join and the minhash pipeline each execute ONCE — the
     # earlier crossJoin-of-aggregates re-ran both subtrees for their own
@@ -1164,14 +1174,26 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, proving stream/batch parity for the join operator."""
     from .streaming import events as sev
 
-    clicks = sev.read_events_stream(spark, sf_dir).filter(
+    # infer the backlog's RAW schema once and feed it to both stream
+    # reads — same files, one footer-read instead of two (r12
+    # optimization round)
+    raw_schema = sev.events_backlog_schema(spark, sf_dir)
+    clicks = sev.read_events_stream(spark, sf_dir, schema=raw_schema).filter(
         F.col("event_type") == "click"
     )
-    purchases = sev.read_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    )
+    purchases = sev.read_events_stream(
+        spark, sf_dir, schema=raw_schema
+    ).filter(F.col("event_type") == "purchase")
     return sev.run_available_now(
-        sev.purchases_after_clicks(clicks, purchases), output_mode="append"
+        sev.purchases_after_clicks(clicks, purchases),
+        output_mode="append",
+        # a stream-stream join keeps FOUR state stores per partition, so
+        # the drain is store-overhead-bound at batch-analytics width —
+        # size to the backlog instead (1 MiB/partition, floor 2; the
+        # measurement table lives on stateful_drain_partitions)
+        state_partitions=sev.stateful_drain_partitions(
+            spark, sf_dir, per_bytes=1 << 20, floor=2
+        ),
     )
 
 

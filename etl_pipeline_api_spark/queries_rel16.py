@@ -620,27 +620,36 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (measured 0.994 / 0.492 / 0.054 there — all s-curve-
     consistent). Exact pair count stays hash-checked alongside
     (operators/dedup.py minhash_lsh_pairs + ngram_jaccard_pairs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
+    # shared signature frame: the 32-hash MinHash signature is a pure
+    # function of the corpus, not of the banding — parse shingles and run
+    # the K signature passes ONCE, band the result three ways (r8; the
+    # per-config minhash_lsh_pairs calls re-did that work 3x). The EXACT
+    # pair set now derives from the SAME checkpointed sets frame (r12
+    # optimization round, guide §2.4): its hshs arrays are the exact
+    # shingle sets, so the old separate ngram_jaccard_pairs call — a
+    # second full tokenize+shingle corpus pass — is gone.
+    sig_sets = dedup.minhash_signature_sets(
+        docs, "doc_id", "text", n=3, num_hashes=32
+    )
     # persist the exact pair set: it anchors FOUR actions (its count +
     # one semi-join per config) and would otherwise re-run the shingle
     # self-join each time; every action completes inside this function,
     # so the unpersist is safe
-    exact = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5
-    ).select("id_a", "id_b").persist()
-    # shared signature frame: the 32-hash MinHash signature is a pure
-    # function of the corpus, not of the banding — parse shingles and run
-    # the K signature passes ONCE, band the result three ways (r8; the
-    # per-config minhash_lsh_pairs calls re-did that work 3x)
-    sig_sets = dedup.minhash_signature_sets(
-        docs, "doc_id", "text", n=3, num_hashes=32
-    )
+    exact = dedup.jaccard_pairs_from_sets(sig_sets, threshold=0.5).select(
+        "id_a", "id_b"
+    ).persist()
     try:
+        # n_exact FIRST and alone: this one action materializes the
+        # sig_sets checkpoint blocks and the persisted exact pairs the
+        # three config probes then share.
         n_exact = exact.count()
-        rows = []
-        for band_rows in (2, 4, 8):
+
+        def probe(band_rows: int) -> tuple[int, int, bool]:
             found = (
                 dedup.minhash_lsh_pairs_from_sets(
                     sig_sets, threshold=0.5,
@@ -651,9 +660,19 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .count()
             )
             floor = 0.9 if band_rows == 2 else (0.3 if band_rows == 4 else 0.01)
-            rows.append(
-                (band_rows, n_exact, bool(n_exact == 0 or found >= floor * n_exact))
+            return (
+                band_rows, n_exact,
+                bool(n_exact == 0 or found >= floor * n_exact),
             )
+
+        # The three per-config probes are INDEPENDENT counts over shared
+        # MATERIALIZED inputs (sig_sets blocks + persisted exact pairs) —
+        # run them from a small driver thread pool so each probe's stage
+        # tail back-fills the others' idle cores (guide §2.6; the
+        # op-corpus-curate-full branch pattern). Results are keyed by
+        # band_rows, so completion order cannot reorder the output.
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            rows = list(pool.map(probe, (2, 4, 8)))
     finally:
         exact.unpersist()
     return spark.createDataFrame(

@@ -195,7 +195,18 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import functions as F
 
-    out = sev.run_available_now(sk, output_mode="complete")
+    # the sketch's streaming STATE is d*w counters no matter the input —
+    # parallelism lives in the map-side partial agg, so the state/reduce
+    # width only grows with backlog to bound per-reducer partial volume
+    # (4 MiB/partition, floor 1; measurement table on
+    # stateful_drain_partitions)
+    out = sev.run_available_now(
+        sk,
+        output_mode="complete",
+        state_partitions=sev.stateful_drain_partitions(
+            spark, sf_dir, per_bytes=4 << 20, floor=1
+        ),
+    )
     return out.select(
         "j", F.col("bucket").cast("int").alias("bucket"),
         F.col("cnt").cast("long").alias("cnt"),

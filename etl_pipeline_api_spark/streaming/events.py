@@ -86,8 +86,36 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def _events_src(sf_dir: str) -> tuple[str, dict[str, str]]:
+    """(path, reader options) for the events backlog — directory layout
+    streams directly, the driver's flat file is glob-selected out of the
+    shared dir (see read_events_stream's docstring)."""
+    import os
+
+    p = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(p):
+        return p, {}
+    return sf_dir, {"pathGlobFilter": "events.parquet"}
+
+
+def events_backlog_schema(spark: SparkSession, sf_dir: str):
+    """The RAW (pre-normalization) inferred schema of the events backlog —
+    what ``read_events_stream`` feeds its reader. Callers that open the
+    same backlog as several streams (stream-stream joins) call this once
+    and pass it to each read, so footer-read inference runs once per
+    query build instead of once per side (r12 optimization round)."""
+    src_path, opts = _events_src(sf_dir)
+    reader = spark.read
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.parquet(src_path).schema
+
+
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> DataFrame:
     """File-source stream over the events parquet. The stream schema is
     inferred from a batch read of the same files, so whatever ts encoding
@@ -101,20 +129,20 @@ def read_events_stream(
     stream source itself only accepts directories). The old
     glob-only path matched LEAF file names, so a directory layout
     matched nothing and died with UNABLE_TO_INFER_SCHEMA."""
-    import os
-
-    p = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(p):
-        src_path, opts = p, {}
-    else:
-        # flat file (or non-local URI): stream the parent dir, glob the file
-        src_path, opts = sf_dir, {"pathGlobFilter": "events.parquet"}
+    src_path, opts = _events_src(sf_dir)
     batch_reader = spark.read
     stream_reader = spark.readStream
     for k, v in opts.items():
         batch_reader = batch_reader.option(k, v)
         stream_reader = stream_reader.option(k, v)
-    stream_reader = stream_reader.schema(batch_reader.parquet(src_path).schema)
+    # ``schema``: callers that open the SAME backlog as several streams
+    # (stream-stream joins) pass the first read's schema so the batch
+    # footer-read inference runs once per query build, not once per side
+    # (r12 optimization round; semantics identical — it is the same files'
+    # inferred schema either way).
+    if schema is None:
+        schema = batch_reader.parquet(src_path).schema
+    stream_reader = stream_reader.schema(schema)
     if max_files_per_trigger is not None:
         stream_reader = stream_reader.option(
             "maxFilesPerTrigger", max_files_per_trigger
@@ -185,6 +213,48 @@ def python_stateful_drain_partitions(
     with cores = executors x cores-per-executor; a durable-checkpoint
     production stream should instead size once to steady-state state
     volume (Spark pins the count in the checkpoint at first start)."""
+    return stateful_drain_partitions(
+        spark, sf_dir, table, per_bytes=128 * 1024, floor=8
+    )
+
+
+def stateful_drain_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events.parquet",
+    per_bytes: int = 128 * 1024,
+    floor: int = 8,
+) -> int:
+    """Backlog-proportional state-partition count for an AvailableNow
+    drain: one partition per ``per_bytes`` of backlog, clamped to
+    [min(floor, cores), cores] — the generic form of
+    :func:`python_stateful_drain_partitions` (r12 optimization round).
+
+    ``per_bytes`` encodes the per-partition overhead of the drain's
+    stateful operator, measured at sf0.1/local[32] (7-run medians):
+
+    - PYTHON-stateful (applyInPandasWithState): one python worker + one
+      state store per partition → 128 KiB/partition (the r12-build
+      measurement on the running-totals drain: 16 partitions 1.57 s vs
+      32 at 1.77 s and 8 at 2.18 s).
+    - JVM stream-stream JOIN: FOUR state stores per partition (left/
+      right x keyToNumValues/keyWithIndexToValue), each committed and
+      snapshotted per micro-batch, but no python workers → the overhead
+      is store-count-bound and the win from narrowing is larger:
+      1 MiB/partition (measured on op-stream-stream-join: 2 partitions
+      2.05 s, 4 → 2.66 s, 8 → 3.51 s, 16 → 3.44 s; at sf0.01 2 → 2.32 s
+      vs 8 → 2.52 s).
+    - BOUNDED-state sketch aggs (count-min: state = d·w counters no
+      matter the input): parallelism lives in the MAP-side partial
+      aggregation, so the reduce/state width only needs to grow enough
+      to bound per-reducer partial-row volume → 4 MiB/partition with
+      floor 1 (measured on op-stream-countmin: 1 partition 1.02 s,
+      2 → 1.14 s, 4 → 1.45 s, 8 → 1.54 s).
+
+    On a real cluster the same rules hold with cores = executors x
+    cores/executor; a production stream against a durable checkpoint
+    should size ONCE to steady-state state volume (Spark pins the count
+    in the checkpoint at first start — see run_available_now)."""
     import os
 
     p = os.path.join(sf_dir, table)
@@ -200,7 +270,7 @@ def python_stateful_drain_partitions(
     else:  # non-local URI — no cheap size; fall back to full width
         return spark.sparkContext.defaultParallelism
     dp = spark.sparkContext.defaultParallelism
-    return max(min(8, dp), min(dp, backlog // (128 * 1024)))
+    return max(min(floor, dp), min(dp, backlog // per_bytes))
 
 
 def user_running_totals(events: DataFrame) -> DataFrame:

@@ -41,6 +41,36 @@ def test_ngram_jaccard_short_docs(spark):
     assert sets[0] == 0 and sets[3] == 0
 
 
+def test_jaccard_pairs_from_sets_matches_direct(spark, sf_dir):
+    """r12 optimization pin: exact pairs derived from the shared
+    minhash_signature_sets frame must equal ngram_jaccard_pairs
+    (max_df=None) row-for-row — including jaccard values — on a real
+    corpus AND on short/empty-doc edge rows (the empty-set explode vs
+    explode_outer+filter equivalence)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    direct = {(r.id_a, r.id_b): r.jaccard
+              for r in dedup.ngram_jaccard_pairs(
+                  docs, "doc_id", "text", threshold=0.5).collect()}
+    sets = dedup.minhash_signature_sets(docs, "doc_id", "text")
+    shared = {(r.id_a, r.id_b): r.jaccard
+              for r in dedup.jaccard_pairs_from_sets(
+                  sets, threshold=0.5).collect()}
+    assert direct and shared == direct
+
+    rows = [Row(doc_id=0, text="one two"), Row(doc_id=1, text="a b c d e"),
+            Row(doc_id=2, text="a b c d e"), Row(doc_id=3, text=""),
+            Row(doc_id=4, text=None)]
+    edge = spark.createDataFrame(rows, "doc_id long, text string")
+    direct_e = {(r.id_a, r.id_b, r.jaccard)
+                for r in dedup.ngram_jaccard_pairs(
+                    edge, "doc_id", "text", threshold=0.5).collect()}
+    shared_e = {(r.id_a, r.id_b, r.jaccard)
+                for r in dedup.jaccard_pairs_from_sets(
+                    dedup.minhash_signature_sets(edge, "doc_id", "text"),
+                    threshold=0.5).collect()}
+    assert shared_e == direct_e == {(1, 2, 1.0)}
+
+
 def test_minhash_recovers_exact_pairs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = {(r.id_a, r.id_b)
