@@ -473,18 +473,32 @@ def q_corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work whose pairs the gate would immediately discard.
     from concurrent.futures import ThreadPoolExecutor
 
+    # ONE shared shingle/signature pass for both pair branches (r12
+    # optimization round, guide §2.4): the exact pairs derive from the
+    # sets frame's hshs arrays (dedup.jaccard_pairs_from_sets — equality
+    # with the direct path unit-pinned), the LSH pipeline bands its sig
+    # column; previously each branch re-tokenized and re-shingled the
+    # sampled corpus inside its own thread. Materialized EAGERLY (count)
+    # before the threads fork — the same r8 straggler lesson as prefix_s:
+    # a shared LAZY checkpoint would race its materialization under the
+    # two concurrent branch jobs and compute the shingle pass twice.
+    sig_sets = dedup.minhash_signature_sets(
+        prefix_s, "doc_id", "text", n=3, num_hashes=32
+    )
+    sig_sets.count()
+
     def _lsh_branch():
         return (
-            dedup.minhash_lsh_pairs(prefix_s, "doc_id", "text", n=3,
-                                    threshold=0.5)
+            dedup.minhash_lsh_pairs_from_sets(
+                sig_sets, threshold=0.5, num_hashes=32
+            )
             .select("id_a", "id_b")
             .localCheckpoint(eager=True)
         )
 
     def _ex_branch():
         return (
-            dedup.ngram_jaccard_pairs(prefix_s, "doc_id", "text", n=3,
-                                      threshold=0.5)
+            dedup.jaccard_pairs_from_sets(sig_sets, threshold=0.5)
             .select("id_a", "id_b")
             .localCheckpoint(eager=True)
         )
