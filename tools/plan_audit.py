@@ -56,6 +56,10 @@ def audit(plan: str) -> dict[str, object]:
 # Deliberate plan "smells" — flagged queries whose nested-loop joins are
 # intentional small-side broadcasts, with the reason the plan is right.
 TRIAGE = {
+    "op-negative-sampling": "BNLJ = crossJoin(broadcast(8 anchor vectors)) "
+                            "— the bounded-query exact-search shape shared "
+                            "with op-sim-search / op-knn-classify; the "
+                            "per-anchor window partitions on anchor_id.",
     "op-sim-search": "BNLJ = crossJoin(broadcast(query vectors)) — bounded "
                      "query set against the distributed corpus, the exact "
                      "top-k search shape (similarity.cosine_topk).",
