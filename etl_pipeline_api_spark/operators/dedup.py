@@ -675,17 +675,24 @@ def dedup_lines(
     window (position-aligned, non-overlapping) — swap the chunker for
     split('\\n') on real web text; everything downstream is unchanged.
 
-    Scale shape: the chunk/explode subtree is evaluated ONCE (the line set
-    feeds frequency, filtering, and totals off the same frame — an earlier
-    three-subtree draft cost 10 exchanges vs 6 here); line document-
-    frequency is one map-combined groupBy on xxhash64(line) (8-byte keys);
-    only the HOT lines (df > max_df — the boilerplate set, small relative
-    to the corpus by definition) come back as a join marker, so AQE
-    broadcasts it at real scale; reassembly is one groupBy(id) whose
-    collect_list drops the null-marked hot lines for free (collect_list
-    skips nulls). State is bounded by lines-per-doc. Returns
-    (id, clean_text, n_kept, n_lines) for every input doc (pure-boilerplate
-    docs come back with clean_text = '').
+    Scale shape (r13 — the guide §8 rule: every shuffle but the last
+    moves a lightweight proxy, never the payload): line text NEVER
+    crosses an exchange. Each doc keeps its chunk array as a row-local
+    column; only (id, pos, xxhash64(line)) rows — 8-byte keys — feed the
+    document-frequency groupBy; the hot hash set (df > max_df, the
+    boilerplate set, small relative to the corpus by definition) marks
+    hot POSITIONS per doc, a tiny (id, array<pos>) frame that joins back
+    to the array-carrying side (broadcast at real scale — it holds only
+    boilerplate-carrying docs); the clean text is rebuilt by a row-local
+    positional array filter. The earlier shape reassembled every doc
+    with groupBy(id) + collect_list + array_sort — the entire corpus
+    payload through one exchange (and Catalyst duplicated the
+    chunk/explode subtree into the frequency branch, so the corpus was
+    tokenized twice AND shuffled once; now it is tokenized twice —
+    hash branch + rebuild branch, both exchange-free on payload — and
+    shuffled never). State is bounded by lines-per-doc. Returns
+    (id, clean_text, n_kept, n_lines) for every input doc
+    (pure-boilerplate docs come back with clean_text = '').
     """
     from ..session import fan_out
 
@@ -701,38 +708,38 @@ def dedup_lines(
             lambda i: F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    lines = (
-        toks_df.select("__id", F.posexplode_outer(lines_arr).alias("pos", "line"))
-        .filter(F.col("line").isNotNull())
-        .withColumn("lh", F.xxhash64("line"))
-    )
+    # tokenize + chunk ONCE into executor-local blocks (the curate_prefix
+    # token-materialization precedent): three consumers below — document
+    # frequency, hot-position marking, and the rebuild projection — would
+    # otherwise each re-expand the scan+tokenize+chunk subtree (Catalyst
+    # reuses exchanges, not arbitrary subtrees; measured 3 corpus scans).
+    base = toks_df.select(
+        "__id", lines_arr.alias("__lines")
+    ).localCheckpoint(eager=False)
+    # proxy rows: (id, pos, line-hash) — the only thing that shuffles
+    hashes = base.select(
+        "__id", F.posexplode("__lines").alias("pos", "line")
+    ).select("__id", "pos", F.xxhash64("line").alias("lh"))
     hot = (
-        lines.groupBy("lh")
+        hashes.groupBy("lh")
         .agg(F.count_distinct("__id").alias("line_docs"))
         .filter(F.col("line_docs") > max_df)
-        .select("lh", F.lit(True).alias("__hot"))
+        .select("lh")
     )
-    marked = lines.join(hot, "lh", "left")
-    keep_struct = F.when(F.col("__hot").isNull(), F.struct("pos", "line"))
-    rebuilt = marked.groupBy("__id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(keep_struct)), lambda s: s["line"]
-            ),
-        ).alias("clean_text"),
-        F.count(keep_struct).alias("n_kept"),
-        F.count(F.lit(1)).alias("n_lines"),
+    hot_pos = (
+        hashes.join(hot, "lh")
+        .groupBy("__id")
+        .agg(F.collect_set("pos").alias("__hot_pos"))
     )
-    return (
-        df.select(F.col(id_col).alias("__id"))
-        .join(rebuilt, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-        )
+    hp = F.coalesce(F.col("__hot_pos"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__lines"), lambda line, i: ~F.array_contains(hp, i)
+    )
+    return base.join(hot_pos, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.size("__lines").cast("long").alias("n_lines"),
     )
 
 

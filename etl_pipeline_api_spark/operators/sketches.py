@@ -132,20 +132,70 @@ def heavy_hitters(
     (what a 100 TB run would keep); the exact column is the gate
     apparatus — at scale you would drop it and keep the CM guarantee
     est <= true + N/w w.p. 1-2^-d. Ties break on item for a total
-    order. Output: (item, est, exact, overcount, rank)."""
-    sketch = countmin_build(df, item_col, depth, width)
+    order. Output: (item, est, exact, overcount, rank).
+
+    Plan shape (r13): ONE input pass. The exact per-item counts are the
+    only aggregation that touches the input; the sketch derives from
+    them (summing per-item counts into a cell == counting occurrences in
+    the cell — the same linearity that makes CM mergeable), so the
+    separate occurrence-level build pass is gone. The exact frame is
+    eagerly checkpointed (it is the broadcast side of the old probe join,
+    so the same bounded-vocabulary size class), the d·w cells collect to
+    the driver (<= depth*width longs — the sketch IS broadcast-sized,
+    like the Bloom words), and the probe becomes a pure projection:
+    est(item) = least over d of lut[j*width + bucket_j], no join at all.
+    The earlier shape paid 3 tokenize/scan passes and 2 broadcast hash
+    joins for the same numbers."""
     exact = (
         df.select(F.col(item_col).alias("item"))
         .where(F.col("item").isNotNull())
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("exact"))
+        .withColumn("__hx", _hex(F.col("item")))
+        .localCheckpoint(eager=True)
     )
-    est = countmin_estimate(sketch, exact.select("item"), "item", depth, width)
-    scored = est.join(exact, "item").select(
+    cells = (
+        exact.select(
+            "exact",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _bucket_from_hex(F.col("__hx"), j, width).alias(
+                                "bucket"
+                            ),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("jb"),
+        )
+        .groupBy("jb.j", "jb.bucket")
+        .agg(F.sum("exact").alias("cnt"))
+        .collect()
+    )
+    lut = [0] * (depth * width)
+    for r in cells:
+        lut[r["j"] * width + r["bucket"]] = int(r["cnt"])
+    # single-parse literal build (the _planes_lit lesson from the
+    # similarity kernels): F.lit(list) expands to one py4j call PER
+    # ELEMENT — 4096 driver round-trips measured ~2-4 s of build time;
+    # one server-side parse builds the identical CreateArray tree
+    lut_lit = F.expr("array(" + ",".join(f"{v}L" for v in lut) + ")")
+    probes = [
+        F.element_at(
+            lut_lit,
+            _bucket_from_hex(F.col("__hx"), j, width) + F.lit(j * width + 1),
+        )
+        for j in range(depth)
+    ]
+    est_col = probes[0] if depth == 1 else F.least(*probes)
+    scored = exact.select(
         "item",
-        F.col("est").cast("long").alias("est"),
+        est_col.cast("long").alias("est"),
         F.col("exact").cast("long").alias("exact"),
-        (F.col("est") - F.col("exact")).cast("long").alias("overcount"),
+        (est_col - F.col("exact")).cast("long").alias("overcount"),
     )
     # TakeOrdered (sort+limit) — per-partition top-k then a k-row merge,
     # never the single-task global window sort; the rank window then
@@ -223,8 +273,21 @@ def bloom_semijoin_stats(
     The word array is m_bits/32 longs collected to the driver — the
     filter is broadcast-sized BY DESIGN (that is what makes the pattern
     work on a 1000-executor cluster).
+
+    The DIM side is scanned ONCE (r13): the distinct key set is eagerly
+    checkpointed and feeds BOTH the Bloom build (bit_or over distinct
+    keys == bit_or over all keys — idempotent) and the exact semi-join
+    broadcast; the earlier shape read the dim input twice for the same
+    two consumers. The checkpointed set is exactly the frame the exact
+    comparison must broadcast anyway, so no new size class appears.
     """
-    words = bloom_build(dim, dim_key, m_bits, k).collect()
+    truth = (
+        dim.select(F.col(dim_key).alias("__dk"))
+        .where(F.col("__dk").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    words = bloom_build(truth, "__dk", m_bits, k).collect()
     arr = [0] * (m_bits // _BLOOM_WORD_BITS)
     for r in words:
         arr[r.word] = r.bits
@@ -239,7 +302,6 @@ def bloom_semijoin_stats(
         )
         test = word_val.bitwiseAND(mask) != 0
         hit = test if hit is None else (hit & test)
-    truth = dim.select(F.col(dim_key).alias("__dk")).distinct()
     tagged = (
         fact.where(fk.isNotNull())
         .withColumn("__bloom", hit)

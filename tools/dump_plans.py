@@ -1,13 +1,13 @@
-"""Dump ``.explain("formatted")`` for named queries into plans/r12/.
+"""Dump ``.explain("formatted")`` for named queries into plans/r13/.
 
 Usage:
     python tools/dump_plans.py before op-a op-b ...
     python tools/dump_plans.py after  op-a op-b ...
 
-Writes plans/r12/<query>_<tag>.txt at $SPARK_GRAFT_SF_DIR (default sf0.1).
+Writes plans/r13/<query>_<tag>.txt at $SPARK_GRAFT_SF_DIR (default sf0.1).
 The formatted explain covers the FINAL returned frame (the noop-forced
 plan the bench times); queries with internal actions additionally note
-that in their OPTIMIZATION_r12.md entry.
+that in their OPTIMIZATION_r13.md entry.
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ def main() -> int:
         print(f"unknown queries: {unknown}")
         return 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_TAG", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plans")
     for name in names:
