@@ -330,8 +330,8 @@ def cosine_pairs_lsh(
     dim: int | None = None,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold via sign-LSH blocking (no driver
-    collect; candidate-bounded, not O(N^2), while band buckets stay small).
+    """All pairs with cosine >= threshold via sign-LSH blocking
+    (candidate-bounded, not O(N^2), while band buckets stay small).
 
     SCALE LIMIT, MEASURED (BENCH_SCALING.md "Sign-LSH -> IVF pair-finding
     crossover"; tools/bench_crossover.py): band values are bounded by 2^w,
@@ -349,15 +349,16 @@ def cosine_pairs_lsh(
     2. candidates: self-join on (band index, band bits) with id_a < id_b,
        then distinct — pairs sharing ANY band survive; bucket sizes, not
        N^2, bound the join.
-    3. exact re-score: join the two vector sides back by id (the vector
-       side is |corpus| rows — it BROADCASTS whenever the corpus is in
-       the regime where this operator's candidate join is viable at all)
-       and batch the dot products in a vectorized pandas_udf (numpy over
-       Arrow columns — measured 4.9 s -> 4.1 s vs the earlier interpreted
-       zip_with per pair at sf0.1's 1.97 M candidates). False positives
-       die here; the only error mode is a missed pair whose every band
-       differs. A cogrouped block-pair re-score (slim candidate shuffle +
-       N x B vector rows, per-group BLAS) was tried in r7 and REJECTED on
+    3. exact re-score: candidate (id_a, id_b) pairs — two longs each —
+       flow straight into a vectorized pandas_udf that gathers both rows
+       from a broadcast unit-vector matrix and batches the dot products
+       (the corpus is broadcast-sized whenever this operator's candidate
+       join is viable at all; the pre-r13 shape instead joined two vector
+       sides back by id, paying 2 broadcast hash joins plus 2×dim float64
+       per pair across the Arrow boundary). False positives die here; the
+       only error mode is a missed pair whose every band differs. A
+       cogrouped block-pair re-score (slim candidate shuffle + N x B
+       vector rows, per-group BLAS) was tried in r7 and REJECTED on
        measurement: the extra distinct-then-repartition shuffle and the
        cogroup's per-partition SORT of the candidate set cost more than
        they save at every testable scale (sf0.1 flat, sf1 452 s vs ~250 s
@@ -440,45 +441,48 @@ def cosine_pairs_lsh(
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<double>")
-    def _unit_batch(v):
-        import pandas as pd
-
-        # per-VECTOR normalization, hoisted out of the per-pair kernel
-        # (VERDICT r10 task 3): each corpus vector used to be re-normalized
-        # once per candidate pair it appears in (~2 M times at sf0.1 for a
-        # 2 k corpus); normalizing once per corpus row is bit-identical —
-        # np.linalg.norm over the same float64 row is batch-independent,
-        # and the old kernel also materialized A/na in float64 before the
-        # product — so the rounded cosines (and the oracle hash) cannot move.
-        M = np.stack(v.to_numpy()).astype(np.float64)
-        n = np.linalg.norm(M, axis=1, keepdims=True)
-        n[n == 0] = 1.0  # zero-only clamp (see cosine_pairs)
-        return pd.Series(list(M / n))
+    # Re-score from a BROADCAST unit-vector matrix keyed by id (r13;
+    # guide §8 — decide with small rows, never re-attach the payload):
+    # the old shape joined the candidate pairs back to two vector sides
+    # (2 broadcast hash joins) and shipped 2×dim float64 per pair across
+    # the Arrow boundary; candidates now flow as bare (id_a, id_b) longs
+    # and each batch gathers rows from the one corpus matrix every
+    # executor already holds. The regime is honest: this operator is only
+    # viable where band buckets — i.e. the corpus — are broadcast-sized
+    # (see the SCALE LIMIT above); past that tier the answer is
+    # ivf_pairs/cosine_pairs_blocked, not a wider LSH.
+    #
+    # Normalization is per corpus ROW over the same float64 data
+    # (np.linalg.norm is batch-independent) and the per-pair kernel is the
+    # identical elementwise-multiply + np.sum(axis=1) pairwise summation
+    # the old _cos_batch ran on gathered contiguous rows, so every cosine
+    # — and the oracle hash — is bit-unchanged. Same FORMULA as
+    # cosine_pairs_blocked (the recall gates' `exact` anchor) but NOT the
+    # same summation order (BLAS matmul there): a pair straddling the
+    # threshold within an ulp can land in one set and not the other; the
+    # op-dedup-embedding-lsh precision gate tolerates exactly that band.
+    pdf_side = side.toPandas()
+    ids_np = pdf_side["id"].to_numpy()
+    mat = np.stack(pdf_side["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # zero-only clamp (see cosine_pairs)
+    mat /= norms
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids_np)
+    b_mat = sc.broadcast(mat)
 
     @pandas_udf("double")
-    def _cos_batch(va, vb):
+    def _cos_pair(ia, ib):
         import pandas as pd
 
-        # dot of pre-normalized vectors, the same FORMULA as
-        # cosine_pairs_blocked (which anchors the recall gates' `exact`
-        # set) — but NOT the same summation order: this is numpy pairwise
-        # summation, the blocked path is a BLAS matmul, so a pair whose
-        # cosine straddles the threshold within an ulp can land in one set
-        # and not the other. The op-dedup-embedding-lsh precision gate
-        # tolerates exactly that boundary band (|cos - tau| <= its
-        # epsilon); the recall floor carries 3x slack.
-        A = np.stack(va.to_numpy()).astype(np.float64)
-        B = np.stack(vb.to_numpy()).astype(np.float64)
+        idx = pd.Index(b_ids.value)
+        U = b_mat.value
+        A = U[idx.get_indexer(ia)]
+        B = U[idx.get_indexer(ib)]
         return pd.Series((A * B).sum(axis=1))
 
-    unit = side.select("id", _unit_batch(F.col("v")).alias("v"))
-    va = unit.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = unit.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("__cos_raw", _cos_batch(F.col("va"), F.col("vb")))
+        cand.withColumn("__cos_raw", _cos_pair(F.col("id_a"), F.col("id_b")))
         # filter on the UNROUNDED cosine, round only for display: rounding
         # first admitted pairs with true cos in [threshold-5e-5, threshold)
         # — invisible at the gate SFs, 104 boundary pairs at sf1 (the exact
@@ -858,6 +862,8 @@ def kmeans(
     k: int = 8,
     max_iter: int = 5,
     wcss_out: list | None = None,
+    keep_vec: bool = False,
+    eager_assign: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means expressed as DataFrame ops (no MLlib, no RDDs).
 
@@ -897,6 +903,18 @@ def kmeans(
     (one extra sum column), costing no extra job. Lloyd's guarantees the
     sequence is monotone non-increasing — the structural gate op-kmeans'
     oracle pins (a broken assign or update step shows up as a WCSS bump).
+
+    ``keep_vec``: the assignment frame additionally carries the input
+    vector as ``__v`` (array<double>) — the assign pass holds it in hand
+    anyway, so a caller that needs (id, cluster, vec), like semdedup's
+    within-cluster pair search, skips a full corpus re-scan + join.
+    ``eager_assign``: localCheckpoint the assignment EAGERLY while the
+    input is still persisted — the assign pass then reads the Lloyd
+    iterations' cached blocks instead of re-running the corpus scan
+    after ``data.unpersist()`` (Catalyst re-evaluates Python-eval
+    subtrees per consumer, and the returned frame outlives the persist
+    scope; the r12 lazy-checkpoint fix paid the scan once, this pays it
+    zero times beyond the cache fill).
     """
     data = fan_out(df).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
@@ -926,7 +944,10 @@ def kmeans(
     if not seed_rows:
         # empty corpus -> no clusters, no assignments (schema-correct)
         data.unpersist()
-        return _empty_result(df, id_col + " {id}, cluster int", [id_col]), []
+        empty_fmt = id_col + " {id}, cluster int"
+        if keep_vec:
+            empty_fmt += ", __v array<double>"
+        return _empty_result(df, empty_fmt, [id_col]), []
     cents: list[list[float]] = [list(seed_rows[0].v)]
     if k > 1:
         # A-Res weighted order: maximizing u^(1/w) == maximizing ln(u)/w
@@ -1037,16 +1058,21 @@ def kmeans(
                     continue
                 mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
                 d2 = _d2_matrix(mat, final_np)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "cluster": d2.argmin(axis=1).astype("int32"),
-                    }
-                )
+                out = {
+                    id_col: pdf[id_col],
+                    "cluster": d2.argmin(axis=1).astype("int32"),
+                }
+                if keep_vec:
+                    out["__v"] = pdf["v"]
+                yield pd.DataFrame(out)
 
-        assigned = data.mapInPandas(
-            _assign, schema=f"{id_col} {id_dtype}, cluster int"
-        )
+        schema = f"{id_col} {id_dtype}, cluster int"
+        if keep_vec:
+            schema += ", __v array<double>"
+        assigned = data.mapInPandas(_assign, schema=schema)
+        if eager_assign:
+            # materialize while `data` is still persisted (see docstring)
+            assigned = assigned.localCheckpoint(eager=True)
         return assigned, cents
     finally:
         data.unpersist()
@@ -1088,23 +1114,19 @@ def semdedup(
     canonical, the same greedy rule the paper uses with
     cluster-centroid distance).
     """
-    assigned, _ = kmeans(df, id_col, vec_col, k=k, max_iter=max_iter)
-    # lazy checkpoint (r12 optimization round, guide §4: pay the Python
-    # boundary once): `assigned` is a mapInPandas subtree consumed TWICE
-    # below — by the clustered pair search and by the final keep join —
-    # and Catalyst does not dedupe Python-eval subtrees, so without the
-    # checkpoint every action re-ran the corpus scan + numpy assign pass
-    # per occurrence (kmeans unpersists its input on return). The
-    # LogicalRDD makes the second consumer read the first's blocks;
-    # plan-build also shrinks (ArrowEvalPython appears once).
-    assigned = assigned.localCheckpoint(eager=False)
-    vecs = df.select(
-        F.col(id_col).alias("_sid"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    # keep_vec + eager_assign (r13; r12 used a lazy checkpoint here):
+    # the assignment pass emits (id, cluster, vec) in one go and is
+    # checkpointed while kmeans' persisted input is still alive, so the
+    # two consumers below (pair search + keep join) read blocks — no
+    # corpus re-scan, and the old (assigned JOIN vecs) shuffle that
+    # re-attached the vectors is gone outright (guide §2.4).
+    assigned, _ = kmeans(
+        df, id_col, vec_col, k=k, max_iter=max_iter,
+        keep_vec=True, eager_assign=True,
     )
-    clustered = assigned.join(
-        vecs, F.col(id_col) == F.col("_sid")
-    ).select(id_col, "cluster", "_v")
+    clustered = assigned.select(
+        id_col, "cluster", F.col("__v").alias("_v")
+    )
     dropped = (
         cosine_pairs_blocked(
             clustered, id_col, "_v", threshold, group_col="cluster"

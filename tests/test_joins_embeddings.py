@@ -124,17 +124,22 @@ def test_cosine_pairs_lsh_matches_exact(spark, sf_dir):
     assert len(exact) > 0  # non-vacuous
 
 
-def test_cosine_pairs_lsh_no_driver_collect(spark, sf_dir):
-    """With dim given explicitly, the scale path is a pure DataFrame plan:
-    building it must not trigger any job (no toPandas/collect at plan time,
-    unlike cosine_pairs). (Omitting dim costs exactly one first()-row
-    lookup to infer it — the documented trade.)"""
+def test_cosine_pairs_lsh_rescore_is_join_free(spark, sf_dir):
+    """r13 re-score contract: candidate pairs flow as bare ids into the
+    broadcast-matrix kernel — the final plan must contain NO join (the
+    pre-r13 shape re-attached two vector sides with broadcast hash
+    joins, shipping 2×dim doubles per candidate across Arrow). The
+    corpus collect this trades on is bounded by the operator's own
+    viability regime (band buckets ~ corpus must be broadcast-sized;
+    see the SCALE LIMIT in the docstring)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    similarity.cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4, dim=64)
-    after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after == before
+    out = similarity.cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, dim=64
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly the band-bucket candidate self-join; zero re-attach joins
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
 
 
 def test_cosine_pairs_lsh_nondefault_dim(spark):
