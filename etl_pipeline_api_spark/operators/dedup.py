@@ -601,6 +601,13 @@ def simhash_band_candidates(
             .filter(F.col("__bn") <= max_bucket)
             .drop("__bn")
         )
+    # both self-join sides consume `bands`; without the checkpoint the
+    # whole upstream — including any Python-eval fingerprint source
+    # (op-multimodal-neardup's Arrow decode) and the bucket-guard window
+    # — evaluates once PER SIDE (Catalyst dedupes exchanges, not
+    # arbitrary subtrees; measured 4 Python-eval + 4 Window nodes in the
+    # final plan, halved by the LogicalRDD). ~30 bytes/band-row.
+    bands = bands.localCheckpoint(eager=False)
     a = bands.select(F.col("__id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "val")
     b = bands.select(F.col("__id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "val")
     return (

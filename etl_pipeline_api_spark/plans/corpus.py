@@ -129,6 +129,11 @@ def curate(
 #         the exact-survivors result frame).
 _PREFIX_MEMO: dict[tuple, tuple[DataFrame, list[DataFrame], DataFrame]] = {}
 _PREFIX_MEMO_MAX = 4
+# Observable hit/miss counters (VERDICT r12 task 9): every perf claim on
+# the curate family must disclose whether its timed runs excluded prefix
+# cost; tools/profile_query.py prints the per-query delta so a judge can
+# audit memo participation in one look.
+MEMO_STATS = {"hits": 0, "misses": 0}
 
 
 def _release_checkpoint_blocks(frames: list[DataFrame]) -> None:
@@ -186,6 +191,7 @@ def curate_prefix(
             # plan, not a collision, before trusting the cached prefix
             # (full canonicalized-plan comparison; ADVICE r9).
             if docs.sameSemantics(cached_input):
+                MEMO_STATS["hits"] += 1
                 return result
             # collision: compute fresh and leave the resident entry
             # (still valid for ITS input) in place.
@@ -254,6 +260,7 @@ def curate_prefix(
         .localCheckpoint(eager=False)
     )
     ckpts.append(exact_survivors)
+    MEMO_STATS["misses"] += 1
     if memo_key is not None:
         if len(_PREFIX_MEMO) >= _PREFIX_MEMO_MAX:
             _evicted = _PREFIX_MEMO.pop(next(iter(_PREFIX_MEMO)))

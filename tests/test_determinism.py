@@ -24,6 +24,8 @@ from pathlib import Path
 
 import pytest
 
+from conftest import sweep_params
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
@@ -45,7 +47,7 @@ def _names():
     return [n for n in sorted(m.queries()) if n not in NONDET_SKIP]
 
 
-@pytest.mark.parametrize("name", _names())
+@pytest.mark.parametrize("name", sweep_params(_names()))
 def test_query_is_run_to_run_deterministic(spark, name):
     import __spark_entry__ as m
 

@@ -25,6 +25,8 @@ from pathlib import Path
 
 import pytest
 
+from conftest import sweep_params
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
@@ -91,7 +93,7 @@ def _names():
     return names
 
 
-@pytest.mark.parametrize("name", _names())
+@pytest.mark.parametrize("name", sweep_params(_names()))
 def test_all_empty_query_matches_oracle(spark, empty_dir, name):
     import duckdb
 

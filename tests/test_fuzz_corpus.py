@@ -21,6 +21,8 @@ from pathlib import Path
 
 import pytest
 
+from conftest import sweep_params
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
@@ -280,7 +282,7 @@ def test_zero_vector_engine_semantics(spark):
     similarity.ivf_topk(emb, emb, "vec_id", "embedding", k=2, n_centroids=2).collect()
 
 
-@pytest.mark.parametrize("name", _fuzz_names())
+@pytest.mark.parametrize("name", sweep_params(_fuzz_names()))
 def test_fuzz_corpus_query_matches_oracle(spark, fuzz_dir, name):
     import duckdb
 

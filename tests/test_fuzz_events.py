@@ -38,6 +38,8 @@ from pathlib import Path
 
 import pytest
 
+from conftest import sweep_params
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
@@ -191,7 +193,7 @@ def _fuzz_names():
     return names
 
 
-@pytest.mark.parametrize("name", _fuzz_names())
+@pytest.mark.parametrize("name", sweep_params(_fuzz_names()))
 def test_fuzz_events_query_matches_oracle(spark, fuzz_dir, name):
     import duckdb
 

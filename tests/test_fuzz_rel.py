@@ -39,6 +39,8 @@ from pathlib import Path
 
 import pytest
 
+from conftest import sweep_params
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
@@ -348,18 +350,18 @@ def _compare(spark, d, name):
     )
 
 
-@pytest.mark.parametrize("name", _rel_names())
+@pytest.mark.parametrize("name", sweep_params(_rel_names()))
 def test_fuzz_rel_query_matches_oracle(spark, fuzz_dir, name):
     _compare(spark, fuzz_dir, name)
 
 
-@pytest.mark.parametrize("name", _dim_names())
+@pytest.mark.parametrize("name", sweep_params(_dim_names()))
 def test_fuzz_rel_empty_dims_matches_oracle(spark, fuzz_dir_empty_dims, name):
     _compare(spark, fuzz_dir_empty_dims, name)
 
 
 @pytest.mark.parametrize(
-    "name", [n for n in _rel_names() if n not in ALL_EMPTY_SKIP]
+    "name", sweep_params([n for n in _rel_names() if n not in ALL_EMPTY_SKIP])
 )
 def test_fuzz_rel_all_empty_matches_oracle(spark, fuzz_dir_all_empty, name):
     _compare(spark, fuzz_dir_all_empty, name)

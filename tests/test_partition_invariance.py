@@ -26,6 +26,8 @@ from pathlib import Path
 
 import pytest
 
+from conftest import sweep_params
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
@@ -64,7 +66,7 @@ def _names():
     return [n for n in sorted(m.queries()) if n not in LAYOUT_SKIP]
 
 
-@pytest.mark.parametrize("name", _names())
+@pytest.mark.parametrize("name", sweep_params(_names()))
 def test_query_is_partition_layout_invariant(spark, sharded_dir, name):
     import __spark_entry__ as m
 

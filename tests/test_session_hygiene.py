@@ -43,6 +43,8 @@ from pathlib import Path
 
 import pytest
 
+from conftest import sweep_params
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SF = "/root/testdata/sf0.001"
@@ -113,7 +115,7 @@ def _cache_empty(spark) -> bool:
     return spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
-@pytest.mark.parametrize("name", _names())
+@pytest.mark.parametrize("name", sweep_params(_names()))
 def test_query_leaves_session_clean(spark, name):
     import __spark_entry__ as m
 

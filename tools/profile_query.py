@@ -50,12 +50,15 @@ def main() -> int:
     bench.calibration_probe(spark)
     probe = bench.calibration_probe(spark)
     print(f"probe total {probe['total']}s  {probe}")
+    from etl_pipeline_api_spark.plans import corpus as _corpus
+
     for name in names:
         fn = QUERIES[name]
         gc.collect()
         spark._jvm.System.gc()
         bench.force(fn(spark, sf_dir))
         bench.force(fn(spark, sf_dir))
+        memo0 = dict(_corpus.MEMO_STATS)
         rows = []
         for _ in range(RUNS):
             gc.collect()
@@ -68,9 +71,15 @@ def main() -> int:
             rows.append((t1 - t0, t2 - t1, t2 - t0))
         rows.sort(key=lambda r: r[2])
         b, f, t = rows[len(rows) // 2]
+        # curate-prefix memo participation (VERDICT r12 task 9): hits in
+        # the TIMED runs mean those medians exclude prefix cost — any
+        # perf claim built on them must say so
+        dh = _corpus.MEMO_STATS["hits"] - memo0["hits"]
+        dm = _corpus.MEMO_STATS["misses"] - memo0["misses"]
+        memo_note = f" [curate-prefix memo: {dh} hits / {dm} misses in timed runs]" if dh or dm else ""
         print(
             f"{name}: total {t:.3f}s = build {b:.3f}s + force {f:.3f}s "
-            f"(min total {rows[0][2]:.3f}, max {rows[-1][2]:.3f})"
+            f"(min total {rows[0][2]:.3f}, max {rows[-1][2]:.3f}){memo_note}"
         )
     return 0
 
