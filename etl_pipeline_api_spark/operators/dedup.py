@@ -720,9 +720,17 @@ def dedup_lines(
     # frequency, hot-position marking, and the rebuild projection — would
     # otherwise each re-expand the scan+tokenize+chunk subtree (Catalyst
     # reuses exchanges, not arbitrary subtrees; measured 3 corpus scans).
+    # SERIALIZED storage, not the default deserialized MEMORY_AND_DISK:
+    # this block set is corpus-sized (every chunk string of every doc),
+    # and deserialized Java strings cost 2-3x their UTF-8 bytes on heap —
+    # at sf1 in a multi-query session the fat blocks OOM'd an 8g heap
+    # (measured: op-corpus-curate sf1 check, task heap-space failure);
+    # serialized blocks hold compact bytes and spill to disk instead.
+    from pyspark import StorageLevel
+
     base = toks_df.select(
         "__id", lines_arr.alias("__lines")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     # proxy rows: (id, pos, line-hash) — the only thing that shuffles
     hashes = base.select(
         "__id", F.posexplode("__lines").alias("pos", "line")
