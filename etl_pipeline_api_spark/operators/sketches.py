@@ -274,20 +274,17 @@ def bloom_semijoin_stats(
     filter is broadcast-sized BY DESIGN (that is what makes the pattern
     work on a 1000-executor cluster).
 
-    The DIM side is scanned ONCE (r13): the distinct key set is eagerly
-    checkpointed and feeds BOTH the Bloom build (bit_or over distinct
-    keys == bit_or over all keys — idempotent) and the exact semi-join
-    broadcast; the earlier shape read the dim input twice for the same
-    two consumers. The checkpointed set is exactly the frame the exact
-    comparison must broadcast anyway, so no new size class appears.
+    The dim side is deliberately scanned twice (re-measured r13): a
+    shared-scan variant — eagerly checkpoint the distinct key set and
+    feed both the Bloom build and the exact broadcast — replaced the
+    build's map-combined bit_or over RAW keys (reduce side = m/32 word
+    rows, no distinct needed) with a blocking 300k-key distinct shuffle
+    + materialization that no longer pipelines with the fact scan, and
+    measured sf10 3.2 → 4.0 s (profile: build 1.2 → 2.1 s). Two cheap
+    aggregate passes over the SMALL side of a semi-join are not the
+    scale cost; the fact side is read once either way.
     """
-    truth = (
-        dim.select(F.col(dim_key).alias("__dk"))
-        .where(F.col("__dk").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    words = bloom_build(truth, "__dk", m_bits, k).collect()
+    words = bloom_build(dim, dim_key, m_bits, k).collect()
     arr = [0] * (m_bits // _BLOOM_WORD_BITS)
     for r in words:
         arr[r.word] = r.bits
@@ -302,6 +299,7 @@ def bloom_semijoin_stats(
         )
         test = word_val.bitwiseAND(mask) != 0
         hit = test if hit is None else (hit & test)
+    truth = dim.select(F.col(dim_key).alias("__dk")).distinct()
     tagged = (
         fact.where(fk.isNotNull())
         .withColumn("__bloom", hit)

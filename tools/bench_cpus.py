@@ -9,9 +9,14 @@ pair only when their engine-independent calibration probes agree.
 
 This tool runs ``bench.py`` twice in subprocesses — SPARK_GRAFT_CPUS=32
 then =8, same methodology and query list as the driver's own bench —
-and gates the PAIR on the start probes: when the probe totals diverge
-more than GATE (1.2x), the pair is re-run (bounded attempts), and the
-final report says which pairs passed the gate. Output:
+and gates the PAIR on REFERENCE probes measured at a FIXED core count
+(local[4]) immediately before each bench run: the in-bench probes are
+core-count-sensitive (the fixed-size workloads run ~30% faster on 8
+cores than 32 — fewer, larger tasks, less scheduler overhead — measured
+0.58-0.60 at c8 vs 0.79-0.92 at c32 on a quiet host), so only
+equal-configuration probes compare containers. When the two reference
+probes diverge more than GATE (1.2x), the pair is re-run (bounded
+attempts), and the final report says whether the pair passed. Output:
 
 - plans/<tag>/BENCH_cpus32.json / BENCH_cpus8.json — the raw records
   (full bench lines, probes and mid-batch samples included);
@@ -35,6 +40,32 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GATE = 1.2
+
+
+_REF_PROBE_SRC = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import bench
+from etl_pipeline_api_spark.session import get_spark
+spark = get_spark("cpus-ref-probe", cpus=4)
+spark.range(1000).selectExpr("sum(id)").collect()
+bench.calibration_probe(spark)
+print("REF_PROBE " + json.dumps(bench.calibration_probe(spark)))
+"""
+
+
+def ref_probe() -> dict:
+    """Ambient-pressure reference: the calibration probe at a FIXED
+    local[4] — comparable across the pair regardless of each bench run's
+    own core count."""
+    out = subprocess.run(
+        [sys.executable, "-c", _REF_PROBE_SRC.format(repo=REPO)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    line = [
+        ln for ln in out.stdout.splitlines() if ln.startswith("REF_PROBE ")
+    ][-1]
+    return json.loads(line[len("REF_PROBE "):])
 
 
 def run_bench(cpus: int) -> dict:
@@ -61,14 +92,20 @@ def main() -> int:
     best: tuple[float, dict, dict] | None = None
     gated = False
     for attempt in range(1, attempts + 1):
+        ref_hi = ref_probe()
         rec_hi = run_bench(high)
+        ref_lo = ref_probe()
         rec_lo = run_bench(low)
-        p_hi = rec_hi["probe"]["total"]
-        p_lo = rec_lo["probe"]["total"]
+        rec_hi["ref_probe"] = ref_hi
+        rec_lo["ref_probe"] = ref_lo
+        p_hi, p_lo = ref_hi["total"], ref_lo["total"]
         ratio = max(p_hi, p_lo) / max(min(p_hi, p_lo), 1e-9)
         print(
-            f"attempt {attempt}: probe c{high}={p_hi} c{low}={p_lo} "
-            f"ratio {ratio:.3f} (gate {GATE})", file=sys.stderr,
+            f"attempt {attempt}: ref probe before c{high}={p_hi} before "
+            f"c{low}={p_lo} ratio {ratio:.3f} (gate {GATE}; in-bench "
+            f"probes {rec_hi['probe']['total']} / {rec_lo['probe']['total']}"
+            f" are core-count-shaped, informative only)",
+            file=sys.stderr,
         )
         if best is None or ratio < best[0]:
             best = (ratio, rec_hi, rec_lo)
@@ -85,12 +122,16 @@ def main() -> int:
         "# Core-count scaling, probe-gated pair",
         "",
         f"`bench.py` at `local[{high}]` then `local[{low}]`, back-to-back "
-        f"in one window; pair accepted only when the start probes agree "
-        f"within {GATE}x (VERDICT r12 task 6 — the r12 pair's probes "
-        f"differed 2.5x and its ratios measured neighbor pressure).",
+        f"in one window; pair accepted only when the fixed-core (local[4]) "
+        f"REFERENCE probes taken immediately before each run agree within "
+        f"{GATE}x (VERDICT r12 task 6 — the r12 pair's probes differed "
+        f"2.5x and its ratios measured neighbor pressure; in-bench probes "
+        f"are core-count-shaped and not pair-comparable).",
         "",
-        f"- probe c{high}: {rec_hi['probe']}",
-        f"- probe c{low}: {rec_lo['probe']}",
+        f"- ref probe before c{high}: {rec_hi['ref_probe']}",
+        f"- ref probe before c{low}: {rec_lo['ref_probe']}",
+        f"- in-bench probes (informative): c{high} {rec_hi['probe']}, "
+        f"c{low} {rec_lo['probe']}",
         f"- probe ratio: {ratio:.3f} — **gate {'PASSED' if gated else 'FAILED (best attempt shown)'}**",
         f"- totals: c{high} {rec_hi['value']}s vs c{low} {rec_lo['value']}s",
         "",
