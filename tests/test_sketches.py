@@ -131,3 +131,42 @@ def test_bloom_null_keys_dropped_both_sides(spark):
     fact = spark.createDataFrame([(1,), (2,), (None,)], "fk long")
     r = sketches.bloom_semijoin_stats(fact, "fk", dim, "k").collect()[0]
     assert r.n_fact == 2 and r.n_true == 1  # null fact rows not counted
+
+
+def test_cm_lut_probe_matches_python_replay(spark):
+    """r13 internals pin: heavy_hitters now derives the sketch from the
+    exact per-item counts and probes it as a driver-collected LUT
+    (est = min over d of lut[j*width + bucket_j]) — this replays the
+    same sha256 hash family in pure Python and requires every (est,
+    exact) pair to match bit-for-bit, guarding the single-pass rewrite's
+    bucket/index arithmetic at a width tiny enough to force collisions."""
+    import hashlib
+    from collections import Counter
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("dd",)] * 7 + [
+        ("e",)
+    ]
+    df = spark.createDataFrame(rows, "item string")
+    depth, width = 4, 8
+    hh = {
+        r["item"]: (r["est"], r["exact"])
+        for r in sketches.heavy_hitters(
+            df, "item", k=10, depth=depth, width=width
+        ).collect()
+    }
+    exact = Counter(x for (x,) in rows)
+
+    def bucket(item: str, j: int) -> int:
+        d = hashlib.sha256(item.encode()).hexdigest()
+        return (
+            int(d[4 * j : 4 * j + 2], 16) * 256
+            + int(d[4 * j + 2 : 4 * j + 4], 16)
+        ) % width
+
+    cells: Counter = Counter()
+    for it, n in exact.items():
+        for j in range(depth):
+            cells[(j, bucket(it, j))] += n
+    for it, n in exact.items():
+        est = min(cells[(j, bucket(it, j))] for j in range(depth))
+        assert hh[it] == (est, n), (it, hh[it], (est, n))

@@ -37,11 +37,18 @@ def main() -> int:
     out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_TAG", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump-plans")
+    import contextlib
+    import io
+
     for name in names:
         df = QUERIES[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API with stdout capture (ADVICE r12: the earlier
+        # _jvm.PythonSQLUtils.explainString path is private and brittle
+        # across Spark versions)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{tag}.txt")
         with open(path, "w") as f:
             f.write(plan)
